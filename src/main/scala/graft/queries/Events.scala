@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.util.Dec._
+
+/** Time-series queries over the `events` table — the direct analog of the
+  * reference's scan surface:
+  *
+  *  - s1/p4: partitioned time-range scan with projection (reference
+  *    `src/table/scan.rs:62-88`, inclusive bounds) — here a parquet scan
+  *    with the ts predicate and column list pushed down to the reader;
+  *    Catalyst's partition/row-group pruning replaces the reference's
+  *    overlap test + binary-search seek (`src/table/scan.rs:174-248`).
+  *  - p5: symbol-membership filter (reference `src/server/ohlcv.rs:21-28,
+  *    90-98`) → `isin`.
+  *  - a4: OHLCV resampling ticks→bars (reference's agg1m tables,
+  *    `tests/main.rs:13-25`; resolution flooring `src/table/write.rs:62-65`)
+  *    → tumbling `window()` + min_by/max_by for deterministic open/close.
+  *  - a2: the sum/count queries that are the reference's only shipped
+  *    aggregates (`tests/main.rs:122-151`).
+  */
+object Events {
+
+  /** S1+P4: inclusive time-range scan, projected columns only. The filter
+    * and the 5-column projection both reach the parquet reader; at 100 TB
+    * with date-partitioned storage this prunes to the touched partitions. */
+  def scanRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+             col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  val scanRangeSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
+  /** P5: symbol-membership filter (isin) + a general predicate (P6). */
+  def filterIn(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase") && col("value") > 100.0)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("event_id")
+
+  val filterInSql: String =
+    """SELECT event_id, ts, event_type, value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase') AND value > 100.0
+      |ORDER BY event_id""".stripMargin
+
+  /** A4: resample events into 1-hour OHLCV bars per event_type.
+    * open/close use min_by/max_by on event_id (events are generated in ts
+    * order, event_id strictly increasing → deterministic first/last; ties
+    * impossible on a unique key, unlike ts). Map-side partial agg; the
+    * shuffle carries only (bucket, type) groups. */
+  def ohlcvResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sumMoney(col("value")).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n"))
+      .orderBy("bucket", "event_type")
+
+  val ohlcvResampleSql: String =
+    s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+       |  min_by(value, event_id) AS open,
+       |  max(value) AS high,
+       |  min(value) AS low,
+       |  max_by(value, event_id) AS close,
+       |  ${sqlSumMoney("value")} AS volume,
+       |  COUNT(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** A2: the reference's sum/count shape (`tests/main.rs:122-151`) on
+    * events: per-type totals. */
+  def sumCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sumMoney(col("value")).as("sum_value"),
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val sumCountSql: String =
+    s"""SELECT event_type,
+       |  ${sqlSumMoney("value")} AS sum_value,
+       |  COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+}
