@@ -27,6 +27,32 @@ object SparkEntry {
     "p5_filter_in"     -> Events.filterIn _,
     "a4_ohlcv_resample"-> Events.ohlcvResample _,
     "a2_sum_count"     -> Events.sumCount _,
+    "j1_join_inner"    -> Relational.joinInner _,
+    "j2_join_left"     -> Relational.joinLeft _,
+    "j3_join_semi"     -> Relational.joinSemi _,
+    "j4_join_anti"     -> Relational.joinAnti _,
+    "j5_join_theta"    -> Relational.joinTheta _,
+    "j6_join_asof"     -> Windows.asofJoin _,
+    "o1_topk"          -> Relational.topK _,
+    "set1_union"       -> Relational.setUnion _,
+    "set2_intersect"   -> Relational.setIntersect _,
+    "set3_except"      -> Relational.setExcept _,
+    "a5_rollup"        -> Relational.rollupAgg _,
+    "a6_distinct"      -> Relational.distinctAgg _,
+    "w1_window_rank"   -> Windows.windowRank _,
+    "w2_window_lag"    -> Windows.windowLag _,
+    "w3_window_moving" -> Windows.windowMoving _,
+    "t1_token_count"   -> TextQueries.tokenCount _,
+    "t2_quality"       -> TextQueries.quality _,
+    "t3_langid"        -> TextQueries.langId _,
+    "t4_fingerprint"   -> TextQueries.fingerprintQ _,
+    "d1_exact_dedup"   -> DedupQueries.exactDedup _,
+    "d2_minhash_lsh"   -> DedupQueries.minhashLsh _,
+    "d3_simhash"       -> DedupQueries.simhashPairs _,
+    "d4_ngram_jaccard" -> DedupQueries.ngramJaccard _,
+    "d5_cosine_neardup"-> SimilarityQueries.cosineNearDup _,
+    "sim1_topk_cosine" -> SimilarityQueries.topKCosine _,
+    "sim2_lsh_ann"     -> SimilarityQueries.lshAnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +66,31 @@ object SparkEntry {
     "p5_filter_in"      -> Events.filterInSql,
     "a4_ohlcv_resample" -> Events.ohlcvResampleSql,
     "a2_sum_count"      -> Events.sumCountSql,
+    "j1_join_inner"     -> Relational.joinInnerSql,
+    "j2_join_left"      -> Relational.joinLeftSql,
+    "j3_join_semi"      -> Relational.joinSemiSql,
+    "j4_join_anti"      -> Relational.joinAntiSql,
+    "j5_join_theta"     -> Relational.joinThetaSql,
+    "j6_join_asof"      -> Windows.asofJoinSql,
+    "o1_topk"           -> Relational.topKSql,
+    "set1_union"        -> Relational.setUnionSql,
+    "set2_intersect"    -> Relational.setIntersectSql,
+    "set3_except"       -> Relational.setExceptSql,
+    "a5_rollup"         -> Relational.rollupAggSql,
+    "a6_distinct"       -> Relational.distinctAggSql,
+    "w1_window_rank"    -> Windows.windowRankSql,
+    "w2_window_lag"     -> Windows.windowLagSql,
+    "w3_window_moving"  -> Windows.windowMovingSql,
+    "t1_token_count"    -> TextQueries.tokenCountSql,
+    "t2_quality"        -> TextQueries.qualitySql,
+    "t3_langid"         -> TextQueries.langIdSql,
+    "t4_fingerprint"    -> TextQueries.fingerprintSql,
+    "d1_exact_dedup"    -> DedupQueries.exactDedupSql,
+    "d2_minhash_lsh"    -> DedupQueries.jaccardPairsSql,
+    "d4_ngram_jaccard"  -> DedupQueries.jaccardPairsSql,
+    "d5_cosine_neardup" -> SimilarityQueries.cosineNearDupSql,
+    "sim1_topk_cosine"  -> SimilarityQueries.topKCosineSql,
+    // d3_simhash, sim2_lsh_ann: xxhash64-based, not SQL-expressible →
+    // rows-only check by design.
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Text
+
+/** Deduplication operators for the training-data pipeline (north star):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is quadratic in the corpus.
+  *  - exact: one hash-groupBy on a 128-bit content fingerprint.
+  *  - jaccardPairs: shingle-inverted-index self-join — cost is bounded by
+  *    shared-shingle pairs, not all pairs (an explicit `maxShinglesPerKey`
+  *    style guard is unnecessary on synthetic data but hot shingles can be
+  *    frequency-capped upstream at real scale).
+  *  - minhashLsh: signatures via per-doc min-aggregation (map-side
+  *    combine), banding join touches only same-bucket candidates, then an
+  *    exact-Jaccard verify on the (tiny) candidate set.
+  *  - simhash: 64-bit signature per doc; pairs via 16-bit band pigeonhole
+  *    (hamming<=3 over 4 bands => at least one band equal), never all-pairs.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set: (id, sh) distinct. Tokenization is
+    * split-on-single-space over lowercased text, mirrored in oracle SQL. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    df.select(col(idCol).as("id"), w.as("w"))
+      .where(size(col("w")) >= n)
+      .withColumn("i", explode(sequence(lit(1), size(col("w")) - (n - 1))))
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("sh"))
+      .distinct()
+  }
+
+  /** Exact dedup: group by md5 content fingerprint, keep lowest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** All pairs with shingle-Jaccard >= thrNum/thrDen, via inverted-index
+    * join. Threshold test uses integer arithmetic (no float boundary). */
+  def jaccardPairs(sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("ida"), col("sh"))
+    val b = sh.select(col("id").as("idb"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .where(col("inter") * thrDen >= (col("na") + col("nb") - col("inter")) * thrNum)
+      .select(col("ida"), col("idb"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
+  }
+
+  private val PRIME = 2147483647L // 2^31 - 1
+
+  /** MinHash signature columns: minhash_j = min over shingles of
+    * ((a_j * h + b_j) mod p), h = murmur3 of the shingle. Deterministic
+    * seeds derived from j — no RNG at plan time. */
+  private def minhashAggs(numHashes: Int): Seq[Column] = {
+    (0 until numHashes).map { j =>
+      val a = 2L * j + 1
+      val b = 1099511628211L * (j + 1) % PRIME
+      min(pmod(col("h").cast(LongType) * a + b, lit(PRIME))).as(s"mh_$j")
+    }
+  }
+
+  /** MinHash + LSH banding candidates, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand. */
+  def minhashLshPairs(
+      sh: DataFrame,
+      thrNum: Int, thrDen: Int,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = sh.withColumn("h", hash(col("sh")))
+      .groupBy(col("id")).agg(minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
+          .as("sig"))
+    }
+    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = bucketed.select(col("id").as("ida"), col("band"), col("sig"))
+      .join(bucketed.select(col("id").as("idb"), col("band"), col("sig")), Seq("band", "sig"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    // Verify candidates with exact Jaccard (join back to shingle sets).
+    val shA = sh.select(col("id").as("ida"), col("sh"))
+    val shB = sh.select(col("id").as("idb"), col("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand.join(shA, Seq("ida")).join(shB, Seq("idb", "sh"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .where(col("inter") * thrDen >= (col("na") + col("nb") - col("inter")) * thrNum)
+      .select(col("ida"), col("idb"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document from xxhash64 token hashes. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _) // bits are disjoint, so + == |
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, via 16-bit
+    * band pigeonhole (maxDist must be < 4 for 4 bands to be exhaustive). */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("id").as("ida"), col("simhash").as("sa"), col("band"), col("key"))
+      .join(banded.select(col("id").as("idb"), col("simhash").as("sb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
+  * `aggregate`/`zip_with` dot product against a broadcast query vector,
+  * then TakeOrdered. Scale path: random-hyperplane LSH bucketing — each
+  * vector is signed against H deterministic pseudo-random hyperplanes into
+  * a bucket key; candidate search touches only same/near buckets, turning
+  * O(N) per query into O(N / 2^H)-ish. Hyperplane components are derived
+  * from xxhash64(seed, dim) — deterministic, no RNG at plan time.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine similarity between two array<double> columns.
+    * Association order (left-to-right over indices) matches the oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Brute-force top-k by cosine against the vector of `queryId`.
+    * The 1-row query side is broadcast; compiles to scan + TakeOrdered. */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol)).as("qv"))
+    emb.where(col(idCol) =!= queryId)
+      .join(broadcast(q))
+      .select(col(idCol).as("id"),
+        cosine(toDouble(col(vecCol)), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= threshold — embedding near-dup detection.
+    * Brute force over a bounded id range (cross join is quadratic; the
+    * LSH variant below is the 100 TB path). */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("ida"), toDouble(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).as("idb"), toDouble(col(vecCol)).as("vb"))
+    a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Deterministic random-hyperplane sign bits: bucket = H-bit signature.
+    * Hyperplane h component d = (xxhash64(h*4096+d) scaled to [-1,1)). */
+  def lshBucket(vecCol: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { h =>
+      // dot(vec, plane_h) > 0 ?  1 << h : 0   — plane derived per dim
+      val dot = aggregate(
+        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
+          (v, d) => v.cast(DoubleType) *
+            (pmod(xxhash64(d + lit(h * 4096)), lit(2000003L)).cast(DoubleType)
+              / lit(1000001.5) - lit(1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
+    * candidate pairs only within buckets. Recall < 1 by construction;
+    * used as the scale path with brute force as the correctness baseline. */
+  def lshNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, threshold: Double): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v"), lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = withBucket.select(col("id").as("ida"), col("v").as("va"), col("bucket"))
+    val b = withBucket.select(col("id").as("idb"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup queries over `documents`. The generator plants ~0.99-Jaccard
+  * near-duplicate pairs with a wide gap to the background (<0.3), so both
+  * the exact inverted-index path (d4) and the MinHash-LSH path (d2) must
+  * produce the identical pair set — d2 shares d4's oracle, making LSH
+  * recall itself part of the correctness gate.
+  */
+object DedupQueries {
+
+  /** D1: exact dedup by md5 content fingerprint. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("keep_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Shared oracle for d2/d4: exact word-3-gram Jaccard pairs >= 0.8. */
+  val jaccardPairsSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT ida, idb,
+      |  CAST(ninter AS DOUBLE) / CAST(na.n + nb.n - ninter AS DOUBLE) AS jaccard
+      |FROM ov JOIN sizes na ON ida = na.doc_id JOIN sizes nb ON idb = nb.doc_id
+      |WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4
+      |ORDER BY ida, idb""".stripMargin
+
+  /** D4: exact n-gram Jaccard near-dup pairs via inverted-index join. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+        Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+        thrNum = 4, thrDen = 5)
+      .select(col("ida"), col("idb"), col("jaccard"))
+      .orderBy("ida", "idb")
+
+  /** D2: MinHash+LSH candidates + exact verify — same output as d4. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(
+        Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+        thrNum = 4, thrDen = 5, bands = 8, rowsPerBand = 4)
+      .select(col("ida"), col("idb"), col("jaccard"))
+      .orderBy("ida", "idb")
+
+  /** D3: SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
+    * xxhash64-based — not oracle-expressible; rows-only check. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"),
+        maxDist = 3)
+      .orderBy("ida", "idb")
+}

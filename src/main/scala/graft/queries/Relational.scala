@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.util.Dec._
+
+/** The relational surface the reference lacks entirely (SURVEY.md §2.3
+  * joins, §2.6 sorts/limits, §2.7 set ops, A5 rollup/distinct) — exposed
+  * as Spark built-ins, zero custom code, with DuckDB oracles.
+  *
+  * Scale notes: every dimension join here broadcasts; fact-fact joins
+  * (orders⋈lineitem) shuffle on the join key and are bucketable at 100 TB;
+  * top-k compiles to TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** J1: plain equi inner join, filter pushed to both sides. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).where(col("o_totalprice") > 400000.0)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  val joinInnerSql: String =
+    """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 400000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J2: left outer join + agg, customers with zero orders kept. */
+  def joinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(col("o_totalprice"))), lit(0).cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("total_spend"))
+      .orderBy("c_custkey")
+
+  val joinLeftSql: String =
+    s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       |  CAST(COALESCE(SUM(${sqlDec2("o_totalprice")}), 0) AS DOUBLE) AS total_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin
+
+  /** J3: left-semi — customers having at least one urgent order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J4: left-anti — customers with no urgent order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J5: theta (non-equi) join — nation pairs within a region; compiles to
+    * a broadcast nested-loop, fine for dimension-sized inputs. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_name").as("a"), col("n_regionkey").as("rk1"), col("n_nationkey").as("k1"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_name").as("b"), col("n_regionkey").as("rk2"), col("n_nationkey").as("k2"))
+    n1.join(n2, col("rk1") === col("rk2") && col("k1") < col("k2"))
+      .select("a", "b").orderBy("a", "b")
+  }
+
+  val joinThetaSql: String =
+    """SELECT n1.n_name AS a, n2.n_name AS b
+      |FROM nation n1, nation n2
+      |WHERE n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      |ORDER BY a, b""".stripMargin
+
+  /** O1: top-k — TakeOrderedAndProject, deterministic via key tiebreak. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  /** SET1: UNION (distinct) of two event-type user sets. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.where(col("event_type") === "click").select("user_id")
+      .union(e.where(col("event_type") === "purchase").select("user_id"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  val setUnionSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |UNION
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  /** SET2: INTERSECT. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.where(col("event_type") === "click").select("user_id")
+      .intersect(e.where(col("event_type") === "error").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  val setIntersectSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** SET3: EXCEPT at (user, day) granularity — days a user clicked but
+    * did not purchase. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def userDays(t: String) = e.where(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    userDays("click").except(userDays("purchase")).orderBy("user_id", "day")
+  }
+
+  val setExceptSql: String =
+    """SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, day""".stripMargin
+
+  /** A5a: ROLLUP over (returnflag, linestatus) with exact decimal sums. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSumMoney("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** A5b: multi-column exact distinct counts. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (Array[Float], dim 64).
+  * Cosine values are rounded to 6 dp on both sides: Spark and DuckDB
+  * agree to ~1e-15 but not bitwise (different norm association), so the
+  * oracle compares at a precision where both are identical.
+  */
+object SimilarityQueries {
+
+  /** SIM1: brute-force cosine top-10 against vec_id 0. */
+  def topKCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryId = 0L, k = 10)
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+
+  val topKCosineSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id AS id,
+      |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_r
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** D5: embedding near-dup pairs (cosine >= 0.45, brute force). */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.45)
+      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("ida", "idb")
+
+  val cosineNearDupSql: String =
+    """SELECT a.vec_id AS ida, b.vec_id AS idb,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY ida, idb""".stripMargin
+
+  /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1 by
+    * construction (bucket collisions only); rows-only check. */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNeighborPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", numPlanes = 6, threshold = 0.3)
+      .orderBy("ida", "idb")
+}

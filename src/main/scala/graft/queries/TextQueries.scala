@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis queries over `documents` (north-star surface): token
+  * counting, quality scoring, language ID, content fingerprinting. All
+  * pure codegen'd expressions over a single scan — at 100 TB these are
+  * embarrassingly parallel with no shuffle at all (except final sort,
+  * which only exists for oracle determinism).
+  */
+object TextQueries {
+
+  /** T1: token + char counts per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars_calc"),
+        Text.nTokens(col("text")).cast(LongType).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T2: heuristic quality score (formula mirrored in SQL verbatim). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.nTokens(col("text")).cast(LongType).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  0.4 * LEAST((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |              / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 5.0, 1.0)
+      |  + 0.3 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |              / CAST(length(text) AS DOUBLE)) * 20.0, 1.0))
+      |  + 0.3 * LEAST(CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) / 100.0, 1.0) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T3: marker-vote language ID vs the labeled lang column. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en,
+      |  len(regexp_extract_all(lower(text), '\b(el|la|los|que|y)\b')) AS es,
+      |  len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|das)\b')) AS de,
+      |  len(regexp_extract_all(lower(text), '\b(le|les|et|une|dans)\b')) AS fr,
+      |  len(regexp_extract_all(lower(text), '\b(的|是|不)\b')) AS zh
+      |FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+      |       WHEN es >= de AND es >= fr AND es >= zh THEN 'es'
+      |       WHEN de >= fr AND de >= zh THEN 'de'
+      |       WHEN fr >= zh THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** T4: md5 content fingerprint of the canonical text form. */
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

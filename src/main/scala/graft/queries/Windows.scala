@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.util.Dec._
+
+/** Window functions (SURVEY.md §2.5 — absent from the reference, implied
+  * by its time-series domain) and the as-of join built on one shuffle.
+  *
+  * Determinism notes: every window ORDER BY includes a unique tiebreak
+  * key; windowed sums go through DECIMAL so frame-order (Spark) vs
+  * segment-tree (DuckDB) evaluation cannot diverge.
+  */
+object Windows {
+
+  /** W1: ranking — top-3 orders per customer by price. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** W2: lag/lead — per-user deltas between consecutive events. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("event_id", "user_id", "value", "prev_value", "next_type")
+      .orderBy("event_id")
+  }
+
+  val windowLagSql: String =
+    """SELECT event_id, user_id, value,
+      |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** W3: moving frame — 7-day trailing revenue over daily totals. Two-level:
+    * daily pre-agg shrinks the window input to ~one row per day, so the
+    * window itself is driver-cheap even at 100 TB of raw events. */
+  def windowMoving(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).as("rev"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w).cast(DoubleType))
+      .select(col("day"), col("rev").cast(DoubleType).as("rev"), col("rev7"))
+      .orderBy("day")
+  }
+
+  val windowMovingSql: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day,
+       |         SUM(${sqlDec2("value")}) AS rev
+       |  FROM events GROUP BY 1)
+       |SELECT day, CAST(rev AS DOUBLE) AS rev,
+       |  CAST(SUM(rev) OVER (ORDER BY day
+       |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+       |FROM daily
+       |ORDER BY day""".stripMargin
+
+  /** J6: as-of join — each purchase matched to the same user's latest
+    * click at-or-before it (operators.AsOfJoin: one shuffle, no blowup). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    AsOfJoin.asof(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("value"), rightTiebreak = "event_id", prefix = "click_")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.ts, p.user_id, p.value,
+      |       cb.click_ts, cb.click_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.ts AS click_ts, c.value AS click_value
+      |  FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) cb ON TRUE
+      |ORDER BY p.event_id""".stripMargin
+}
