@@ -53,6 +53,14 @@ object SparkEntry {
     "d5_cosine_neardup"-> SimilarityQueries.cosineNearDup _,
     "sim1_topk_cosine" -> SimilarityQueries.topKCosine _,
     "sim2_lsh_ann"     -> SimilarityQueries.lshAnn _,
+    "f5_calendar"      -> Scalar.calendarQ _,
+    "f4_currency"      -> Scalar.currencyQ _,
+    "f7_json"          -> Scalar.jsonExtract _,
+    "c1_symbols"       -> Scalar.symbolsQ _,
+    "c2_minmax_ts"     -> Scalar.minMaxTs _,
+    "a1_fold_aggregator" -> Scalar.foldAggregator _,
+    "a1_fold_mappartitions" -> Scalar.foldMapPartitions _,
+    "s5_ztable_roundtrip" -> Scalar.ztableRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,7 +98,14 @@ object SparkEntry {
     "d4_ngram_jaccard"  -> DedupQueries.jaccardPairsSql,
     "d5_cosine_neardup" -> SimilarityQueries.cosineNearDupSql,
     "sim1_topk_cosine"  -> SimilarityQueries.topKCosineSql,
-    // d3_simhash, sim2_lsh_ann: xxhash64-based, not SQL-expressible →
-    // rows-only check by design.
+    "f5_calendar"       -> Scalar.calendarSql,
+    "f7_json"           -> Scalar.jsonExtractSql,
+    "c1_symbols"        -> Scalar.symbolsSql,
+    "c2_minmax_ts"      -> Scalar.minMaxTsSql,
+    "a1_fold_aggregator" -> Scalar.foldSql,
+    "a1_fold_mappartitions" -> Scalar.foldMpSql,
+    "s5_ztable_roundtrip" -> Scalar.ztableRoundtripSql,
+    // d3_simhash, sim2_lsh_ann (xxhash64-based) and f4_currency
+    // (sig-fig formatter) are not SQL-expressible → rows-only checks.
   )
 }

@@ -133,7 +133,8 @@ object Dedup {
       .join(banded.select(col("id").as("idb"), col("simhash").as("sb"), col("band"), col("key")),
         Seq("band", "key"))
       .where(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

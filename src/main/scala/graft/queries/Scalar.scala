@@ -1,0 +1,131 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Calendar, Fold, Format}
+import graft.sources.{ZPartitionBy, ZTable, ZTableSpec}
+
+/** Scalar-function queries (SURVEY.md §2.8), the fold surface (§2.10),
+  * introspection (§2.11), and the write-path roundtrip (S5/S6). */
+object Scalar {
+
+  /** F5: trading-calendar predicate over the distinct order dates. */
+  def calendarQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .withColumn("open", Calendar.isMarketOpenCol(col("d")))
+      .orderBy("d")
+
+  /** Oracle: weekday test + the holiday set for 1995-2001 (the orders
+    * date range), generated offline from the same reference algorithm. */
+  val calendarSql: String =
+    """SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+      |  (isodow(o_orderdate) < 6 AND CAST(o_orderdate AS DATE) NOT IN (
+      |   DATE '1995-01-02',DATE '1995-01-16',DATE '1995-02-20',DATE '1995-04-14',
+      |   DATE '1995-05-29',DATE '1995-07-04',DATE '1995-09-04',DATE '1995-11-23',
+      |   DATE '1995-12-25',DATE '1996-01-01',DATE '1996-01-15',DATE '1996-02-19',
+      |   DATE '1996-04-05',DATE '1996-05-27',DATE '1996-07-04',DATE '1996-09-02',
+      |   DATE '1996-11-28',DATE '1996-12-25',DATE '1997-01-01',DATE '1997-01-20',
+      |   DATE '1997-02-17',DATE '1997-03-28',DATE '1997-05-26',DATE '1997-07-04',
+      |   DATE '1997-09-01',DATE '1997-11-27',DATE '1997-12-25',DATE '1998-01-01',
+      |   DATE '1998-01-19',DATE '1998-02-16',DATE '1998-04-10',DATE '1998-05-25',
+      |   DATE '1998-07-03',DATE '1998-09-07',DATE '1998-11-26',DATE '1998-12-25',
+      |   DATE '1999-01-01',DATE '1999-01-18',DATE '1999-02-15',DATE '1999-04-02',
+      |   DATE '1999-05-31',DATE '1999-07-05',DATE '1999-09-06',DATE '1999-11-25',
+      |   DATE '1999-12-24',DATE '2000-01-03',DATE '2000-01-17',DATE '2000-02-21',
+      |   DATE '2000-04-21',DATE '2000-05-29',DATE '2000-07-04',DATE '2000-09-04',
+      |   DATE '2000-11-23',DATE '2000-12-25',DATE '2001-01-01',DATE '2001-01-15',
+      |   DATE '2001-02-19',DATE '2001-04-13',DATE '2001-05-28',DATE '2001-07-04',
+      |   DATE '2001-09-03',DATE '2001-11-22',DATE '2001-12-25')) AS open
+      |FROM orders ORDER BY d""".stripMargin
+
+  /** F4: sig-fig currency formatting (reference `src/table/scan.rs:7-34`)
+    * — not SQL-expressible; rows-only check, covered by FormatSpec. */
+  def currencyQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        Format.formatCurrencyCol(col("o_totalprice").cast("float"), 5).as("price_fmt"))
+      .orderBy("o_orderkey")
+
+  /** F7: JSON extraction from the events props column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** C1: symbol-dictionary listing (distinct event types). */
+  def symbolsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_type").as("symbol"))
+      .distinct().orderBy("symbol")
+
+  val symbolsSql: String =
+    "SELECT DISTINCT event_type AS symbol FROM events ORDER BY symbol"
+
+  /** C2: table first/last ts + row count. */
+  def minMaxTs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n"))
+
+  val minMaxTsSql: String =
+    "SELECT min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n FROM events"
+
+  /** A1a: typed-Aggregator fold (exact cents accumulator). */
+  def foldAggregator(spark: SparkSession, dir: String): DataFrame =
+    Fold.aggregatorSum(Tables.lineitem(spark, dir), "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag")
+
+  val foldSql: String =
+    """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A1b: mapPartitions escape hatch, same oracle shape + row counts. */
+  def foldMapPartitions(spark: SparkSession, dir: String): DataFrame =
+    Fold.mapPartitionsSum(Tables.lineitem(spark, dir), "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag")
+
+  val foldMpSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** S5+S6+S1: full write-path roundtrip — events → ZTable (day-partitioned,
+    * ts-sorted parquet) → pruned time-range scan → aggregate. The oracle
+    * runs on the ORIGINAL events table, so partition rollover, dynamic
+    * partition writes, and scan pruning must all preserve the data. */
+  def ztableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_ztable_").toString
+    deleteRecursively(Paths.get(path))
+    val t = ZTable.create(spark, path,
+      ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day, strictOrder = false))
+    t.append(Tables.events(spark, dir))
+    t.scan("2024-01-05 00:00:00", "2024-01-15 23:59:59")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val ztableRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-15 23:59:59'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

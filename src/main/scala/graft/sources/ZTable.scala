@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Partition granularity — mirrors the reference's `PartitionBy::{None,
+  * Year, Month, Day}` (reference `src/schema.rs:71-77`); directory names
+  * use the same strftime shapes (`src/table/write.rs:26-36`). */
+sealed abstract class ZPartitionBy(val name: String, val fmt: Option[String])
+object ZPartitionBy {
+  case object None_ extends ZPartitionBy("none", None)
+  case object Year  extends ZPartitionBy("year", Some("yyyy"))
+  case object Month extends ZPartitionBy("month", Some("yyyy-MM"))
+  case object Day   extends ZPartitionBy("day", Some("yyyy-MM-dd"))
+  def of(s: String): ZPartitionBy = s match {
+    case "year" => Year; case "month" => Month; case "day" => Day
+    case _ => None_
+  }
+}
+
+/** Table spec — the semantic remnant of the reference's `Schema`
+  * (`src/schema.rs:79-139`): which column is time, how partitions are
+  * cut, the resolution grid (reference stores ts floored to a resolution,
+  * `src/table/write.rs:62-65`; Spark ts is µs so resolution is µs), and
+  * whether out-of-order appends are rejected (the reference panics,
+  * `src/table/write.rs:79-85`; here it's a configurable strict mode). */
+case class ZTableSpec(
+    tsCol: String = "ts",
+    partitionBy: ZPartitionBy = ZPartitionBy.Day,
+    resolutionMicros: Option[Long] = None,
+    strictOrder: Boolean = true)
+
+/** Spark-native successor of the reference's `Table`
+  * (`src/table/mod.rs:51-141`): a directory of date-partitioned,
+  * time-sorted Parquet. Everything the reference hand-rolls (mmap columns,
+  * binary-search time seek, symbol dictionaries, partition metadata) maps
+  * to Parquet + Catalyst built-ins: vectorized columnar reads, row-group
+  * min/max pruning, dictionary pages, partition-directory pruning
+  * (SURVEY.md §1.5, §4).
+  *
+  * Scale: `append` hash-distributes rows by partition value so each date
+  * directory is written by the executors that own its rows (no single
+  * writer), sorted by ts within files so row-group stats give tight ts
+  * bounds for scan-time pruning.
+  */
+class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
+
+  val partCol = "p_date"
+
+  private def withPartCol(df: DataFrame): DataFrame = spec.partitionBy.fmt match {
+    case Some(f) => df.withColumn(partCol, date_format(col(spec.tsCol), f))
+    case None    => df.withColumn(partCol, lit("all"))
+  }
+
+  /** Floor ts to the resolution grid (reference `src/table/write.rs:62-65`). */
+  private def floorResolution(df: DataFrame): DataFrame = spec.resolutionMicros match {
+    case Some(res) =>
+      df.withColumn(spec.tsCol,
+        timestamp_micros((unix_micros(col(spec.tsCol)) / res).cast("long") * res))
+    case None => df
+  }
+
+  /** Append a batch. Strict mode rejects batches that start before the
+    * table's current last timestamp — the Spark-idiomatic analog of the
+    * reference's per-row out-of-order panic (order *within* storage is
+    * re-established by the sort, so batch-min vs table-max is the only
+    * meaningful cross-batch check in a distributed write). */
+  def append(df: DataFrame): Unit = {
+    val data = floorResolution(df)
+    if (spec.strictOrder && hasData) {
+      val last = lastTs
+      val batchMin = data.agg(min(col(spec.tsCol))).head.getTimestamp(0)
+      if (last != null && batchMin != null && batchMin.before(last))
+        throw new IllegalStateException(
+          s"Timestamp $batchMin is out of order (table last ts: $last)")
+    }
+    withPartCol(data)
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(spec.tsCol))
+      .write.mode("append").partitionBy(partCol).parquet(path)
+  }
+
+  def exists: Boolean = Files.exists(Paths.get(path, "_meta.json"))
+
+  /** True once at least one write landed (partition dirs or parquet files
+    * exist — a fresh table is just its `_meta.json`). */
+  def hasData: Boolean = {
+    val p = Paths.get(path)
+    Files.exists(p) && {
+      val s = Files.list(p)
+      try s.anyMatch(f => f.getFileName.toString.startsWith(partCol + "=") ||
+          f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  def df: DataFrame = spark.read.parquet(path).drop(partCol)
+
+  /** Time-range scan, inclusive bounds (reference `src/table/scan.rs:62-88`).
+    * Adds the derived partition predicate so users filtering only on ts
+    * still get directory pruning (SURVEY.md §4), plus the ts predicate
+    * that reaches row-group stats. */
+  def scan(fromTs: String, toTs: String, cols: Seq[String] = Nil): DataFrame = {
+    val base = spark.read.parquet(path)
+    val from = lit(fromTs).cast(TimestampType)
+    val to = lit(toTs).cast(TimestampType)
+    val pruned = spec.partitionBy.fmt match {
+      case Some(f) =>
+        base.where(col(partCol) >= date_format(from, f) &&
+                   col(partCol) <= date_format(to, f))
+      case None => base
+    }
+    val ranged = pruned.where(col(spec.tsCol) >= from && col(spec.tsCol) <= to)
+      .drop(partCol)
+    if (cols.isEmpty) ranged else ranged.select(cols.map(col): _*)
+  }
+
+  /** C2: table first/last timestamp (reference `src/table/meta.rs:39-67`). */
+  def firstTs: java.sql.Timestamp =
+    df.agg(min(col(spec.tsCol))).head.getTimestamp(0)
+  def lastTs: java.sql.Timestamp =
+    df.agg(max(col(spec.tsCol))).head.getTimestamp(0)
+
+  /** C1: distinct values of a symbol-like column, sorted — the analog of
+    * the reference's symbol-dictionary dump (`src/server/mod.rs:84-122`). */
+  def symbols(colName: String): DataFrame =
+    df.select(col(colName)).distinct().orderBy(col(colName))
+
+  private[sources] def writeMeta(): Unit = {
+    val json =
+      s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +
+      s""""resolutionMicros":${spec.resolutionMicros.getOrElse(0L)},""" +
+      s""""strictOrder":${spec.strictOrder}}"""
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "_meta.json"), json,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}
+
+object ZTable {
+  /** Create (meta file is table existence, reference `src/table/mod.rs:54-56`). */
+  def create(spark: SparkSession, path: String, spec: ZTableSpec): ZTable = {
+    val t = new ZTable(spark, path, spec)
+    t.writeMeta()
+    t
+  }
+
+  def open(spark: SparkSession, path: String): ZTable = {
+    val metaPath = Paths.get(path, "_meta.json")
+    require(Files.exists(metaPath), s"no such ZTable: $path")
+    val json = Files.readString(metaPath)
+    def str(k: String) =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+    def num(k: String) =
+      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val spec = ZTableSpec(
+      tsCol = str("tsCol").getOrElse("ts"),
+      partitionBy = ZPartitionBy.of(str("partitionBy").getOrElse("day")),
+      resolutionMicros = num("resolutionMicros").filter(_ > 0),
+      strictOrder = json.contains("\"strictOrder\":true"))
+    new ZTable(spark, path, spec)
+  }
+
+  def createOrOpen(spark: SparkSession, path: String, spec: ZTableSpec): ZTable =
+    if (Files.exists(Paths.get(path, "_meta.json"))) open(spark, path)
+    else create(spark, path, spec)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.sources.{ZPartitionBy, ZTable, ZTableSpec => Spec}
+
+class ZTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmp() = Files.createTempDirectory("ztable_spec_").toString
+
+  private def sample = Seq(
+    (ts("2024-01-01 10:00:07"), "A", 1.0),
+    (ts("2024-01-01 11:00:08"), "B", 2.0),
+    (ts("2024-01-02 10:00:09"), "A", 3.0),
+    (ts("2024-01-03 10:00:10"), "C", 4.0))
+    .toDF("ts", "sym", "v")
+
+  test("create/append/scan roundtrip with day partitions") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    t.append(sample)
+    // partition directories exist (dynamic partition write)
+    assert(Files.exists(Paths.get(path, "p_date=2024-01-01")))
+    assert(Files.exists(Paths.get(path, "p_date=2024-01-03")))
+    // inclusive scan bounds
+    val rows = t.scan("2024-01-01 11:00:08", "2024-01-02 10:00:09").collect()
+    assert(rows.map(_.getAs[String]("sym")).toSet == Set("A", "B"))
+  }
+
+  test("scan projects requested columns only") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    t.append(sample)
+    val df = t.scan("2024-01-01 00:00:00", "2024-12-31 00:00:00", Seq("ts", "v"))
+    assert(df.columns.toSeq == Seq("ts", "v"))
+    assert(df.count() == 4)
+  }
+
+  test("resolution flooring at append (60s grid)") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(resolutionMicros = Some(60L * 1000000)))
+    t.append(sample)
+    val secs = t.df.select($"ts").collect()
+      .map(_.getTimestamp(0).toLocalDateTime.getSecond).toSet
+    assert(secs == Set(0))
+  }
+
+  test("strict order rejects out-of-order batch") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = true))
+    t.append(sample)
+    val late = Seq((ts("2023-12-31 09:00:00"), "Z", 9.9)).toDF("ts", "sym", "v")
+    intercept[IllegalStateException] { t.append(late) }
+    // non-strict table accepts it
+    val t2 = ZTable.create(spark, tmp(), Spec(strictOrder = false))
+    t2.append(sample); t2.append(late)
+    assert(t2.df.count() == 5)
+  }
+
+  test("open restores spec from meta; firstTs/lastTs/symbols") {
+    val path = tmp()
+    ZTable.create(spark, path,
+      Spec(partitionBy = ZPartitionBy.Month, resolutionMicros = Some(1000000L)))
+      .append(sample)
+    val t = ZTable.open(spark, path)
+    assert(t.spec.partitionBy == ZPartitionBy.Month)
+    assert(t.spec.resolutionMicros.contains(1000000L))
+    assert(t.firstTs == ts("2024-01-01 10:00:07"))
+    assert(t.lastTs == ts("2024-01-03 10:00:10"))
+    assert(t.symbols("sym").collect().map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+  }
+}
