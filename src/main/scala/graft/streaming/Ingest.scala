@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.sources.{ZPartitionBy, ZTableSpec}
+
+/** Event-stream row shape (mirrors the `events` test table). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-key running aggregate emitted by the stateful fold. */
+case class RunningTotal(key: String, n: Long, sumCents: Long) {
+  def sum: Double = sumCents / 100.0
+}
+
+/** Structured-Streaming ingest — the reference's write path re-expressed
+  * (SURVEY.md §2.9): append-only, time-partitioned, resolution-floored,
+  * with its panic-on-out-of-order (`src/table/write.rs:79-85`) turned
+  * into a configurable stateful drop (strict mode) because a distributed
+  * stream cannot crash the writer per late row.
+  *
+  * Scale: the parquet sink writes `partitionBy(p_date)` so each
+  * micro-batch appends to date dirs exactly like the batch ZTable;
+  * stateful ops are keyed (per-symbol state, hash-distributed), and
+  * windowed aggs carry watermarks so state is bounded.
+  */
+object Ingest {
+
+  /** Continuous ingest of an event stream into a ZTable-layout directory.
+    * Resolution flooring matches ZTable.append. */
+  def ingestStream(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      spec: ZTableSpec = ZTableSpec()): StreamingQuery = {
+    val floored = spec.resolutionMicros match {
+      case Some(res) => stream.withColumn(spec.tsCol,
+        timestamp_micros((unix_micros(col(spec.tsCol)) / res).cast("long") * res))
+      case None => stream
+    }
+    val withPart = spec.partitionBy.fmt match {
+      case Some(f) => floored.withColumn("p_date", date_format(col(spec.tsCol), f))
+      case None    => floored.withColumn("p_date", lit("all"))
+    }
+    withPart.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("p_date")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming OHLCV bars: tumbling window per symbol with a watermark
+    * bounding state; open/close via min_by/max_by on the sequence id. */
+  def streamingOhlcv(stream: DataFrame, barWidth: String = "1 minute",
+      lateness: String = "10 seconds"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), barWidth), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
+  /** Strict-order enforcement: per-key monotonic filter via keyed state —
+    * the streaming analog of the reference's out-of-order panic. Rows
+    * with ts earlier than the key's high-water mark are DROPPED (the
+    * reference would have crashed the writer). */
+  def enforceOrder(ds: Dataset[Event]): Dataset[Event] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Event], state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.filter { e =>
+            val t = e.ts.getTime
+            if (t >= hwm) { hwm = t; true } else false
+          }
+          state.update(hwm)
+          kept.iterator
+      }
+  }
+
+  /** Per-key running totals — the "user state carried across batches"
+    * shape of the reference's Julia folds (`src/server/query.rs:215-227`),
+    * exact via cents accumulation. */
+  def runningTotals(ds: Dataset[Event]): Dataset[RunningTotal] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long), RunningTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          state.update((n, cents))
+          Iterator.single(RunningTotal(key, n, cents))
+      }
+  }
+}
