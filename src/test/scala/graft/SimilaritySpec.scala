@@ -40,6 +40,15 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("DotProduct rejects non-array inputs with a clean analysis error") {
+    import graft.plans.VectorOps
+    val bad = Seq((1, "x")).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("DotProduct requires array"))
+  }
+
   test("LSH buckets: identical vectors collide; pairs found at threshold") {
     val pairs = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding", 6, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
