@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: prints the formatted physical plan of one query
+  * (or all). Usage: runMain graft.Explain [queryName] [sfDir] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("all")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val targets =
+      if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(_._1 == name).toSeq
+    targets.foreach { case (n, fn) =>
+      println(s"\n===== $n =====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"error: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

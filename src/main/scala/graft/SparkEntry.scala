@@ -38,6 +38,9 @@ object SparkEntry {
     "set2_intersect"   -> Relational.setIntersect _,
     "set3_except"      -> Relational.setExcept _,
     "a5_rollup"        -> Relational.rollupAgg _,
+    "a7_cube"          -> Relational.cubeAgg _,
+    "q18_having"       -> Relational.havingAgg _,
+    "sq1_scalar_subquery" -> Relational.scalarSubquery _,
     "a6_distinct"      -> Relational.distinctAgg _,
     "w1_window_rank"   -> Windows.windowRank _,
     "w2_window_lag"    -> Windows.windowLag _,
@@ -85,6 +88,9 @@ object SparkEntry {
     "set2_intersect"    -> Relational.setIntersectSql,
     "set3_except"       -> Relational.setExceptSql,
     "a5_rollup"         -> Relational.rollupAggSql,
+    "a7_cube"           -> Relational.cubeAggSql,
+    "q18_having"        -> Relational.havingAggSql,
+    "sq1_scalar_subquery" -> Relational.scalarSubquerySql,
     "a6_distinct"       -> Relational.distinctAggSql,
     "w1_window_rank"    -> Windows.windowRankSql,
     "w2_window_lag"     -> Windows.windowLagSql,

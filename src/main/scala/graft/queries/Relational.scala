@@ -161,6 +161,54 @@ object Relational {
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** A5c: CUBE over two grouping dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSumMoney("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Q18-style HAVING: large customers by total spend. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sumMoney(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+      .where(col("total") > 3000000.0)
+      .orderBy(col("o_custkey"))
+
+  val havingAggSql: String =
+    s"""SELECT o_custkey, ${sqlSumMoney("o_totalprice")} AS total,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING CAST(SUM(${sqlDec2("o_totalprice")}) AS DOUBLE) > 3000000.0
+       |ORDER BY o_custkey""".stripMargin
+
+  /** Scalar subquery: orders priced above the global average. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPrice = o.agg(
+      (sum(dec2(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"))
+    o.join(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("avg_price") * 2.5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarSubquerySql: String =
+    s"""SELECT o_orderkey, o_totalprice
+       |FROM orders
+       |WHERE o_totalprice > (SELECT CAST(SUM(${sqlDec2("o_totalprice")}) AS DOUBLE)
+       |                             / COUNT(*) FROM orders) * 2.5
+       |ORDER BY o_orderkey""".stripMargin
+
   /** A5b: multi-column exact distinct counts. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -129,6 +129,19 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
   def symbols(colName: String): DataFrame =
     df.select(col(colName)).distinct().orderBy(col(colName))
 
+  /** S8: offline column-type migration (reference
+    * `scripts/convert_col.jl:28-60` rewrites a column file across all
+    * partitions; here it's a single declarative cast + rewrite). */
+  def migrateColumn(colName: String, newType: String, outPath: String): ZTable = {
+    val out = ZTable.create(spark, outPath, spec)
+    val migrated = spark.read.parquet(path)
+      .withColumn(colName, col(colName).cast(newType))
+    migrated
+      .sortWithinPartitions(col(spec.tsCol))
+      .write.mode("append").partitionBy(partCol).parquet(outPath)
+    out
+  }
+
   private[sources] def writeMeta(): Unit = {
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +

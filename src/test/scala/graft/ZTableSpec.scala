@@ -60,6 +60,25 @@ class ZTableSpec extends SparkSpec {
     assert(t2.df.count() == 5)
   }
 
+  test("migrateColumn rewrites a column type across partitions (S8)") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    t.append(sample)
+    val out = tmp() + "/migrated"
+    val m = t.migrateColumn("v", "float", out)
+    assert(m.df.schema("v").dataType == org.apache.spark.sql.types.FloatType)
+    assert(m.df.count() == 4)
+  }
+
+  test("scan of unknown column raises AnalysisException (P1 behavior)") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    t.append(sample)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.scan("2024-01-01 00:00:00", "2024-12-31 00:00:00", Seq("no_such_col")).collect()
+    }
+  }
+
   test("open restores spec from meta; firstTs/lastTs/symbols") {
     val path = tmp()
     ZTable.create(spark, path,
