@@ -56,6 +56,8 @@ object SparkEntry {
     "d5_cosine_neardup"-> SimilarityQueries.cosineNearDup _,
     "sim1_topk_cosine" -> SimilarityQueries.topKCosine _,
     "sim2_lsh_ann"     -> SimilarityQueries.lshAnn _,
+    "sim3_ivf_ann"     -> SimilarityQueries.ivfAnn _,
+    "t5_bpe_tokens"    -> TextQueries.bpeTokens _,
     "f5_calendar"      -> Scalar.calendarQ _,
     "f4_currency"      -> Scalar.currencyQ _,
     "f7_json"          -> Scalar.jsonExtract _,
@@ -99,6 +101,7 @@ object SparkEntry {
     "t2_quality"        -> TextQueries.qualitySql,
     "t3_langid"         -> TextQueries.langIdSql,
     "t4_fingerprint"    -> TextQueries.fingerprintSql,
+    "t5_bpe_tokens"     -> TextQueries.bpeTokensSql,
     "d1_exact_dedup"    -> DedupQueries.exactDedupSql,
     "d2_minhash_lsh"    -> DedupQueries.jaccardPairsSql,
     "d4_ngram_jaccard"  -> DedupQueries.jaccardPairsSql,

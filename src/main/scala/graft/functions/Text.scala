@@ -20,6 +20,14 @@ object Text {
   def nTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("\\S+"), lit(0)))
 
+  /** GPT-2-style pretokenizer regex (contractions, letter runs, digit
+    * runs, punctuation runs, whitespace) — the "BPE-ish" token count. */
+  val BPE_RE: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def nBpeTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit(BPE_RE), lit(0)))
+
   /** Canonical form: lowercase, collapse whitespace, trim. */
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

@@ -77,6 +77,40 @@ object Similarity {
     bits.reduce((a: Column, b: Column) => a + b)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer — the k vectors with
+    * the smallest xxhash64(id) act as centroids (no RNG, stable across
+    * runs); every vector is assigned to its nearest centroid via k
+    * codegen'd dot products; candidate pairs are searched within cells
+    * only. At 100 TB: centroids broadcast, assignment is a map-only pass,
+    * the pair search shuffles once on cell id. Recall < 1 by construction
+    * (cell-boundary neighbors are missed; increase k-probe to trade). */
+  def ivfNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, threshold: Double): DataFrame = {
+    val centroids = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(numCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"),
+        sqrt(VectorOps.normSq(col(vecCol))).as("cnorm"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
+      .join(broadcast(centroids))
+      .select(col("id"), col("v"), col("vnorm"), col("cell"),
+        (VectorOps.dot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("sim").desc, col("cell"))
+    val assigned = scored
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("id"), col("v"), col("vnorm"), col("cell"))
+    val a = assigned.select(col("id").as("ida"), col("v").as("va"),
+      col("vnorm").as("norm_a"), col("cell"))
+    val b = assigned.select(col("id").as("idb"), col("v").as("vb"),
+      col("vnorm").as("norm_b"), col("cell"))
+    a.join(b, Seq("cell")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
     * candidate pairs only within buckets. Recall < 1 by construction;
     * used as the scale path with brute force as the correctness baseline. */

@@ -51,4 +51,11 @@ object SimilarityQueries {
     Similarity.lshNeighborPairs(Tables.embeddings(spark, dir),
         "vec_id", "embedding", numPlanes = 6, threshold = 0.3)
       .orderBy("ida", "idb")
+
+  /** SIM3: IVF-cell ANN pairs — coarse-quantized scale path; rows-only. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNeighborPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", numCells = 16, threshold = 0.3)
+      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("ida", "idb")
 }

@@ -69,6 +69,21 @@ object TextQueries {
       |       ELSE 'zh' END AS lang_pred
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** T5: BPE-ish token counting (GPT-2 pretokenizer regex). */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.nBpeTokens(col("text")).cast(LongType).as("n_bpe"),
+        Text.nTokens(col("text")).cast(LongType).as("n_ws"))
+      .orderBy("doc_id")
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -93,6 +93,28 @@ object Ingest {
       }
   }
 
+  /** Session windows: activity sessions per user closed by a gap — the
+    * session_window built-in with watermark-bounded state. */
+  def sessionize(stream: DataFrame, gap: String = "5 minutes",
+      lateness: String = "10 seconds"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup within the watermark horizon — the streaming
+    * face of the dedup family (state bounded by the watermark, so this
+    * scales to unbounded streams unlike a global dropDuplicates). */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+      lateness: String = "10 seconds"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Per-key running totals — the "user state carried across batches"
     * shape of the reference's Julia folds (`src/server/query.rs:215-227`),
     * exact via cents accumulation. */

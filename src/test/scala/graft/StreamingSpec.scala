@@ -73,6 +73,42 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("sessionize groups by gap and closes sessions at watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Ingest.sessionize(mem.toDF(), "5 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append).start()
+    // two sessions for user 1 (gap > 5 min), then advance watermark
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:02:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 10:30:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions_test").collect()
+    q.stop()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Ingest.dedupStream(mem.toDF(), Seq("event_id"), "1 minute")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0), // dup id
+      Event(2, ts("2024-01-01 10:00:02"), 1, "click", 2.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup_test").count()
+    q.stop()
+    assert(n == 2)
+  }
+
   test("runningTotals carries exact state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
