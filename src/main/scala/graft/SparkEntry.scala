@@ -32,6 +32,8 @@ object SparkEntry {
     "j3_join_semi"     -> Relational.joinSemi _,
     "j4_join_anti"     -> Relational.joinAnti _,
     "j5_join_theta"    -> Relational.joinTheta _,
+    "j7_join_range"    -> Relational.joinRange _,
+    "a8_percentiles"   -> Relational.percentiles _,
     "j6_join_asof"     -> Windows.asofJoin _,
     "o1_topk"          -> Relational.topK _,
     "set1_union"       -> Relational.setUnion _,
@@ -84,6 +86,8 @@ object SparkEntry {
     "j3_join_semi"      -> Relational.joinSemiSql,
     "j4_join_anti"      -> Relational.joinAntiSql,
     "j5_join_theta"     -> Relational.joinThetaSql,
+    "j7_join_range"     -> Relational.joinRangeSql,
+    "a8_percentiles"    -> Relational.percentilesSql,
     "j6_join_asof"      -> Windows.asofJoinSql,
     "o1_topk"           -> Relational.topKSql,
     "set1_union"        -> Relational.setUnionSql,

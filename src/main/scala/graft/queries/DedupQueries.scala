@@ -47,11 +47,15 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")
 
-  /** D2: MinHash+LSH candidates + exact verify — same output as d4. */
+  /** D2: MinHash+LSH candidates + exact verify — same output as d4.
+    * 24 bands x 3 rows: a pair at exactly the 0.8 threshold is missed
+    * with p = (1 - 0.8^3)^24 ~ 3.5e-8, so LSH recall genuinely gates at
+    * every SF (sf0.1 has a planted pair at jaccard 0.80; the original
+    * 8x4 banding missed it ~1.5% of configurations). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
         Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
-        thrNum = 4, thrDen = 5, bands = 8, rowsPerBand = 4)
+        thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3)
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")
 

@@ -209,6 +209,47 @@ object Relational {
        |                             / COUNT(*) FROM orders) * 2.5
        |ORDER BY o_orderkey""".stripMargin
 
+  /** A8: exact interpolated percentiles (median, p95) per group, rounded
+    * to 4 dp on both sides (interpolation association differs by ulps). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** J7: range join — line items shipped within 30 days of a late-1997
+    * order window (equi key + range predicate rides the join). */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("o_orderdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val joinRangeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** A5b: multi-column exact distinct counts. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
