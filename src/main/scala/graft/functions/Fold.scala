@@ -69,5 +69,6 @@ object Fold {
   def registerAll(spark: SparkSession): Unit = {
     Calendar.register(spark)
     Format.register(spark)
+    graft.plans.GraftExtensions.register(spark)
   }
 }

@@ -49,6 +49,12 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("DotProduct requires array"))
   }
 
+  test("IVF cells: identical vectors land in the same cell and pair up") {
+    val pairs = Similarity.ivfNeighborPairs(vecs, "vec_id", "embedding", 2, 0.99)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
   test("LSH buckets: identical vectors collide; pairs found at threshold") {
     val pairs = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding", 6, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
