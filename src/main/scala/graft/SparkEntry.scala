@@ -47,6 +47,7 @@ object SparkEntry {
     "w1_window_rank"   -> Windows.windowRank _,
     "w2_window_lag"    -> Windows.windowLag _,
     "w3_window_moving" -> Windows.windowMoving _,
+    "w4_sliding_window"-> Windows.slidingWindow _,
     "t1_token_count"   -> TextQueries.tokenCount _,
     "t2_quality"       -> TextQueries.quality _,
     "t3_langid"        -> TextQueries.langId _,
@@ -101,6 +102,7 @@ object SparkEntry {
     "w1_window_rank"    -> Windows.windowRankSql,
     "w2_window_lag"     -> Windows.windowLagSql,
     "w3_window_moving"  -> Windows.windowMovingSql,
+    "w4_sliding_window" -> Windows.slidingWindowSql,
     "t1_token_count"    -> TextQueries.tokenCountSql,
     "t2_quality"        -> TextQueries.qualitySql,
     "t3_langid"         -> TextQueries.langIdSql,

@@ -34,8 +34,18 @@ object Tables {
     * (reference `src/schema.rs:8`, SURVEY.md §1.2). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    eventsRawTs(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** events with ts still as raw Long nanos — use this when a ts
+    * predicate must reach the parquet reader: filters on the DERIVED
+    * timestamp land above the conversion and never push down (only
+    * IsNotNull reaches the scan), while a raw-nanos range predicate
+    * pushes into row-group pruning. Convert with
+    * `timestamp_micros(ts div 1000)` after filtering. */
+  def eventsRawTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -25,15 +25,22 @@ import graft.util.Dec._
   */
 object Events {
 
-  /** S1+P4: inclusive time-range scan, projected columns only. The filter
-    * and the 5-column projection both reach the parquet reader; at 100 TB
-    * with date-partitioned storage this prunes to the touched partitions. */
-  def scanRange(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-             col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+  /** S1+P4: inclusive time-range scan, projected columns only. The range
+    * predicate is applied to the RAW nanos column so it pushes into
+    * parquet row-group pruning (`ns div 1000 >= F` ⟺ `ns >= F*1000`;
+    * `ns div 1000 <= T` ⟺ `ns <= T*1000+999`); filtering the derived
+    * timestamp instead would push only IsNotNull and scan everything. */
+  def scanRange(spark: SparkSession, dir: String): DataFrame = {
+    val fromNs = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val toNs = java.time.LocalDateTime.parse("2024-01-20T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L + 999L
+    Tables.eventsRawTs(spark, dir)
+      .where(col("ts") >= fromNs && col("ts") <= toNs)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
+  }
 
   val scanRangeSql: String =
     """SELECT event_id, ts, user_id, event_type, value

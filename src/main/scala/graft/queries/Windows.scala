@@ -80,6 +80,25 @@ object Windows {
        |FROM daily
        |ORDER BY day""".stripMargin
 
+  /** W4: sliding-window resample — 1-hour windows every 15 minutes (the
+    * reference's literal TODO, `src/server/ohlcv.rs:56` "duration like
+    * 5Minutes"). Each event lands in 4 overlapping windows; the oracle
+    * reconstructs the same assignment with an explicit series unnest. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  val slidingWindowSql: String =
+    s"""SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i * INTERVAL 15 MINUTE AS w_start,
+       |  event_type, COUNT(*) AS n, ${sqlSumMoney("value")} AS sum_value
+       |FROM events, UNNEST(range(0, 4)) t(i)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** J6: as-of join — each purchase matched to the same user's latest
     * click at-or-before it (operators.AsOfJoin: one shuffle, no blowup). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.queries.{Events, Tpch, Windows}
+
+/** Plan-shape regression tests — the 100 TB posture encoded as
+  * assertions, so a refactor that silently loses a pushdown or turns a
+  * broadcast into a shuffle fails CI, not a cluster bill. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def shuffles(p: SparkPlan): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p.toString).size
+
+  test("s1 scan: ts range filter and 5-column projection reach parquet") {
+    val plan = executed(Events.scanRange(spark, sf001)).toString
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(ts"), plan)
+    assert(plan.contains("LessThanOrEqual(ts"), plan)
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double"))
+  }
+
+  test("q3: dimension joins broadcast, no sort-merge join") {
+    val plan = executed(Tpch.q3Shipping(spark, sf001)).toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is partial (map-side combine before the exchange)") {
+    val plan = executed(Tpch.q1Pricing(spark, sf001)).toString
+    // two HashAggregates around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("as-of join shuffles exactly twice (key exchange + output sort)") {
+    // one exchange hash-partitions the union by key for the window; the
+    // second is only the deterministic ORDER BY for the oracle.
+    val p = executed(Windows.asofJoin(spark, sf001))
+    assert(shuffles(p) == 2, p.toString)
+  }
+
+  test("ohlcv resample shuffles exactly once") {
+    val p = executed(Events.ohlcvResample(spark, sf001))
+    // partial agg -> single exchange on (window, type) -> final agg + sort
+    assert(shuffles(p) <= 2, p.toString)
+  }
+}
