@@ -61,6 +61,7 @@ object SparkEntry {
     "sim2_lsh_ann"     -> SimilarityQueries.lshAnn _,
     "sim3_ivf_ann"     -> SimilarityQueries.ivfAnn _,
     "t5_bpe_tokens"    -> TextQueries.bpeTokens _,
+    "t6_winnow"        -> TextQueries.winnow _,
     "f5_calendar"      -> Scalar.calendarQ _,
     "f4_currency"      -> Scalar.currencyQ _,
     "f7_json"          -> Scalar.jsonExtract _,

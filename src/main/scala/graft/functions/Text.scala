@@ -48,6 +48,16 @@ object Text {
   val FR = Seq("le", "les", "et", "une", "dans")
   val ZH = Seq("的", "是", "不")
 
+  /** Winnowing document fingerprints (the rolling-hash fingerprint
+    * family, per the MOSS winnowing scheme): hash every word k-gram,
+    * slide a window of `w` consecutive k-gram hashes, keep each window's
+    * minimum, dedupe. Near-duplicate documents share most fingerprints;
+    * the selected set is position-robust (insertions shift at most the
+    * windows they touch). Pure built-ins — scales as one shuffle-free
+    * scan. */
+  def winnowFingerprints(c: Column, k: Int = 3, w: Int = 4): Column =
+    graft.plans.TextOps.winnow(split(lower(c), " "), k, w)
+
   /** Marker-vote language ID with a fixed tie-break order (en, es, de,
     * fr, zh). The container has no langid model; this is the classic
     * function-word heuristic, deterministic and oracle-expressible. */

@@ -84,6 +84,16 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** T6: winnowing rolling-hash fingerprints (xxhash64-based — not
+    * SQL-expressible; rows-only check, behavior covered by TextSpec). */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy("doc_id")
+
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -29,6 +29,22 @@ class TextSpec extends SparkSpec {
     assert(preds.toSeq == Seq("en", "es", "de"))
   }
 
+  test("winnowing fingerprints: identical -> equal sets, near-dup -> high overlap") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "the quick brown fox jumps over the lazy dog and walks far away today",
+      "entirely unrelated content with completely different words in this line")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val fps = docs.select(col("id"), Text.winnowFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(0) == fps(1))
+    val overlap01_2 = fps(0).intersect(fps(2)).size.toDouble / fps(0).union(fps(2)).size
+    val overlap01_3 = fps(0).intersect(fps(3)).size.toDouble / fps(0).union(fps(3)).size
+    assert(overlap01_2 > 0.4, s"near-dup overlap $overlap01_2")
+    assert(overlap01_3 == 0.0, s"unrelated overlap $overlap01_3")
+  }
+
   test("quality score stays in [0,1] and rewards stopword-rich prose") {
     val rows = Seq(
       "the quick brown fox is in the garden and it is happy to be there today",
