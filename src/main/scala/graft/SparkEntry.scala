@@ -41,6 +41,9 @@ object SparkEntry {
     "set3_except"      -> Relational.setExcept _,
     "a5_rollup"        -> Relational.rollupAgg _,
     "a7_cube"          -> Relational.cubeAgg _,
+    "a9_grouping_sets" -> Relational.groupingSetsAgg _,
+    "a10_pivot"        -> Relational.pivotAgg _,
+    "l1_explode"       -> Relational.explodeWords _,
     "q18_having"       -> Relational.havingAgg _,
     "sq1_scalar_subquery" -> Relational.scalarSubquery _,
     "a6_distinct"      -> Relational.distinctAgg _,
@@ -97,6 +100,9 @@ object SparkEntry {
     "set3_except"       -> Relational.setExceptSql,
     "a5_rollup"         -> Relational.rollupAggSql,
     "a7_cube"           -> Relational.cubeAggSql,
+    "a9_grouping_sets"  -> Relational.groupingSetsSql,
+    "a10_pivot"         -> Relational.pivotAggSql,
+    "l1_explode"        -> Relational.explodeWordsSql,
     "q18_having"        -> Relational.havingAggSql,
     "sq1_scalar_subquery" -> Relational.scalarSubquerySql,
     "a6_distinct"       -> Relational.distinctAggSql,

@@ -250,6 +250,53 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** A5d: GROUPING SETS — independent per-dimension totals in one pass. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sqlSumMoney("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** A10: pivot — event-type counts as columns per day. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("day")
+
+  val pivotAggSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** L1: generator/explode — word frequencies via flattened tokens. */
+  def explodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(25)
+
+  val explodeWordsSql: String =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY n DESC, w LIMIT 25""".stripMargin
+
   /** A5b: multi-column exact distinct counts. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
