@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.util.Dec
+
+/** ScalaCheck properties — randomized cross-validation of the two pieces
+  * with the subtlest semantics: exact money math and the as-of join
+  * (checked against a straightforward in-memory oracle, in the
+  * reference's dual-path test spirit). */
+object PropertyChecks extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val cents: Gen[Double] = Gen.choose(-999999L, 999999L).map(_ / 100.0)
+
+  property("sumMoney is exact for any 2-dp doubles") =
+    Prop.forAll(Gen.nonEmptyListOf(cents)) { xs =>
+      val expected = xs.map(x => BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val got = xs.toDF("v").repartition(4)
+        .agg(Dec.sumMoney(col("v")).as("s")).head.getDouble(0)
+      got == expected
+    }
+
+  private val asofInput: Gen[(List[(Long, Int, Int)], List[(Long, Int, Int, Double)])] =
+    for {
+      nl <- Gen.choose(1, 12)
+      nr <- Gen.choose(0, 12)
+      // key in {0,1}, ts in a tiny range so collisions/ties actually occur
+      ls <- Gen.listOfN(nl, for { k <- Gen.choose(0, 1); t <- Gen.choose(0, 20) } yield (k.toLong, t, 0))
+      rs <- Gen.listOfN(nr, for { k <- Gen.choose(0, 1); t <- Gen.choose(0, 20); v <- Gen.choose(1, 99) } yield (k.toLong, t, v, v * 1.0))
+    } yield (ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i) },
+             rs.zipWithIndex.map { case ((k, t, v, _), i) => (k, t, i, v * 1.0) })
+
+  private def ts(t: Int) = new Timestamp(1700000000000L + t * 1000L)
+
+  property("asof join matches in-memory oracle incl. ties") =
+    Prop.forAll(asofInput) { case (ls, rs) =>
+      val left = ls.map { case (k, t, i) => (i.toLong, ts(t), k) }
+        .toDF("id", "ts", "k")
+      val right = rs.map { case (k, t, i, v) => (1000L + i, ts(t), k, v) }
+        .toDF("rid", "ts", "k", "v")
+      val got = AsOfJoin.asof(left, right, "k", "ts", "ts", Seq("v"), "rid", "r_")
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("r_v"))) None else Some(r.getAs[Double]("r_v"))))
+        .toMap
+      // oracle: latest right with ts <= left ts, same key; ties -> max rid
+      val expected = ls.map { case (k, t, i) =>
+        val cands = rs.filter { case (rk, rt, _, _) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(cands.maxBy { case (_, rt, ri, _) => (rt, ri) }._4))
+      }.toMap
+      got == expected
+    }
+}
