@@ -72,6 +72,26 @@ object Ingest {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the trailing window. Watermarks on BOTH sides
+    * + the time-bound condition let Spark expire join state — without
+    * them a stream-stream join buffers forever. The streaming face of
+    * the as-of/range join family. */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame,
+      within: String = "10 minutes", lateness: String = "1 minute"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"), col("value").as("c_value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within") &&
+        col("c_ts") <= col("p_ts"))
+      .drop("c_user")
+  }
+
   /** Strict-order enforcement: per-key monotonic filter via keyed state —
     * the streaming analog of the reference's out-of-order panic. Rows
     * with ts earlier than the key's high-water mark are DROPPED (the

@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("stream-stream interval join matches clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = MemoryStream[Event]
+    val c = MemoryStream[Event]
+    val q = Ingest.streamStreamJoin(p.toDF(), c.toDF(), "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append).start()
+    c.addData(
+      Event(10, ts("2024-01-01 09:55:00"), 1, "click", 5.0),  // in window
+      Event(11, ts("2024-01-01 09:40:00"), 1, "click", 6.0),  // too old
+      Event(12, ts("2024-01-01 09:58:00"), 2, "click", 7.0))  // other user
+    p.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "purchase", 42.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_test").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("c_id")).toSet == Set(10L))
+    assert(rows.head.getAs[Double]("p_value") == 42.0)
+  }
+
   test("sessionize groups by gap and closes sessions at watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
