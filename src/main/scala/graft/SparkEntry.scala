@@ -35,6 +35,7 @@ object SparkEntry {
     "j7_join_range"    -> Relational.joinRange _,
     "a8_percentiles"   -> Relational.percentiles _,
     "j6_join_asof"     -> Windows.asofJoin _,
+    "j8_join_asof_native" -> Windows.asofJoinNative _,
     "o1_topk"          -> Relational.topK _,
     "set1_union"       -> Relational.setUnion _,
     "set2_intersect"   -> Relational.setIntersect _,
@@ -94,6 +95,7 @@ object SparkEntry {
     "j7_join_range"     -> Relational.joinRangeSql,
     "a8_percentiles"    -> Relational.percentilesSql,
     "j6_join_asof"      -> Windows.asofJoinSql,
+    "j8_join_asof_native" -> Windows.asofJoinSql,
     "o1_topk"           -> Relational.topKSql,
     "set1_union"        -> Relational.setUnionSql,
     "set2_intersect"    -> Relational.setIntersectSql,

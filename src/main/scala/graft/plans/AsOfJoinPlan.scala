@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StructType
+
+/** Tier-(c) custom operator: a native as-of join
+  * (LogicalPlan + Strategy + SparkPlan), the machinery for operators
+  * Spark cannot express as a composition.
+  *
+  * Semantics (identical to operators.AsOfJoin, which stays as the
+  * composed reference implementation): for each left row, the right row
+  * with the greatest (ts, tie) such that right.ts <= left.ts and
+  * right.key == left.key; unmatched left rows are null-padded.
+  *
+  * Physical story: both children are hash-clustered on the key and
+  * sorted within partitions — (key, ts) on the left, (key, ts, tie) on
+  * the right — so Catalyst plans one exchange per side and the operator
+  * itself is a streaming per-partition merge: O(|L|+|R|), no buffering
+  * beyond one right row, no row explosion. Compared to the union+window
+  * composition this skips the union materialization and the window's
+  * running-last state, and it needs no null side-padding columns.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+
+  /** Pin the partition count on BOTH sides: zipPartitions requires equal
+    * counts, and AQE would otherwise coalesce the two shuffle stages
+    * independently (an empty right side collapses to fewer partitions
+    * than a populated left — found by the ScalaCheck property). */
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftKey),
+      requiredNumPartitions = Some(conf.numShufflePartitions)),
+    ClusteredDistribution(Seq(rightKey),
+      requiredNumPartitions = Some(conf.numShufflePartitions)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExpr = leftKey
+    val rKeyExpr = rightKey
+    val keyType = leftKey.dataType
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = UnsafeProjection.create(Seq(lKeyExpr), lOut)
+      val rKey = UnsafeProjection.create(Seq(rKeyExpr), rOut)
+      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(keyType))
+      val lTsBound = org.apache.spark.sql.catalyst.expressions
+        .BindReferences.bindReference(lTsExpr, lOut)
+      val rTsBound = org.apache.spark.sql.catalyst.expressions
+        .BindReferences.bindReference(rTsExpr, rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      // Bind against nullability-RELAXED right attributes: binding to the
+      // children's non-nullable output would make codegen skip the null
+      // check and read a null-padded slot as 0/false.
+      val out = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+
+      // Buffered right cursor: lastMatch holds the best right row for the
+      // current (key, ts-so-far); both sides arrive (key, ts)-sorted.
+      val rBuf = rIter.buffered
+      var lastKey: InternalRow = null
+      var lastMatch: InternalRow = null
+
+      lIter.map { lRow =>
+        val k = lKey(lRow)
+        val ts = lTsBound.eval(lRow).asInstanceOf[Long]
+        // new key group -> drop stale match
+        if (lastKey == null || keyOrdering.compare(k, lastKey) != 0) {
+          lastMatch = null
+        }
+        lastKey = k.copy()
+        // advance right while its (key < k) or (key == k && ts <= left ts)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rk = rKey(rBuf.head)
+          val cmp = keyOrdering.compare(rk, k)
+          if (cmp < 0) { rBuf.next() ; lastMatch = null }
+          else if (cmp == 0 &&
+              rTsBound.eval(rBuf.head).asInstanceOf[Long] <= ts) {
+            lastMatch = rBuf.next().copy()
+          } else advancing = false
+        }
+        val r = if (lastMatch == null) nullRight else lastMatch
+        out(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry: builds the logical node and installs the strategy. */
+object AsOfJoinNative {
+  def asof(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightTie: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    install(spark)
+    val lPlan = ColumnBridge.logicalPlan(leftDf)
+    val rPlan = ColumnBridge.logicalPlan(rightDf)
+    def resolve(p: LogicalPlan, n: String): Expression =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n"))
+    ColumnBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
+      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
+      resolve(lPlan, leftTs), resolve(rPlan, rightTs),
+      resolve(rPlan, rightTie)))
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+  }
+}

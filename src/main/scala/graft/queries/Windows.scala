@@ -113,6 +113,24 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** J8: the same as-of join through the NATIVE custom operator
+    * (plans.AsOfJoinNode/Exec) — per-partition merge join over
+    * co-partitioned sorted children. Shares j6's oracle: the two
+    * implementations must agree bit-for-bit. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"), col("value").as("click_value"))
+    graft.plans.AsOfJoinNative.asof(purchases, clicks,
+        leftKey = "user_id", rightKey = "click_user",
+        leftTs = "ts", rightTs = "click_ts", rightTie = "click_id")
+      .select("event_id", "ts", "user_id", "value", "click_ts", "click_value")
+      .orderBy("event_id")
+  }
+
   val asofJoinSql: String =
     """WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
       |     c AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')

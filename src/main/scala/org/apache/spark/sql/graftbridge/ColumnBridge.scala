@@ -1,14 +1,21 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge to Spark's private[sql] Expression <-> Column converters, needed
-  * to surface custom Catalyst expressions (graft.plans) through the public
-  * Column API. Lives under org.apache.spark.sql only for access; contains
-  * no logic. */
+/** Bridge to Spark's private[sql] surface, needed to expose custom
+  * Catalyst expressions and logical plans (graft.plans) through the
+  * public Column/DataFrame API. Lives under org.apache.spark.sql only
+  * for access; contains no logic. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -43,6 +43,26 @@ object PropertyChecks extends Properties("graft") {
 
   private def ts(t: Int) = new Timestamp(1700000000000L + t * 1000L)
 
+  property("NATIVE asof exec matches in-memory oracle incl. ties") =
+    Prop.forAll(asofInput) { case (ls, rs) =>
+      val left = ls.map { case (k, t, i) => (i.toLong, ts(t), k) }
+        .toDF("id", "ts", "k")
+      val right = rs.map { case (k, t, i, v) => (1000L + i, ts(t), k, v) }
+        .toDF("rid", "r_ts", "rk", "v")
+      val got = graft.plans.AsOfJoinNative
+        .asof(left, right, "k", "rk", "ts", "r_ts", "rid")
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getAs[Double]("v"))))
+        .toMap
+      val expected = ls.map { case (k, t, i) =>
+        val cands = rs.filter { case (rk, rt, _, _) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(cands.maxBy { case (_, rt, ri, _) => (rt, ri) }._4))
+      }.toMap
+      got == expected
+    }
+
   property("asof join matches in-memory oracle incl. ties") =
     Prop.forAll(asofInput) { case (ls, rs) =>
       val left = ls.map { case (k, t, i) => (i.toLong, ts(t), k) }
