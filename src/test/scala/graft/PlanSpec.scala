@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 
-import graft.queries.{Events, Tpch, Windows}
+import graft.queries.{Events, Tpch, Tpch2, Windows}
 
 /** Plan-shape regression tests — the 100 TB posture encoded as
   * assertions, so a refactor that silently loses a pushdown or turns a
@@ -40,6 +40,28 @@ class PlanSpec extends SparkSpec {
     // second is only the deterministic ORDER BY for the oracle.
     val p = executed(Windows.asofJoin(spark, sf001))
     assert(shuffles(p) == 2, p.toString)
+  }
+
+  test("q15: lineitem is scanned once (window max, not a second agg subtree)") {
+    val plan = executed(Tpch2.q15TopSupplier(spark, sf001)).toString
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("q7/q8: every dimension join broadcasts, facts never sort-merge") {
+    for (q <- Seq(Tpch2.q7Volume _, Tpch2.q8Share _)) {
+      val plan = executed(q(spark, sf001)).toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
+  test("q6: all three predicates push down to the lineitem scan") {
+    // simple-mode toString truncates PushedFilters; use formatted explain
+    val plan = Tpch2.q6Forecast(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
   }
 
   test("ohlcv resample shuffles exactly once") {
