@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectOptimizerRule(_ => NanosPushdownRule)
   }
 }
 

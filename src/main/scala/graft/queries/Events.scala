@@ -49,6 +49,20 @@ object Events {
       |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
       |ORDER BY event_id""".stripMargin
 
+  /** S1 via the optimizer rule: the same inclusive range scan, but
+    * filtering the DERIVED timestamp column naively —
+    * plans.NanosPushdownRule injects the equivalent raw-nanos conjunct so
+    * the predicate still reaches parquet row-group pruning (PlanSpec
+    * asserts it). Shares s1's oracle: identical results required. */
+  def scanDerived(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.NanosPushdownRule.install(spark)
+    Tables.events(spark, dir)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+             col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** P5: symbol-membership filter (isin) + a general predicate (P6). */
   def filterIn(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 2, p.toString)
   }
 
+  test("s2: NanosPushdownRule pushes derived-ts range onto the raw nanos scan") {
+    val plan = Events.scanDerived(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // 2024-01-10T00:00Z = 1704844800 s → ns bound pushed to parquet
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"), plan)
+    assert(plan.contains("LessThanOrEqual(ts,1705708800000000999)"), plan)
+  }
+
   test("q15: lineitem is scanned once (window max, not a second agg subtree)") {
     val plan = executed(Tpch2.q15TopSupplier(spark, sf001)).toString
     assert("lineitem\\.parquet".r.findAllIn(plan).size <= 1, plan)
