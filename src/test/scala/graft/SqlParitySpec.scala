@@ -1,0 +1,31 @@
+package graft
+
+import graft.queries.SqlSurface
+
+/** Dual-face parity: every oracle SQL statement that is expressible in
+  * Spark's dialect must produce BITWISE-identical rows to the DataFrame
+  * API implementation of the same query. (The excluded names use
+  * DuckDB-only functions — string_split, quantile_cont, time_bucket,
+  * isodow, unnest, json_extract, list comprehensions — and are covered
+  * against DuckDB itself by the driver's hash gate.)
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val duckdbOnly = Set(
+    "a8_percentiles", "d1_exact_dedup", "d2_minhash_lsh", "d4_ngram_jaccard",
+    "d5_cosine_neardup", "f5_calendar", "f7_json", "l1_explode",
+    "sim1_topk_cosine", "t1_token_count", "t2_quality", "t3_langid",
+    "t4_fingerprint", "t5_bpe_tokens", "w4_sliding_window")
+
+  test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
+    SqlSurface.registerViews(spark, sf001)
+    val names = (SparkEntry.oracleSql.keySet -- duckdbOnly).toSeq.sorted
+    assert(names.size >= 45, s"expected wide SQL-dialect overlap, got $names")
+    val mismatches = names.flatMap { n =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(n)).collect().toSeq
+      val viaApi = SparkEntry.queries(n)(spark, sf001).collect().toSeq
+      if (viaSql == viaApi) None else Some(n)
+    }
+    assert(mismatches.isEmpty, s"SQL/DataFrame mismatch: $mismatches")
+  }
+}
