@@ -214,9 +214,11 @@ object Relational {
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      // one array-typed percentile = ONE value buffer per group, not two
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p95"))
       .orderBy("l_returnflag")
 
   val percentilesSql: String =
