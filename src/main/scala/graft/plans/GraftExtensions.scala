@@ -14,17 +14,31 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.winnowDescriptor)
     e.injectOptimizerRule(_ => NanosPushdownRule)
   }
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
   private def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
     DotProduct(exprs(0), exprs(1))
+  }
+
+  /** winnow(words_array[, k, w]) — k/w must be integer literals. */
+  private def buildWinnow(exprs: Seq[Expression]): Expression = {
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"winnow: $what must be an integer literal")
+    }
+    exprs match {
+      case Seq(c)       => WinnowFingerprints(c, 3, 4)
+      case Seq(c, k, w) => WinnowFingerprints(c, intLit(k, "k"), intLit(w, "w"))
+      case _ => throw new IllegalArgumentException("winnow takes 1 or 3 arguments")
+    }
   }
 
   private[graft] val vecDotDescriptor = (
@@ -32,8 +46,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
     (exprs: Seq[Expression]) => build(exprs))
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  private[graft] val winnowDescriptor = (
+    FunctionIdentifier("winnow"),
+    new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow"),
+    (exprs: Seq[Expression]) => buildWinnow(exprs))
+
+  /** Register on an already-built session: the custom Catalyst
+    * expressions, plus the scalar function library (currency formatting,
+    * trading calendar) — the full SQL face of graft's function surface. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow", buildWinnow, "scala_udf")
+    graft.functions.Calendar.register(spark)
+  }
 }

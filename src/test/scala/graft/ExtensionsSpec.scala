@@ -13,6 +13,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == 11.0)
   }
 
+  test("winnow and is_market_open are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val fps = spark.sql(
+      "SELECT winnow(split('the quick brown fox jumps over the lazy dog', ' ')) AS f")
+      .head.getSeq[Long](0)
+    assert(fps.nonEmpty)
+    // same result as the Column-API face
+    val viaApi = graft.plans.TextOps.winnow(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lit("the quick brown fox jumps over the lazy dog"),
+        " "))
+    val apiFps = spark.range(1).select(viaApi.as("f")).head.getSeq[Long](0)
+    assert(fps == apiFps)
+    val open = spark.sql("SELECT is_market_open(DATE '2020-07-03') AS o")
+      .head.getBoolean(0)
+    assert(!open) // July 4th 2020 observed Friday the 3rd
+  }
+
   test("vec_dot arity error is clean") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] { spark.sql("SELECT vec_dot(array(1.0))") }
