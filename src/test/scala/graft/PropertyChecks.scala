@@ -63,6 +63,29 @@ object PropertyChecks extends Properties("graft") {
       got == expected
     }
 
+  property("NanosPushdownRule preserves derived-ts filter semantics") = {
+    graft.plans.NanosPushdownRule.install(spark)
+    // ns values and bounds straddle microsecond boundaries on purpose
+    val nsGen = Gen.choose(1700000000000000000L, 1700000000000030000L)
+    val input = for {
+      ns <- Gen.nonEmptyListOf(nsGen)
+      lo <- nsGen; hi <- nsGen
+    } yield (ns, lo / 1000L, hi / 1000L) // micro bounds
+    Prop.forAll(input) { case (ns, loUs, hiUs) =>
+      val lo = new Timestamp(0); lo.setTime(loUs / 1000)
+      lo.setNanos(((loUs % 1000000L) * 1000L).toInt)
+      val hi = new Timestamp(0); hi.setTime(hiUs / 1000)
+      hi.setNanos(((hiUs % 1000000L) * 1000L).toInt)
+      val got = ns.toDF("raw_ns")
+        .withColumn("ts", timestamp_micros(expr("raw_ns div 1000")))
+        .where(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        .collect().map(_.getAs[Long]("raw_ns")).sorted.toSeq
+      val expected = ns.filter(n => n / 1000L >= loUs && n / 1000L <= hiUs)
+        .sorted
+      got == expected
+    }
+  }
+
   property("asof join matches in-memory oracle incl. ties") =
     Prop.forAll(asofInput) { case (ls, rs) =>
       val left = ls.map { case (k, t, i) => (i.toLong, ts(t), k) }
