@@ -315,4 +315,17 @@ object Relational {
       |  COUNT(DISTINCT l_suppkey) AS n_supps,
       |  COUNT(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A5 sketch face: HyperLogLog++ distinct counts. One pass, fixed-size
+    * mergeable sketch per group — at 100 TB this replaces a6's
+    * shuffle-heavy exact expand with bounded memory. No DuckDB oracle
+    * (sketch estimates are engine-specific); AggSpec bounds the relative
+    * error against the exact counts instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"))
+      .orderBy("l_returnflag")
 }
