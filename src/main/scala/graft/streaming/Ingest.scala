@@ -17,6 +17,10 @@ case class RunningTotal(key: String, n: Long, sumCents: Long) {
   def sum: Double = sumCents / 100.0
 }
 
+/** A purchase enriched with the latest click known for its user. */
+case class AsOfEnriched(event_id: Long, ts: Timestamp, user_id: Long,
+    value: Double, click_ts: Option[Timestamp], click_value: Option[Double])
+
 /** Structured-Streaming ingest — the reference's write path re-expressed
   * (SURVEY.md §2.9): append-only, time-partitioned, resolution-floored,
   * with its panic-on-out-of-order (`src/table/write.rs:79-85`) turned
@@ -134,6 +138,37 @@ object Ingest {
     stream
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming as-of join: purchases enriched with each user's LATEST
+    * click — the streaming face of j6/j8 (live trade↔quote enrichment in
+    * the reference's domain). Keyed state holds one (ts, value) pair per
+    * user: O(keys) memory, no row buffering. Within a micro-batch rows
+    * are processed in (ts, event_id) order, so intra-batch ordering is
+    * exact; clicks arriving in a LATER batch than a purchase they precede
+    * are not retroactively applied (bound that skew upstream with a
+    * watermark + trigger interval, or use the batch as-of for backfill). */
+  def asofStream(ds: Dataset[Event]): Dataset[AsOfEnriched] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap {
+            case e if e.event_type == "click" =>
+              if (last.forall(_._1 <= e.ts.getTime))
+                last = Some((e.ts.getTime, e.value))
+              Nil
+            case e if e.event_type == "purchase" =>
+              Seq(AsOfEnriched(e.event_id, e.ts, user, e.value,
+                last.map(t => new Timestamp(t._1)), last.map(_._2)))
+            case _ => Nil
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** Per-key running totals — the "user state carried across batches"
     * shape of the reference's Julia folds (`src/server/query.rs:215-227`),

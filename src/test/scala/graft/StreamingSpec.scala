@@ -128,6 +128,35 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("streaming as-of enriches purchases with the latest click across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Ingest.asofStream(mem.toDS()).writeStream.format("memory")
+      .queryName("asof_stream_test").outputMode(OutputMode.Append).start()
+    // batch 1: in-batch ordering (click precedes purchase), plus a
+    // purchase for a user with no click yet
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "purchase", 100.0),
+      Event(3, ts("2024-01-01 10:00:30"), 2, "purchase", 50.0))
+    q.processAllAvailable()
+    // batch 2: state superseded by a newer click; first click for user 2
+    mem.addData(
+      Event(4, ts("2024-01-01 10:02:00"), 1, "click", 7.0),
+      Event(5, ts("2024-01-01 10:03:00"), 1, "purchase", 200.0),
+      Event(6, ts("2024-01-01 10:02:30"), 2, "click", 9.0),
+      Event(7, ts("2024-01-01 10:04:00"), 2, "purchase", 60.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_stream_test").collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("click_value"))) None
+         else Some(r.getAs[Double]("click_value")))
+    }.toMap
+    q.stop()
+    assert(got == Map(2L -> Some(5.0), 3L -> None,
+                      5L -> Some(7.0), 7L -> Some(9.0)))
+  }
+
   test("runningTotals carries exact state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
