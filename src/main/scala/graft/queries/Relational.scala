@@ -75,6 +75,27 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** J9: full outer join — high-balance customers x late-period orders,
+    * unmatched rows surviving null-padded on BOTH sides. Null ordering is
+    * pinned explicitly (Spark defaults NULLS FIRST ascending, DuckDB
+    * NULLS LAST — silent divergence otherwise). */
+  def joinFull(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).where(col("c_acctbal") > 9000.0)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_orderdate") >= lit("2001-06-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+
+  val joinFullSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+      |FULL OUTER JOIN (SELECT * FROM orders
+      |                 WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** J5: theta (non-equi) join — nation pairs within a region; compiles to
     * a broadcast nested-loop, fine for dimension-sized inputs. */
   def joinTheta(spark: SparkSession, dir: String): DataFrame = {
