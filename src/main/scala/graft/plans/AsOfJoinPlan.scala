@@ -102,31 +102,43 @@ case class AsOfJoinExec(
 
       // Buffered right cursor: lastMatch holds the best right row for the
       // current (key, ts-so-far); both sides arrive (key, ts)-sorted.
-      val rBuf = rIter.buffered
+      // SQL null semantics: a null key or ts never matches — right rows
+      // with one are dropped (a null ts would otherwise unbox to 0L and
+      // act as epoch 0), left rows with one are emitted null-padded.
+      // Nulls sort FIRST under Ascending, so dropping/padding them here
+      // cannot desync the merge cursor.
+      val rBuf = rIter.filter { r =>
+        !rKey(r).isNullAt(0) && rTsBound.eval(r) != null
+      }.buffered
       var lastKey: InternalRow = null
       var lastMatch: InternalRow = null
 
       lIter.map { lRow =>
         val k = lKey(lRow)
-        val ts = lTsBound.eval(lRow).asInstanceOf[Long]
-        // new key group -> drop stale match
-        if (lastKey == null || keyOrdering.compare(k, lastKey) != 0) {
-          lastMatch = null
+        val lTsVal = lTsBound.eval(lRow)
+        if (k.isNullAt(0) || lTsVal == null) {
+          out(joined(lRow, nullRight))
+        } else {
+          val ts = lTsVal.asInstanceOf[Long]
+          // new key group -> drop stale match
+          if (lastKey == null || keyOrdering.compare(k, lastKey) != 0) {
+            lastMatch = null
+          }
+          lastKey = k.copy()
+          // advance right while its (key < k) or (key == k && ts <= left ts)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKey(rBuf.head)
+            val cmp = keyOrdering.compare(rk, k)
+            if (cmp < 0) { rBuf.next() ; lastMatch = null }
+            else if (cmp == 0 &&
+                rTsBound.eval(rBuf.head).asInstanceOf[Long] <= ts) {
+              lastMatch = rBuf.next().copy()
+            } else advancing = false
+          }
+          val r = if (lastMatch == null) nullRight else lastMatch
+          out(joined(lRow, r))
         }
-        lastKey = k.copy()
-        // advance right while its (key < k) or (key == k && ts <= left ts)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rk = rKey(rBuf.head)
-          val cmp = keyOrdering.compare(rk, k)
-          if (cmp < 0) { rBuf.next() ; lastMatch = null }
-          else if (cmp == 0 &&
-              rTsBound.eval(rBuf.head).asInstanceOf[Long] <= ts) {
-            lastMatch = rBuf.next().copy()
-          } else advancing = false
-        }
-        val r = if (lastMatch == null) nullRight else lastMatch
-        out(joined(lRow, r))
       }
     }
   }

@@ -35,11 +35,18 @@ object NanosPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Largest micros literal whose derived ns bound (m*1000+1000) still
+    * fits in Long. Beyond it (timestamps past ~2262, e.g. an open upper
+    * bound of TIMESTAMP '9999-12-31') the multiplication would wrap
+    * negative and the added conjunct would silently filter out ALL rows —
+    * skip the rewrite instead; the original predicate remains correct. */
+  private val MaxSafeMicros: Long = (Long.MaxValue - 1000L) / 1000L
+
   /** Positive-epoch micros of a timestamp literal (positivity makes the
     * truncating `div` identical to floor, keeping the rewrite exact). */
   private def microsOf(l: Literal): Option[Long] = l.dataType match {
     case TimestampType | TimestampNTZType => l.value match {
-      case v: java.lang.Long if v > 0 => Some(v.longValue())
+      case v: java.lang.Long if v > 0 && v <= MaxSafeMicros => Some(v.longValue())
       case _ => None
     }
     case _ => None

@@ -29,7 +29,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      // Validate k/w at analysis time: SQL `winnow(arr, k, w)` accepts any
+      // ints, and an out-of-range k would over-run the primes array (and
+      // w < 1 the window arrays) with an AIOOBE at eval time.
+      if (k < 1 || k > primes.length) TypeCheckResult.TypeCheckFailure(
+        s"winnow k must be in [1, ${primes.length}], got $k")
+      else if (w < 1) TypeCheckResult.TypeCheckFailure(
+        s"winnow w must be >= 1, got $w")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"WinnowFingerprints requires array<string>, got ${other.simpleString}")
   }

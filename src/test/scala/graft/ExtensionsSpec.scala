@@ -31,6 +31,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(!open) // July 4th 2020 observed Friday the 3rd
   }
 
+  test("winnow rejects out-of-range k/w at analysis time, not with AIOOBE") {
+    GraftExtensions.register(spark)
+    val eK = intercept[Exception] {
+      spark.sql("SELECT winnow(split('a b c d e f g h', ' '), 7, 4)").collect()
+    }
+    assert(eK.getMessage.contains("winnow k must be in"), eK.getMessage)
+    val eW = intercept[Exception] {
+      spark.sql("SELECT winnow(split('a b c d e f g h', ' '), 3, 0)").collect()
+    }
+    assert(eW.getMessage.contains("winnow w must be >= 1"), eW.getMessage)
+  }
+
   test("vec_dot arity error is clean") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] { spark.sql("SELECT vec_dot(array(1.0))") }

@@ -16,6 +16,27 @@ class NativeAsofSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("v")))
   }
 
+  test("null keys and timestamps follow SQL semantics (no epoch-0 aliasing)") {
+    // Right rows with a null ts/key must be dropped (a null ts unboxes to
+    // 0L and would otherwise act as epoch 0); left rows with one are
+    // emitted null-padded, never matched against other nulls.
+    val left = Seq(
+      (0L, Some(ts(10)), Some(1L)),
+      (1L, None: Option[Timestamp], Some(1L)),
+      (2L, Some(ts(10)), None: Option[Long])).toDF("id", "ts", "k")
+    val right = Seq(
+      (100L, Some(ts(5)), Some(1L), 1.0),
+      (101L, None: Option[Timestamp], Some(1L), 99.0),  // null ts
+      (102L, Some(ts(1)), None: Option[Long], 98.0))    // null key
+      .toDF("rid", "r_ts", "rk", "v")
+    val out = graft.plans.AsOfJoinNative
+      .asof(left, right, "k", "rk", "ts", "r_ts", "rid")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("v") == 1.0)  // only the non-null right row
+    assert(out(1).isNullAt(out(1).fieldIndex("v")))  // null left ts
+    assert(out(2).isNullAt(out(2).fieldIndex("v")))  // null left key
+  }
+
   test("basic match and tie") {
     val left = Seq((0L, ts(10), 1L), (1L, ts(5), 1L), (2L, ts(1), 2L)).toDF("id", "ts", "k")
     val right = Seq(

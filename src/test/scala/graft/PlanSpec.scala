@@ -50,6 +50,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LessThanOrEqual(ts,1705708800000000999)"), plan)
   }
 
+  test("nanos rule: far-future upper bound skips the rewrite instead of overflowing") {
+    // ts <= TIMESTAMP '9999-12-31' as an open upper bound: micros*1000
+    // overflows Long; the wrapped negative conjunct used to filter out
+    // every row. The rule must skip the rewrite and keep all rows.
+    graft.plans.NanosPushdownRule.install(spark)
+    import org.apache.spark.sql.functions._
+    val total = graft.Tables.events(spark, sf001).count()
+    val bounded = graft.Tables.events(spark, sf001)
+      .where(col("ts") <= lit("9999-12-31 00:00:00").cast("timestamp"))
+      .count()
+    assert(total > 0 && bounded == total)
+  }
+
   test("q15: lineitem is scanned once (window max, not a second agg subtree)") {
     val plan = executed(Tpch2.q15TopSupplier(spark, sf001)).toString
     assert("lineitem\\.parquet".r.findAllIn(plan).size <= 1, plan)

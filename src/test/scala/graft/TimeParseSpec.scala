@@ -29,6 +29,18 @@ class TimeParseSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("ns→µs truncation is exact beyond 2^53 (integral, not double, division)") {
+    // Epoch nanos ~1.7e18 are not representable in double (ulp = 256 ns
+    // there); `/ 1000` in Column algebra is double division and drifts by
+    // ±1µs for some inputs. Sweep odd offsets and compare to exact Long div.
+    val base = 1704103200000000000L
+    val ns = (0 until 4096).map(i => base + i.toLong * 997L)
+    val got = ns.toDF("ns")
+      .select(col("ns"), unix_micros(TimeParse.nanosToTs(col("ns"))).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n => assert(got(n) == n / 1000L, s"ns=$n") }
+  }
+
   test("nanos roundtrip at microsecond fidelity") {
     val df = Seq(1704103200123456789L).toDF("ns")
     val back = df.select(TimeParse.tsToNanos(TimeParse.nanosToTs(col("ns"))).as("ns2"))
