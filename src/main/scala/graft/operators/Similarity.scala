@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -8,13 +9,26 @@ import graft.plans.VectorOps
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
-  * `aggregate`/`zip_with` dot product against a broadcast query vector,
-  * then TakeOrdered. Scale path: random-hyperplane LSH bucketing — each
-  * vector is signed against H deterministic pseudo-random hyperplanes into
-  * a bucket key; candidate search touches only same/near buckets, turning
-  * O(N) per query into O(N / 2^H)-ish. Hyperplane components are derived
-  * from xxhash64(seed, dim) — deterministic, no RNG at plan time.
+  * Three tiers, by threshold regime:
+  *
+  *  - `bruteForceTopK`: single scan + broadcast query vector +
+  *    TakeOrdered — the per-query baseline, scales linearly.
+  *  - `cosinePairs`: EXACT all-pairs mining at an arbitrary threshold.
+  *    Exact loose-threshold mining is inherently Θ(N²) dot products (at
+  *    cos ≥ 0.45 the angle budget is ~63°; no hashing scheme prunes
+  *    subquadratically with recall ≈ 1 there — band-hit rate p ≈ 0.65
+  *    vs bucket prune 2^-r never closes). What CAN scale is the shape:
+  *    a block-pair equi-join shards the quadratic work evenly across the
+  *    cluster with bounded task memory, instead of the broadcast
+  *    nested-loop cross join (full-table broadcast = driver/executor OOM
+  *    at 100 TB) it replaces.
+  *  - `lshNeighborPairs` / `ivfNeighborPairs`: approximate candidates for
+  *    the TIGHT-threshold regime (real near-dup, cos ≥ 0.9, where a few
+  *    hyperplanes give high recall). Recall < 1 by construction;
+  *    SimilaritySpec gates measured recall against the exact pair set.
+  *
+  * Hyperplane components are derived from xxhash64(seed, dim) —
+  * deterministic, no RNG at plan time.
   */
 object Similarity {
 
@@ -43,63 +57,104 @@ object Similarity {
       .limit(k)
   }
 
-  /** All pairs with cosine >= threshold — embedding near-dup detection.
-    * Norms are computed once per VECTOR before the pair join (N sqrt ops,
-    * not N² — at 100 TB the norm is a stored column), so each candidate
-    * pair costs exactly one codegen'd dot product.
-    * Brute force over the id-ordered cross join; the LSH variant below is
-    * the 100 TB path. */
+  /** EXACT all pairs with cosine >= threshold, as a block-pair equi-join.
+    *
+    * Each vector hashes into one of B blocks and is replicated to every
+    * unordered block-pair key (lo, hi) it participates in; a shuffle join
+    * on that key brings each pair of blocks to one task. A pair with
+    * blocks (i, j), i ≠ j shares exactly the key (i, j); a same-block
+    * pair shares all B of its keys, so the residual
+    * `(lo, hi) == (min(blk_a, blk_b), max(..))` pins every pair to
+    * exactly one key. Norms are computed once per vector BEFORE
+    * replication (N sqrt ops, not N²; at 100 TB the norm is a stored
+    * column), so each surviving pair costs one codegen'd dot product.
+    *
+    * Scale knobs: shuffle volume is B·N vectors; per-task work is
+    * (N/B)² dots — B is chosen so a block pair fits one task. No
+    * broadcast, no nested loop, no driver materialization.
+    */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("ida"), col(vecCol).as("va"),
-      sqrt(VectorOps.normSq(col(vecCol))).as("norm_a"))
-    val b = emb.select(col(idCol).as("idb"), col(vecCol).as("vb"),
-      sqrt(VectorOps.normSq(col(vecCol))).as("norm_b"))
-    a.join(b, col("ida") < col("idb"))
+      threshold: Double, numBlocks: Int = 8): DataFrame = {
+    val rep = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorOps.normSq(col(vecCol))).as("nrm"),
+        pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk"))
+      .select(col("id"), col("v"), col("nrm"), col("blk"),
+        explode(sequence(lit(0), lit(numBlocks - 1))).as("q"))
+      .select(col("id"), col("v"), col("nrm"), col("blk"),
+        least(col("blk"), col("q")).as("lo"),
+        greatest(col("blk"), col("q")).as("hi"))
+    val a = rep.select(col("lo"), col("hi"), col("id").as("ida"),
+      col("v").as("va"), col("nrm").as("norm_a"), col("blk").as("blka"))
+    val b = rep.select(col("lo"), col("hi"), col("id").as("idb"),
+      col("v").as("vb"), col("nrm").as("norm_b"), col("blk").as("blkb"))
+    a.join(b, Seq("lo", "hi"))
+      .where(col("ida") < col("idb") &&
+        col("lo") === least(col("blka"), col("blkb")) &&
+        col("hi") === greatest(col("blka"), col("blkb")))
       .select(col("ida"), col("idb"),
         (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
+  /** Hyperplane h component d, computed driver-side — the exact value the
+    * previous per-row Column formula produced
+    * (`pmod(xxhash64(d + h*4096), 2000003) / 1000001.5 - 1`), so bucket
+    * assignments are bit-identical, but the per-row work is now one
+    * codegen'd dot against a literal array instead of an interpreted
+    * `aggregate(zip_with(...))` per plane — the exact anti-pattern the
+    * DotProduct expression was built to kill (VectorExprs.scala). */
+  private def planeComponent(h: Int, d: Int): Double = {
+    val hash = XXH64.hashInt(h * 4096 + d, 42L) // xxhash64's default seed
+    val m = ((hash % 2000003L) + 2000003L) % 2000003L
+    m.toDouble / 1000001.5 - 1.0
+  }
+
   /** Deterministic random-hyperplane sign bits: bucket = H-bit signature.
-    * Hyperplane h component d = (xxhash64(h*4096+d) scaled to [-1,1)). */
-  def lshBucket(vecCol: Column, numPlanes: Int): Column = {
+    * Planes are materialized once as array literals; signing a vector is
+    * H codegen'd dot products, fully inside whole-stage codegen. */
+  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int = 64): Column = {
     val bits = (0 until numPlanes).map { h =>
-      // dot(vec, plane_h) > 0 ?  1 << h : 0   — plane derived per dim
-      val dot = aggregate(
-        zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-          (v, d) => v.cast(DoubleType) *
-            (pmod(xxhash64(d + lit(h * 4096)), lit(2000003L)).cast(DoubleType)
-              / lit(1000001.5) - lit(1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+      val plane = typedlit((0 until dim).map(planeComponent(h, _)).toArray)
+      when(VectorOps.dot(vecCol, plane) > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a + b)
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer — the k vectors with
     * the smallest xxhash64(id) act as centroids (no RNG, stable across
-    * runs); every vector is assigned to its nearest centroid via k
-    * codegen'd dot products; candidate pairs are searched within cells
-    * only. At 100 TB: centroids broadcast, assignment is a map-only pass,
-    * the pair search shuffles once on cell id. Recall < 1 by construction
-    * (cell-boundary neighbors are missed; increase k-probe to trade). */
+    * runs); assignment is MAP-SIDE: the k centroid similarities are an
+    * array expression over literal centroid vectors and the argmax is
+    * `array_position(sims, array_max(sims))` — zero shuffle, unlike a
+    * `row_number().over(partitionBy(id))` which would shuffle N×k scored
+    * rows just to take an argmax. Candidate pairs are searched within
+    * cells only (one shuffle on cell id). The k-row centroid collect is
+    * dimension-sized plan-time setup, same class as a broadcast dim.
+    * Recall < 1 by construction (cell-boundary neighbors are missed;
+    * increase k-probe to trade). */
   def ivfNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
       numCells: Int, threshold: Double): DataFrame = {
-    val centroids = emb
+    val cents = emb
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(numCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("cv"),
-        sqrt(VectorOps.normSq(col(vecCol))).as("cnorm"))
-    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        // left-to-right double accumulation, matching VectorOps.normSq
+        var nsq = 0.0
+        cv.foreach(x => nsq += x * x)
+        (r.getLong(0), cv, math.sqrt(nsq))
+      }
+      .sortBy(_._1) // cell-ascending: first-max tie-break = smallest cell
+    val cellIds = typedlit(cents.map(_._1))
+    val simCols = cents.map { case (_, cv, cnorm) =>
+      VectorOps.dot(col("v"), typedlit(cv)) / (col("vnorm") * lit(cnorm))
+    }
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
-      .join(broadcast(centroids))
-      .select(col("id"), col("v"), col("vnorm"), col("cell"),
-        (VectorOps.dot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("sim").desc, col("cell"))
-    val assigned = scored
-      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .withColumn("sims", array(simCols.toIndexedSeq: _*))
+      .withColumn("cell",
+        element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .select(col("id"), col("v"), col("vnorm"), col("cell"))
     val a = assigned.select(col("id").as("ida"), col("v").as("va"),
       col("vnorm").as("norm_a"), col("cell"))
@@ -113,7 +168,7 @@ object Similarity {
 
   /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
     * candidate pairs only within buckets. Recall < 1 by construction;
-    * used as the scale path with brute force as the correctness baseline. */
+    * SimilaritySpec measures it against the exact pair set. */
   def lshNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, threshold: Double): DataFrame = {
     val withBucket = emb.select(col(idCol).as("id"),

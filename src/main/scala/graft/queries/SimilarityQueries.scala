@@ -29,7 +29,10 @@ object SimilarityQueries {
       |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
-  /** D5: embedding near-dup pairs (cosine >= 0.45, brute force). */
+  /** D5: embedding near-dup pairs (cosine >= 0.45) — EXACT, via the
+    * block-pair equi-join (no broadcast nested loop, no cartesian;
+    * PlanSpec asserts). The oracle is the exact pair set, green by
+    * construction since every pair is examined exactly once. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables.embeddings(spark, dir),
         "vec_id", "embedding", threshold = 0.45)

@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LessThan(l_quantity"), plan)
   }
 
+  test("d5: exact near-dup is a block-pair equi-join — no nested loop, no cartesian") {
+    val plan = executed(graft.queries.SimilarityQueries.cosineNearDup(spark, sf001)).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sim3: IVF assignment is map-side (no Window exchange for the argmax)") {
+    val plan = executed(graft.queries.SimilarityQueries.ivfAnn(spark, sf001)).toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("sim2: LSH signing is codegen'd (no interpreted HOFs in the plan)") {
+    val plan = executed(graft.queries.SimilarityQueries.lshAnn(spark, sf001)).toString
+    assert(!plan.contains("zip_with"), plan)
+    assert(!plan.contains("aggregate("), plan)
+  }
+
   test("ohlcv resample shuffles exactly once") {
     val p = executed(Events.ohlcvResample(spark, sf001))
     // partial agg -> single exchange on (window, type) -> final agg + sort
