@@ -108,6 +108,67 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** A3: the reference's `/ohlcv` endpoint shape (reference
+    * `src/server/ohlcv.rs:88-134`): time-range + symbol filter, resample
+    * to 1-hour bars, assemble per-symbol time-ordered bar arrays with
+    * group min/max ts (Ohlcv.assemble), then posexplode back to flat
+    * rows so the DuckDB oracle can hash-compare the assembled ORDER
+    * (idx) and the assembly-level aggregates (min_ts/max_ts). The raw
+    * ns-range predicate pushes to parquet row-group pruning (s1's
+    * pattern). */
+  def ohlcvAssemble(spark: SparkSession, dir: String): DataFrame = {
+    val fromNs = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val toNs = java.time.LocalDateTime.parse("2024-01-25T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L + 999L
+    val ticks = Tables.eventsRawTs(spark, dir)
+      .where(col("ts") >= fromNs && col("ts") <= toNs &&
+        col("event_type").isin("click", "view"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bars = ticks
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sumMoney(col("value")).as("volume"))
+      .select(col("window.start").as("ts"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+    graft.operators.Ohlcv.assemble(bars, "event_type", Seq("click", "view"),
+        lit("2024-01-05 00:00:00").cast("timestamp"),
+        lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_type"), col("min_ts"), col("max_ts"),
+        posexplode(col("bars")).as(Seq("pos", "bar")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("idx"),
+        col("bar.ts").as("t"), col("bar.open").as("open"),
+        col("bar.high").as("high"), col("bar.low").as("low"),
+        col("bar.close").as("close"), col("bar.volume").as("volume"),
+        col("min_ts"), col("max_ts"))
+      .orderBy("event_type", "idx")
+  }
+
+  val ohlcvAssembleSql: String =
+    s"""WITH bars AS (
+       |  SELECT date_trunc('hour', ts) AS bts, event_type,
+       |    min_by(value, event_id) AS open,
+       |    max(value) AS high,
+       |    min(value) AS low,
+       |    max_by(value, event_id) AS close,
+       |    ${sqlSumMoney("value")} AS volume
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+       |    AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+       |    AND event_type IN ('click', 'view')
+       |  GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY bts) AS BIGINT) AS idx,
+       |  bts AS t, open, high, low, close, volume,
+       |  min(bts) OVER (PARTITION BY event_type) AS min_ts,
+       |  max(bts) OVER (PARTITION BY event_type) AS max_ts
+       |FROM bars
+       |ORDER BY event_type, idx""".stripMargin
+
   /** A2: the reference's sum/count shape (`tests/main.rs:122-151`) on
     * events: per-type totals. */
   def sumCount(spark: SparkSession, dir: String): DataFrame =
