@@ -32,6 +32,18 @@ object Fold {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Single-column face of ExactCentsSum for SQL registration (a typed
+    * Aggregator keyed by groupByKey can't be called from SQL; a
+    * value-only Aggregator wrapped in functions.udaf can). */
+  object ExactCentsSumValue extends Aggregator[Double, Long, Double] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Double): Long = b + math.round(a * 100)
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Double = r / 100.0
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** (a) Typed-Aggregator fold: per-group exact sum. */
   def aggregatorSum(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val spark = df.sparkSession

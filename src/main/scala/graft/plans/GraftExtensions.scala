@@ -53,12 +53,16 @@ object GraftExtensions {
 
   /** Register on an already-built session: the custom Catalyst
     * expressions, plus the scalar function library (currency formatting,
-    * trading calendar) — the full SQL face of graft's function surface. */
+    * trading calendar) and the fold UDAF — the full SQL face of graft's
+    * function surface. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", buildWinnow, "scala_udf")
     graft.functions.Calendar.register(spark)
+    graft.functions.Format.register(spark)
+    spark.udf.register("fold_sum_cents",
+      org.apache.spark.sql.functions.udaf(graft.functions.Fold.ExactCentsSumValue))
   }
 }

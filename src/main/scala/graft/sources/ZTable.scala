@@ -63,25 +63,41 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     case None => df
   }
 
-  /** Append a batch. Strict mode rejects batches that start before the
-    * table's current last timestamp — the Spark-idiomatic analog of the
-    * reference's per-row out-of-order panic (order *within* storage is
-    * re-established by the sort, so batch-min vs table-max is the only
-    * meaningful cross-batch check in a distributed write). */
+  /** Append a batch. Strict mode rejects rows before the table's current
+    * last timestamp — the reference's per-row out-of-order panic
+    * (`src/table/write.rs:79-85`). The check rides the write pass itself
+    * as a per-row raise_error filter, so the incoming batch is scanned
+    * ONCE (a separate pre-write `agg(min)` action would double ingest
+    * I/O at scale); an out-of-order row aborts the write job before the
+    * committer publishes any file, and only the (tiny, column-pruned)
+    * last-ts lookup touches the existing table. */
   def append(df: DataFrame): Unit = {
     val data = floorResolution(df)
-    if (spec.strictOrder && hasData) {
-      val last = lastTs
-      val batchMin = data.agg(min(col(spec.tsCol))).head.getTimestamp(0)
-      if (last != null && batchMin != null && batchMin.before(last))
+    val checked =
+      if (spec.strictOrder && hasData) {
+        val last = lastTs
+        if (last == null) data
+        else data.where(
+          when(col(spec.tsCol) < lit(last), raise_error(concat(
+            lit("Timestamp "), col(spec.tsCol).cast("string"),
+            lit(s" is out of order (table last ts: $last)"))))
+          .otherwise(lit(true)))
+      } else data
+    try {
+      withPartCol(checked)
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(spec.tsCol))
+        .write.mode("append").partitionBy(partCol).parquet(path)
+    } catch {
+      case e: Exception if msgChain(e).exists(_.contains("out of order")) =>
         throw new IllegalStateException(
-          s"Timestamp $batchMin is out of order (table last ts: $last)")
+          msgChain(e).find(_.contains("out of order")).get, e)
     }
-    withPartCol(data)
-      .repartition(col(partCol))
-      .sortWithinPartitions(col(spec.tsCol))
-      .write.mode("append").partitionBy(partCol).parquet(path)
   }
+
+  private def msgChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(t => Option(t.getMessage)).toSeq
 
   def exists: Boolean = Files.exists(Paths.get(path, "_meta.json"))
 

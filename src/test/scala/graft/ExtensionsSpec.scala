@@ -31,6 +31,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(!open) // July 4th 2020 observed Friday the 3rd
   }
 
+  test("format_currency and fold_sum_cents are callable from SQL") {
+    GraftExtensions.register(spark)
+    val f = spark.sql("SELECT format_currency(CAST(1234.5678 AS FLOAT), 5) AS s")
+      .head.getString(0)
+    assert(f == graft.functions.Format.formatCurrency(1234.5678f, 5))
+    val s = spark.sql(
+      "SELECT fold_sum_cents(v) AS sv FROM VALUES (0.1), (0.2), (0.3) AS t(v)")
+      .head.getDouble(0)
+    assert(s == 0.6) // exact in cents, no float drift
+  }
+
   test("winnow rejects out-of-range k/w at analysis time, not with AIOOBE") {
     GraftExtensions.register(spark)
     val eK = intercept[Exception] {

@@ -52,12 +52,31 @@ class ZTableSpec extends SparkSpec {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec(strictOrder = true))
     t.append(sample)
+    val before = t.df.count()
     val late = Seq((ts("2023-12-31 09:00:00"), "Z", 9.9)).toDF("ts", "sym", "v")
     intercept[IllegalStateException] { t.append(late) }
+    // aborted write published nothing
+    assert(t.df.count() == before)
     // non-strict table accepts it
     val t2 = ZTable.create(spark, tmp(), Spec(strictOrder = false))
     t2.append(sample); t2.append(late)
     assert(t2.df.count() == 5)
+  }
+
+  test("strict append scans the incoming batch exactly once") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = true))
+    t.append(sample)
+    // count batch-row evaluations: a pre-write agg(min) action would
+    // evaluate every row twice (2N); the in-write check reads them once
+    val acc = spark.sparkContext.longAccumulator("batch_scans")
+    val batch = Seq((ts("2099-01-01 00:00:00"), "A", 1.0), (ts("2099-01-02 00:00:00"), "B", 2.0))
+      .toDF("ts", "sym", "v")
+      .as[(Timestamp, String, Double)]
+      .map { r => acc.add(1); r }
+      .toDF("ts", "sym", "v")
+    t.append(batch)
+    assert(acc.value == 2, s"batch rows evaluated ${acc.value} times, expected 2")
   }
 
   test("migrateColumn rewrites a column type across partitions (S8)") {
