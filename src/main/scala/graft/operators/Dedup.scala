@@ -42,8 +42,24 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** All pairs with shingle-Jaccard >= thrNum/thrDen, via inverted-index
-    * join. Threshold test uses integer arithmetic (no float boundary). */
-  def jaccardPairs(sh: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+    * join. Threshold test uses integer arithmetic (no float boundary).
+    *
+    * `maxDocFreq > 0` drops stop-shingles appearing in more than that
+    * many documents BEFORE the self-join — the one unbounded blowup in
+    * the inverted-index shape: a shingle shared by D documents expands
+    * to D² candidate rows, so a boilerplate phrase across 1M docs is
+    * 10¹² rows from a single key. Stop-shingles carry ~no similarity
+    * signal (they're corpus-wide background); dropping them bounds the
+    * worst key at maxDocFreq² and the whole join at |shingles|·K².
+    * Jaccard is then computed over the pruned sets (sizes too), the
+    * standard semantics for stopword-filtered similarity. */
+  def jaccardPairs(sh0: DataFrame, thrNum: Int, thrDen: Int,
+      maxDocFreq: Int = 0): DataFrame = {
+    val sh = if (maxDocFreq > 0) {
+      val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDocFreq).select(col("sh"))
+      sh0.join(hot, Seq("sh"), "left_anti")
+    } else sh0
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("ida"), col("sh"))
     val b = sh.select(col("id").as("idb"), col("sh"))

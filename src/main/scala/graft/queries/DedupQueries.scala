@@ -39,11 +39,14 @@ object DedupQueries {
       |WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4
       |ORDER BY ida, idb""".stripMargin
 
-  /** D4: exact n-gram Jaccard near-dup pairs via inverted-index join. */
+  /** D4: exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * The hot-shingle cap (500) is the adversarial-corpus guard — far
+    * above this corpus's max shingle doc-frequency (25 at sf0.1), so the
+    * oracle is unaffected while the guard stays in the plan. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
         Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
-        thrNum = 4, thrDen = 5)
+        thrNum = 4, thrDen = 5, maxDocFreq = 500)
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")
 

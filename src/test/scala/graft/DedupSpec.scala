@@ -39,4 +39,38 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(pairs.get((0L, 1L)).exists(_ <= 10))
   }
+
+  test("hot-shingle cap drops stop-shingle pairs, keeps genuine near-dups") {
+    // six docs whose ONLY shingle is shared boilerplate (df=6), plus a
+    // twin pair sharing rare shingles (df=2)
+    val corpus = (Seq.tabulate(6)(i => (i.toLong, "the same boilerplate")) ++
+      Seq((100L, "rare words shared by twin docs"),
+          (101L, "rare words shared by twin docs"))).toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    val uncapped = pairs(Dedup.jaccardPairs(sh, 4, 5))
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((100L, 101L)))
+    assert(uncapped.size == 16) // C(6,2) boilerplate pairs + the twins
+    val capped = pairs(Dedup.jaccardPairs(sh, 4, 5, maxDocFreq = 5))
+    assert(capped == Set((100L, 101L)))
+  }
+
+  test("simhash banding parity: banded pairs equal brute-force hamming (sf0.001)") {
+    // Cross-implementation gate for the no-oracle d3 query: the 16-bit
+    // band pigeonhole must be EXHAUSTIVE for hamming <= 3 over 4 bands,
+    // so the banded pair set equals an independent brute-force scan of
+    // the same signatures.
+    val sig = Dedup.simhash(graft.Tables.documents(spark, sf001), "doc_id", "text")
+    val sigs = sig.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("simhash")))
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield (math.min(sigs(i)._1, sigs(j)._1), math.max(sigs(i)._1, sigs(j)._1))).toSet
+    val banded = Dedup.simhashPairs(sig, 3).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(banded == brute,
+      s"banded-only=${(banded -- brute).size} brute-only=${(brute -- banded).size}")
+  }
 }
