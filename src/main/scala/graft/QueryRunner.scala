@@ -1,0 +1,88 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ohlcv
+import graft.sources.ZTable
+
+/** S9: the remote query surface, as a JSON request runner — the
+  * lifecycle-parity analog of the reference's HTTP server
+  * (reference `src/main.rs:16-49`, `src/server/mod.rs:40-154`:
+  * `POST /q` with {table, from, to, cols}, `GET /ohlcv/...`,
+  * `GET /symbols/...`, first/last-ts meta). An HTTP front-end is a
+  * deployment detail (any JSON-over-HTTP shim can call [[run]]); the
+  * engine-side contract is: JSON request in → Spark plan → JSON rows out.
+  *
+  * Request:
+  * {"op":"scan"|"symbols"|"range"|"ohlcv", "table":"/path/to/ztable",
+  *  "from":"2024-01-01 00:00:00", "to":"...",        // scan/ohlcv
+  *  "cols":["ts","v"],                                // scan projection
+  *  "col":"sym",                                      // symbols / ohlcv
+  *  "symbols":["A","B"],                              // ohlcv filter
+  *  "price":"v", "size":"v", "seq":"ts",              // ohlcv columns
+  *  "width":"1 hour"}                                 // ohlcv bar width
+  */
+object QueryRunner {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Dispatch one JSON request to a DataFrame (the testable core). */
+  def run(spark: SparkSession, json: String): DataFrame = {
+    val req = mapper.readValue(json, classOf[Map[String, Any]])
+    def str(k: String): String = req.get(k) match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(s"missing string field '$k'")
+    }
+    def strOpt(k: String): Option[String] =
+      req.get(k).collect { case s: String => s }
+    def list(k: String): Seq[String] = req.get(k) match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ => Nil
+    }
+    val table = ZTable.open(spark, str("table"))
+    str("op") match {
+      case "scan" =>
+        table.scan(str("from"), str("to"), list("cols"))
+      case "symbols" =>
+        table.symbols(str("col"))
+      case "range" =>
+        table.df.agg(min(col(table.spec.tsCol)).as("first_ts"),
+          max(col(table.spec.tsCol)).as("last_ts"))
+      case "ohlcv" =>
+        val ticks = table.scan(str("from"), str("to"))
+        val sym = str("col")
+        val filtered =
+          if (list("symbols").isEmpty) ticks
+          else ticks.where(col(sym).isin(list("symbols"): _*))
+        Ohlcv.resample(filtered, sym,
+          priceCol = strOpt("price").getOrElse("price"),
+          sizeCol = strOpt("size").getOrElse("size"),
+          seqCol = strOpt("seq").getOrElse(table.spec.tsCol),
+          width = strOpt("width").getOrElse("1 minute"))
+          .orderBy("bucket", sym)
+      case other =>
+        throw new IllegalArgumentException(s"unknown op '$other'")
+    }
+  }
+
+  /** CLI: `runMain graft.QueryRunner '<json>'` (or JSON on stdin);
+    * emits one JSON object per result row, like the reference's
+    * serialized response frames (`src/server/query.rs:234-253`). */
+  def main(args: Array[String]): Unit = {
+    val json =
+      if (args.nonEmpty) args.mkString(" ")
+      else scala.io.Source.stdin.mkString
+    val spark = SparkSession.builder()
+      .appName("graft-query")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try run(spark, json).toJSON.collect().foreach(println)
+    finally spark.stop()
+  }
+}

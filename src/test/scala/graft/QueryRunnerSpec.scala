@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.sources.{ZTable, ZTableSpec => Spec}
+
+class QueryRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkTable(): String = {
+    val path = Files.createTempDirectory("query_runner_").toString
+    val t = ZTable.create(spark, path, Spec())
+    t.append(Seq(
+      (ts("2024-01-01 10:00:00"), "A", 1.0),
+      (ts("2024-01-01 10:30:00"), "A", 3.0),
+      (ts("2024-01-01 11:00:00"), "B", 2.0),
+      (ts("2024-01-02 10:00:00"), "A", 5.0)).toDF("ts", "sym", "v"))
+    path
+  }
+
+  test("scan request round-trips with projection and inclusive bounds") {
+    val path = mkTable()
+    val df = QueryRunner.run(spark,
+      s"""{"op":"scan","table":"$path","from":"2024-01-01 10:00:00",
+         |"to":"2024-01-01 23:00:00","cols":["ts","v"]}""".stripMargin)
+    assert(df.columns.toSeq == Seq("ts", "v"))
+    assert(df.count() == 3)
+  }
+
+  test("symbols and range requests") {
+    val path = mkTable()
+    val syms = QueryRunner.run(spark,
+      s"""{"op":"symbols","table":"$path","col":"sym"}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(syms == Seq("A", "B"))
+    val r = QueryRunner.run(spark, s"""{"op":"range","table":"$path"}""").head
+    assert(r.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(r.getTimestamp(1) == ts("2024-01-02 10:00:00"))
+  }
+
+  test("ohlcv request resamples with symbol filter") {
+    val path = mkTable()
+    val bars = QueryRunner.run(spark,
+      s"""{"op":"ohlcv","table":"$path","from":"2024-01-01 00:00:00",
+         |"to":"2024-01-01 23:59:59","col":"sym","symbols":["A"],
+         |"price":"v","size":"v","seq":"ts","width":"1 hour"}""".stripMargin)
+      .collect()
+    assert(bars.length == 1) // both A ticks fall in the 10:00 bar
+    val b = bars.head
+    assert(b.getAs[Double]("open") == 1.0 && b.getAs[Double]("close") == 3.0)
+    assert(b.getAs[Double]("high") == 3.0 && b.getAs[Double]("volume") == 4.0)
+  }
+
+  test("unknown op and missing fields raise clean errors") {
+    val path = mkTable()
+    val e1 = intercept[IllegalArgumentException] {
+      QueryRunner.run(spark, s"""{"op":"nope","table":"$path"}""")
+    }
+    assert(e1.getMessage.contains("unknown op"))
+    val e2 = intercept[IllegalArgumentException] {
+      QueryRunner.run(spark, s"""{"op":"scan","table":"$path"}""")
+    }
+    assert(e2.getMessage.contains("missing string field"))
+  }
+}
