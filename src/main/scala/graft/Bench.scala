@@ -21,13 +21,20 @@ object Bench {
     // first query doesn't absorb session startup cost.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // SPARK_GRAFT_BENCH_REPS > 1 → min-of-N warm timings (single runs
+    // vary ±40% on a shared box; the min is the stable per-query number
+    // used for the committed local baseline).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
