@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LessThan(l_quantity"), plan)
   }
 
+  test("q9/q21: new TPC-H shapes broadcast their dimensions, facts never sort-merge") {
+    for (q <- Seq(graft.queries.Tpch3.q9Profit _, graft.queries.Tpch3.q21Waiting _)) {
+      val plan = executed(q(spark, sf001)).toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
   test("d5: exact near-dup is a block-pair equi-join — no nested loop, no cartesian") {
     val plan = executed(graft.queries.SimilarityQueries.cosineNearDup(spark, sf001)).toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
