@@ -107,13 +107,17 @@ object Ingest {
       .flatMapGroupsWithState[Long, Event](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Event], state: GroupState[Long]) =>
+          // True streaming: rows are filtered lazily (no per-group
+          // materialization — a hot key no longer buffers its whole
+          // micro-batch in executor memory) and the high-water mark is
+          // committed once the group's iterator is exhausted, which is
+          // before Spark snapshots the state store for the group.
           var hwm = state.getOption.getOrElse(Long.MinValue)
-          val kept = rows.toSeq.filter { e =>
+          val kept = rows.filter { e =>
             val t = e.ts.getTime
             if (t >= hwm) { hwm = t; true } else false
           }
-          state.update(hwm)
-          kept.iterator
+          kept ++ { state.update(hwm); Iterator.empty }
       }
   }
 
@@ -142,11 +146,16 @@ object Ingest {
   /** Streaming as-of join: purchases enriched with each user's LATEST
     * click — the streaming face of j6/j8 (live trade↔quote enrichment in
     * the reference's domain). Keyed state holds one (ts, value) pair per
-    * user: O(keys) memory, no row buffering. Within a micro-batch rows
-    * are processed in (ts, event_id) order, so intra-batch ordering is
-    * exact; clicks arriving in a LATER batch than a purchase they precede
-    * are not retroactively applied (bound that skew upstream with a
-    * watermark + trigger interval, or use the batch as-of for backfill). */
+    * user: O(keys) CROSS-batch memory. Within a micro-batch rows are
+    * sorted to (ts, event_id) order so intra-batch ordering is exact —
+    * that sort materializes one (user, micro-batch) group at a time, so
+    * per-task memory is bounded by the hottest key's rate × the trigger
+    * interval (size the trigger for the hottest key; Spark's grouped
+    * iterator gives no order guarantee, so an exact as-of cannot stream
+    * a group without this buffer). Clicks arriving in a LATER batch than
+    * a purchase they precede are not retroactively applied (bound that
+    * skew upstream with a watermark + trigger interval, or use the batch
+    * as-of for backfill). */
   def asofStream(ds: Dataset[Event]): Dataset[AsOfEnriched] = {
     val spark = ds.sparkSession
     import spark.implicits._
