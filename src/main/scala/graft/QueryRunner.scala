@@ -18,7 +18,7 @@ import graft.sources.ZTable
   * engine-side contract is: JSON request in → Spark plan → JSON rows out.
   *
   * Request:
-  * {"op":"scan"|"symbols"|"range"|"ohlcv", "table":"/path/to/ztable",
+  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe", "table":"/path/to/ztable",
   *  "from":"2024-01-01 00:00:00", "to":"...",        // scan/ohlcv
   *  "cols":["ts","v"],                                // scan projection
   *  "col":"sym",                                      // symbols / ohlcv
@@ -49,6 +49,8 @@ object QueryRunner {
         table.scan(str("from"), str("to"), list("cols"))
       case "symbols" =>
         table.symbols(str("col"))
+      case "describe" =>
+        table.describe()
       case "range" =>
         table.df.agg(min(col(table.spec.tsCol)).as("first_ts"),
           max(col(table.spec.tsCol)).as("last_ts"))

@@ -140,6 +140,24 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
   def lastTs: java.sql.Timestamp =
     df.agg(max(col(spec.tsCol))).head.getTimestamp(0)
 
+  /** C3: schema describe (the reference's schema debug print,
+    * `src/schema.rs:88-103`) as a DataFrame — one row per column plus
+    * the table spec (time column flagged, partition grain, resolution,
+    * strict mode) so tooling can introspect a table without opening
+    * files. */
+  def describe(): DataFrame = {
+    import spark.implicits._
+    df.schema.fields.toSeq.map { f =>
+      val role =
+        if (f.name == spec.tsCol)
+          s"time column; partitionBy=${spec.partitionBy.name}" +
+            spec.resolutionMicros.map(r => s"; resolutionMicros=$r").getOrElse("") +
+            s"; strictOrder=${spec.strictOrder}"
+        else ""
+      (f.name, f.dataType.simpleString, f.nullable, role)
+    }.toDF("column", "type", "nullable", "role")
+  }
+
   /** C1: distinct values of a symbol-like column, sorted — the analog of
     * the reference's symbol-dictionary dump (`src/server/mod.rs:84-122`). */
   def symbols(colName: String): DataFrame =

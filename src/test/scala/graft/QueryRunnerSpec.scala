@@ -54,6 +54,15 @@ class QueryRunnerSpec extends SparkSpec {
     assert(b.getAs[Double]("high") == 3.0 && b.getAs[Double]("volume") == 4.0)
   }
 
+  test("describe request returns schema with the time column flagged (C3)") {
+    val path = mkTable()
+    val rows = QueryRunner.run(spark, s"""{"op":"describe","table":"$path"}""")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rows.keySet == Set("ts", "sym", "v"))
+    assert(rows("ts").contains("time column") && rows("ts").contains("partitionBy=day"))
+    assert(rows("v").isEmpty)
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {
