@@ -86,6 +86,40 @@ object PropertyChecks extends Properties("graft") {
     }
   }
 
+  property("block-pair equi-join meets every vector pair exactly once") =
+    Prop.forAll(for {
+      n <- Gen.choose(2, 24)
+      b <- Gen.choose(1, 6)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat)))
+    } yield (vecs, b)) { case (vecs, b) =>
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      // threshold below any possible cosine -> the raw candidate multiset;
+      // exactly-once is what makes the exact oracle safe at any B
+      val pairs = graft.operators.Similarity
+        .cosinePairs(emb, "vec_id", "embedding", threshold = -1e9, numBlocks = b)
+        .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toList
+      val n = vecs.length
+      val expected = (for { i <- 0 until n; j <- i + 1 until n } yield (i.toLong, j.toLong)).toList
+      pairs.sorted == expected.sorted
+    }
+
+  property("symbol dictionary: dense stable ids under any extension sequence") =
+    Prop.forAll(Gen.listOfN(3, Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g")))) { batches =>
+      val dict = graft.sources.SymbolDictionary(spark,
+        java.nio.file.Files.createTempDirectory("dict_prop_").toString + "/d")
+      var expected = Map.empty[String, Long]
+      batches.filter(_.nonEmpty).forall { batch =>
+        dict.extend(batch.map(Tuple1(_)).toDF("sym"), "sym")
+        val novel = batch.distinct.filterNot(expected.contains).sorted
+        expected = expected ++ novel.zipWithIndex.map { case (s, i) =>
+          s -> (expected.size + i + 1L)
+        }
+        val got = dict.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
   property("asof join matches in-memory oracle incl. ties") =
     Prop.forAll(asofInput) { case (ls, rs) =>
       val left = ls.map { case (k, t, i) => (i.toLong, ts(t), k) }
