@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -94,7 +95,67 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Word n-gram repetition stats in one pass: total n-gram count and
+  * distinct n-gram count per document, as struct<n_grams, n_distinct>.
+  * The RefinedWeb/C4-style repetition filter signal (duplicated-n-gram
+  * fraction) derives from these two integers — kept as exact counts so
+  * the oracle comparison never touches float boundaries.
+  *
+  * Same rationale as [[WinnowFingerprints]]: a HOF formulation
+  * (transform + array_distinct over a sliding concat) re-evaluates the
+  * inner array per lambda access; this runs once per row with a single
+  * hash set, no explode, no shuffle — embarrassingly parallel at 100 TB.
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      if (n < 1) TypeCheckResult.TypeCheckFailure(
+        s"repetition n must be >= 1, got $n")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"RepetitionStats requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val nw = words.numElements()
+    val ng = nw - n + 1
+    if (ng <= 0) return InternalRow(0L, 0L)
+    // exact string identity (no hash truncation — collisions would
+    // silently undercount distinct grams and diverge from the oracle)
+    val seen = new java.util.HashSet[String](ng * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var distinct = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var d = 0
+      while (d < n) {
+        if (d > 0) sb.append(' ')
+        val w = words.getUTF8String(i + d)
+        if (w != null) sb.append(w.toString)
+        d += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    InternalRow(ng.toLong, distinct.toLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 object TextOps {
   def winnow(words: Column, k: Int = 3, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(words), k, w))
+
+  def repetitionStats(words: Column, n: Int = 3): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(words), n))
 }

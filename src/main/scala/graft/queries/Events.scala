@@ -169,6 +169,42 @@ object Events {
        |FROM bars
        |ORDER BY event_type, idx""".stripMargin
 
+  /** ST4 batch face: gap-based session windows per user — the batch
+    * expression of streaming/Ingest.sessionize, so the streaming
+    * semantics get an oracle gate. A session closes after 6 idle hours
+    * (`session_window`); its end is last_event + gap, exactly Spark's
+    * merged-window semantics. The shuffle carries user_id groups and
+    * session state is bounded per user — at 100 TB this is one shuffle
+    * + sorted within keys, no global sort. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), s AS (
+       |  SELECT user_id, ts, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e
+       |)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '6 hours' AS session_end,
+       |  count(*) AS n_events, ${sqlSumMoney("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** A2: the reference's sum/count shape (`tests/main.rs:122-151`) on
     * events: per-type totals. */
   def sumCount(spark: SparkSession, dir: String): DataFrame =

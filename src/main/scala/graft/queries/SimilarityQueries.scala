@@ -48,6 +48,30 @@ object SimilarityQueries {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY ida, idb""".stripMargin
 
+  /** SIM4: per-label embedding centroid — the k-means "update" step —
+    * via the typed VecCentroid Aggregator: element-wise partial sums
+    * fold map-side, so the shuffle carries one dim-sized buffer per
+    * (label, partition), never the vectors. Exploded to (label, dim, c)
+    * flat rows so DuckDB can hash-compare without list types. */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .agg(graft.functions.VecCentroid.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid.values")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("v"), 6).as("c"))
+      .orderBy("label", "dim")
+  }
+
+  val centroidsSql: String =
+    """SELECT label, CAST(t.i AS BIGINT) AS dim,
+      |  round(sum(embedding[t.i]) / count(*), 6) AS c
+      |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1 by
     * construction (bucket collisions only); rows-only check. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.functions.Text
@@ -93,6 +93,35 @@ object TextQueries {
       .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
         element_at(col("fps"), 1).as("min_fp"))
       .orderBy("doc_id")
+
+  /** T7: duplicated word-3-gram repetition stats — the RefinedWeb/C4
+    * repetition filter signal. One single-pass expression per row
+    * (plans.RepetitionStats): no explode, no shuffle; the counts stay
+    * integers so the ratio divides identically in both engines. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.plans.TextOps.repetitionStats(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 3).as("r"))
+      .select(col("doc_id"),
+        col("r.n_grams").as("n_grams"),
+        (col("r.n_grams") - col("r.n_distinct")).as("n_dup"),
+        round((col("r.n_grams") - col("r.n_distinct")).cast(DoubleType) /
+          greatest(col("r.n_grams"), lit(1L)).cast(DoubleType), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(l)-1, 1)),
+      |                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents)
+      |)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+      |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |        / greatest(len(grams), 1), 6) AS dup_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =

@@ -1,10 +1,35 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.queries.Relational
 
 /** Sketch-aggregate sanity: HLL++ estimates must land within the
   * configured relative error of the exact distinct counts. */
 class AggSpec extends SparkSpec {
+
+  test("session_window matches an independent gaps-and-islands formulation (sf0.001)") {
+    // Cross-formulation gate for st5: the session_window operator vs a
+    // lag + cumulative-sum island assignment over the same events.
+    val events = Tables.events(spark, sf001)
+    val got = queries.Events.sessionize(spark, sf001)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSeq
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val islands = events
+      .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >= 6L * 3600 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 6 HOURS")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == islands)
+  }
 
   test("approx_count_distinct is within 10% of exact per group") {
     val approx = Relational.approxDistinct(spark, sf001).collect()

@@ -84,4 +84,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
     assert(pairs.contains((0L, 4L))) // identical vectors always same bucket
   }
+
+  test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
+    import graft.functions.VecCentroid
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val got = emb.select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .agg(VecCentroid.toColumn.name("centroid"))
+      .collect().map { case (l, c) => l -> c.values.toSeq }.toMap
+    val rows = emb.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])].collect()
+    val expect = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val s = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => s(i) += v._2(i)))
+      l -> s.map(_ / vs.length).toSeq
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (l, c) =>
+      c.zip(expect(l)).foreach { case (a, b) =>
+        // both sum the same doubles; only addition order differs
+        assert(math.abs(a - b) < 1e-9, s"label $l")
+      }
+    }
+  }
 }

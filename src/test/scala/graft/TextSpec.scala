@@ -54,6 +54,37 @@ class TextSpec extends SparkSpec {
     assert(rows(0) > rows(1))
   }
 
+  test("repetition stats: exact n-gram totals and duplicates") {
+    import graft.plans.TextOps
+    val out = Seq(
+      "a b a b a",          // 3-grams: "a b a","b a b","a b a" -> 3 total, 2 distinct
+      "x y z w",            // all distinct
+      "q q q q q",          // all identical
+      "one two")            // fewer than n words -> zero grams
+      .toDF("text")
+      .select(TextOps.repetitionStats(split(col("text"), " "), 3).as("r"))
+      .select(col("r.n_grams"), col("r.n_distinct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 2L), (2L, 2L), (3L, 1L), (0L, 0L)))
+  }
+
+  test("repetition parity: expression matches a collections impl (sf0.001)") {
+    import graft.plans.TextOps
+    val rows = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"),
+        TextOps.repetitionStats(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 3).as("r"))
+      .select(col("doc_id"), col("text"), col("r.n_grams"), col("r.n_distinct"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val grams = r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(r.getLong(2) == grams.length.toLong, s"doc ${r.getLong(0)} total")
+      assert(r.getLong(3) == grams.distinct.length.toLong, s"doc ${r.getLong(0)} distinct")
+    }
+  }
+
   test("winnow parity: expression matches an independent reference impl (sf0.001)") {
     // Cross-implementation gate for the no-oracle t6 query: re-derive the
     // winnowing pipeline from first principles (collections code, not the
