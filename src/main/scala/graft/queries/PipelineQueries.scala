@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.Text
+import graft.plans.TextOps
+
+/** Training-data curation surface (north star): the document-pipeline
+  * operators a 100 TB pretraining corpus build needs beyond dedup —
+  * composed quality filtering, deterministic stratified sampling, and
+  * token-budget packing. All three are oracle-gated.
+  */
+object PipelineQueries {
+
+  /** PIPE1: C4/RefinedWeb-style composed quality filter in ONE scan —
+    * token count, heuristic quality, and duplicated-3-gram repetition
+    * all evaluate per row with no shuffle; the filter keeps docs with
+    * >= 20 tokens, quality >= 0.5, and <= 10% duplicated 3-grams (the
+    * repetition gate uses integer arithmetic, dup*10 <= total, so no
+    * float boundary can flake the oracle). At 100 TB this is the shape
+    * that matters: every signal is computed in the same pipeline stage
+    * as the scan, so filtering N docs costs exactly one pass. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Text.nTokens(col("text")).cast(LongType).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"),
+        TextOps.repetitionStats(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 3).as("r"))
+      .where(col("n_tokens") >= 20 && col("quality") >= 0.5 &&
+        (col("r.n_grams") - col("r.n_distinct")) * 10 <= col("r.n_grams"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("quality"), 6).as("quality_r"))
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    0.4 * LEAST((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |                / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 5.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                / CAST(length(text) AS DOUBLE)) * 20.0, 1.0))
+      |    + 0.3 * LEAST(CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) / 100.0, 1.0) AS quality,
+      |    list_transform(range(1, greatest(len(regexp_extract_all(text, '\S+'))-1, 1)),
+      |      i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+1] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+2]) AS grams
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_tokens, round(quality, 6) AS quality_r
+      |FROM sig
+      |WHERE n_tokens >= 20 AND quality >= 0.5
+      |  AND (len(grams) - len(list_distinct(grams))) * 10 <= len(grams)
+      |ORDER BY doc_id""".stripMargin
+
+  /** PIPE2: deterministic stratified sampling — top-20 documents per
+    * source stratum ordered by md5(text) (a seedless, engine-agnostic
+    * pseudo-random order; doc_id tiebreak). The per-stratum top-k shape
+    * scales: one shuffle on the stratum key, rank state bounded by k. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .where(col("rk") <= 20)
+      .select(col("source"), col("doc_id"), col("rk").cast(LongType).as("rk"))
+      .orderBy("source", "rk")
+
+  val stratifiedSampleSql: String =
+    """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+
+  /** PIPE3: greedy token-budget packing — assign documents (per source,
+    * in doc_id order) to training-batch bins of 512 tokens by running
+    * cumulative sum; bin = tokens-before-this-doc div 512. Pure integer
+    * arithmetic; one shuffle on the stratum key. */
+  def tokenPack(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        Text.nTokens(col("text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 512").as("bin"))
+      .orderBy("source", "doc_id")
+
+  val tokenPackSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t
+      |)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+      |FROM c ORDER BY source, doc_id""".stripMargin
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.PipelineQueries
+
+/** Curation-surface invariants (pipe1-3) beyond the DuckDB hash gate. */
+class PipelineSpec extends SparkSpec {
+
+  test("quality filter keeps a nonempty strict subset meeting every gate") {
+    val kept = PipelineQueries.qualityFilter(spark, sf001).collect()
+    val total = Tables.documents(spark, sf001).count()
+    assert(kept.length > 0 && kept.length < total)
+    kept.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= 20L)
+      assert(r.getAs[Double]("quality_r") >= 0.5 - 1e-6)
+    }
+  }
+
+  test("stratified sample: min(20, stratum size) rows per source, rank dense") {
+    val rows = PipelineQueries.stratifiedSample(spark, sf001).collect()
+    val strata = Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == strata.keySet.filter(strata(_) > 0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == math.min(20L, strata(src)), src)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length).toSeq, src)
+    }
+  }
+
+  test("token pack: bins non-decreasing in doc order and budget-consistent") {
+    val rows = PipelineQueries.tokenPack(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, id, n, bin) =>
+        assert(bin == cum / 512, s"$src doc $id")
+        cum += n
+      }
+    }
+  }
+}
