@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.winnowDescriptor)
+    e.injectFunction(GraftExtensions.repetitionDescriptor)
     e.injectOptimizerRule(_ => NanosPushdownRule)
   }
 }
@@ -51,6 +52,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow"),
     (exprs: Seq[Expression]) => buildWinnow(exprs))
 
+  /** repetition(words_array[, n]) — n must be an integer literal. */
+  private def buildRepetition(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => RepetitionStats(c, 3)
+    case Seq(c, Literal(n: Int, _)) => RepetitionStats(c, n)
+    case Seq(_, _) =>
+      throw new IllegalArgumentException("repetition: n must be an integer literal")
+    case _ => throw new IllegalArgumentException("repetition takes 1 or 2 arguments")
+  }
+
+  private[graft] val repetitionDescriptor = (
+    FunctionIdentifier("repetition"),
+    new ExpressionInfo(classOf[RepetitionStats].getName, "repetition"),
+    (exprs: Seq[Expression]) => buildRepetition(exprs))
+
   /** Register on an already-built session: the custom Catalyst
     * expressions, plus the scalar function library (currency formatting,
     * trading calendar) and the fold UDAF — the full SQL face of graft's
@@ -60,6 +75,8 @@ object GraftExtensions {
       "vec_dot", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", buildWinnow, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition", buildRepetition, "scala_udf")
     graft.functions.Calendar.register(spark)
     graft.functions.Format.register(spark)
     spark.udf.register("fold_sum_cents",

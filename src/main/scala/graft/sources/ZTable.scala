@@ -176,6 +176,52 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     out
   }
 
+  /** S6 hardening: small-file compaction. Streaming/micro-batch appends
+    * leave each partition directory with one file per (batch ×
+    * writer-task) — at 100 TB that's millions of tiny files, and file
+    * listing + per-file open overhead dominates scans. Compaction
+    * rewrites any partition whose file count exceeds its byte-size
+    * budget into `ceil(bytes / targetFileBytes)` files, RANGE-partitioned
+    * and sorted on ts — so compacted files carry non-overlapping ts
+    * ranges and row-group min/max pruning gets strictly tighter than the
+    * append layout. Each partition rewrite is one distributed Spark job
+    * (driver only enumerates partition dirs — bounded by the date grain,
+    * never by rows); a production run would dispatch several partition
+    * jobs concurrently and commit via manifest instead of dir swap. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import scala.jdk.CollectionConverters._
+    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.iterator.asScala.toList finally s.close()
+    }
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return 0
+    val parts = ls(root).filter(d => Files.isDirectory(d) &&
+      d.getFileName.toString.startsWith(partCol + "="))
+    var rewritten = 0
+    parts.foreach { dir =>
+      val dataFiles = ls(dir).filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val bytes = dataFiles.map(Files.size).sum
+      val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (dataFiles.length > nOut) {
+        val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
+        spark.read.parquet(dir.toString)
+          .repartitionByRange(nOut, col(spec.tsCol))
+          .sortWithinPartitions(col(spec.tsCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // swap: tmp is fully written before the old dir disappears
+        ls(dir).foreach(Files.delete)
+        Files.delete(dir)
+        Files.move(tmp, dir)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   private[sources] def writeMeta(): Unit = {
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +

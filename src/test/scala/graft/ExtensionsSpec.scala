@@ -31,6 +31,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(!open) // July 4th 2020 observed Friday the 3rd
   }
 
+  test("repetition is callable from SQL and matches the Column-API face") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition(split('a b a b a', ' ')).n_grams AS g," +
+      "       repetition(split('a b a b a', ' ')).n_distinct AS d")
+      .head
+    assert((r.getLong(0), r.getLong(1)) == (3L, 2L))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT repetition(split('a b', ' '), 0) AS r").collect()
+    }
+    assert(bad.getMessage.contains("repetition n must be >= 1"))
+  }
+
   test("format_currency and fold_sum_cents are callable from SQL") {
     GraftExtensions.register(spark)
     val f = spark.sql("SELECT format_currency(CAST(1234.5678 AS FLOAT), 5) AS s")

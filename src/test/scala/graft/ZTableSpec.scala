@@ -79,6 +79,35 @@ class ZTableSpec extends SparkSpec {
     assert(acc.value == 2, s"batch rows evaluated ${acc.value} times, expected 2")
   }
 
+  test("compact merges small files per partition; data, order and appends survive") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    // five appends -> >=5 files in the 2024-01-01 partition
+    (0 until 5).foreach { i =>
+      t.append(Seq((ts(s"2024-01-01 10:0$i:00"), "A", i.toDouble))
+        .toDF("ts", "sym", "v"))
+    }
+    def files(day: String) = {
+      val s = Files.list(Paths.get(path, s"p_date=$day"))
+      try {
+        val l = new java.util.ArrayList[java.nio.file.Path]()
+        s.forEach(p => if (p.getFileName.toString.endsWith(".parquet")) l.add(p))
+        l.size
+      } finally s.close()
+    }
+    assert(files("2024-01-01") >= 5)
+    val before = t.df.orderBy("ts").collect().toSeq
+    val rewritten = t.compact() // huge default target -> 1 file
+    assert(rewritten == 1)
+    assert(files("2024-01-01") == 1)
+    assert(t.df.orderBy("ts").collect().toSeq == before)
+    // table is still appendable in strict mode after the swap
+    t.append(Seq((ts("2024-01-01 10:30:00"), "B", 9.0)).toDF("ts", "sym", "v"))
+    assert(t.df.count() == 6)
+    // second compact is a no-op below the file-count budget... but 2 files > 1 budget
+    assert(t.compact() == 1 && t.compact() == 0)
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())
