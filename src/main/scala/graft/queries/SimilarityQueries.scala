@@ -48,6 +48,29 @@ object SimilarityQueries {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
       |ORDER BY ida, idb""".stripMargin
 
+  /** SIM5: batch multi-query top-10 — three query vectors served from
+    * ONE scan via per-partition bounded heaps + an output-sized merge
+    * (no N×Q shuffle, no per-query rescan; see Similarity.topKBatch). */
+  def topKBatch(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topKBatch(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), k = 10)
+      .select(col("qid"), col("rk"), col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("qid", "rk")
+
+  val topKBatchSql: String =
+    """SELECT qid, CAST(rk AS BIGINT) AS rk, id, cos_r FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cos_r,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(q.embedding AS DOUBLE[])) DESC,
+      |               e.vec_id) AS rk
+      |  FROM embeddings e,
+      |       (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+      |  WHERE e.vec_id <> q.vec_id)
+      |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** SIM4: per-label embedding centroid — the k-means "update" step —
     * via the typed VecCentroid Aggregator: element-wise partial sums
     * fold map-side, so the shuffle carries one dim-sized buffer per

@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 4L))) // identical vectors always same bucket
   }
 
+  test("topKBatch equals per-query bruteForceTopK (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val batch = Similarity.topKBatch(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 10)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("id")).toSeq
+      }
+    Seq(0L, 1L, 2L).foreach { q =>
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(batch(q) == brute, s"query $q")
+    }
+  }
+
   test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
     import graft.functions.VecCentroid
     val emb = graft.Tables.embeddings(spark, sf001)
