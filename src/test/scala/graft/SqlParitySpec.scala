@@ -15,7 +15,13 @@ class SqlParitySpec extends SparkSpec {
     "a8_percentiles", "d1_exact_dedup", "d2_minhash_lsh", "d4_ngram_jaccard",
     "d5_cosine_neardup", "f5_calendar", "f7_json", "l1_explode",
     "sim1_topk_cosine", "t1_token_count", "t2_quality", "t3_langid",
-    "t4_fingerprint", "t5_bpe_tokens", "w4_sliding_window")
+    "t4_fingerprint", "t5_bpe_tokens", "w4_sliding_window",
+    // round-2 additions: list_transform/list_distinct (t7, pipe1),
+    // UNNEST(range) lateral + list subscripts (sim4), 1-arg encode +
+    // len-of-regexp-list (m1, m2), HUGEINT // division (pipe3),
+    // list_cosine_similarity (sim5)
+    "t7_repetition", "pipe1_quality_filter", "pipe3_token_pack",
+    "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
