@@ -315,10 +315,16 @@ object Tpch2 {
   def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir).where(col("p_brand") === "Brand#23")
-    val pa = l.groupBy(col("l_partkey").as("pa_key"))
-      .agg(count(lit(1)).as("cnt"), sum(dec2(col("l_quantity"))).as("sq"))
+    // Per-part cnt/sum as a window AFTER the brand join: every lineitem
+    // row of a qualifying part survives the equi-join, so the window sees
+    // exactly the rows the separate per-part aggregate saw — but the
+    // fact is scanned ONCE and nothing parts-sized is broadcast (the old
+    // `pa` aggregated ALL parts and broadcast the result: a second full
+    // scan and an OOM-sized broadcast at 100 TB).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(pa), col("l_partkey") === col("pa_key"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sq", sum(dec2(col("l_quantity"))).over(w))
       .where(dec2(col("l_quantity")) * (lit(5L) * col("cnt")) < col("sq"))
       .agg((sum(dec2(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
         .as("avg_yearly"))

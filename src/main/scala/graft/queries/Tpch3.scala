@@ -35,11 +35,14 @@ object Tpch3 {
       .join(broadcast(p), col("p_partkey") === col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec2(col("l_extendedprice"))).as("supply_cost"))
-    val mins = cost.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("supply_cost")).as("min_cost"))
+    // per-part min as a window over the aggregate already computed — the
+    // agg-then-join-back formulation scans/joins the fact twice AND
+    // broadcasts a parts-sized min table (OOM at 100 TB); the window
+    // re-shuffles only the group-bounded cost rows by part.
     cost
-      .join(broadcast(mins), col("l_partkey") === col("m_partkey") &&
-        col("supply_cost") === col("min_cost"))
+      .withColumn("min_cost", min(col("supply_cost")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+      .where(col("supply_cost") === col("min_cost"))
       .join(broadcast(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
@@ -115,9 +118,17 @@ object Tpch3 {
     * one-row global aggregate broadcasts back over the groups, the
     * Spark face of Q11's scalar subquery. */
   def q11Important(spark: SparkSession, dir: String): DataFrame = {
+    // Diamond plan: v feeds both the output join and the global total.
+    // ReuseExchange does NOT unify the two agg subtrees (verified: 2
+    // FileScans, 0 ReusedExchange — the q15 lesson in diamond form), so
+    // without the persist the FACT is scanned and shuffled twice. The
+    // persisted side is the group-bounded aggregate (|suppliers×parts|
+    // rows, orders smaller than lineitem) — at 100 TB caching it beats
+    // rescanning the fact by the fact/group size ratio.
     val v = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice"))).as("val"))
+      .persist()
     val tot = v.agg(sum(col("val")).as("total"), count(lit(1)).as("n"))
     v.join(broadcast(tot))
       .where(col("val") * col("n") > col("total") * lit(3))
