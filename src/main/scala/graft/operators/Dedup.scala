@@ -74,6 +74,32 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * thrNum/thrDen of their word n-grams with ANY benchmark document
+    * (the GPT-3/FLAN-style n-gram overlap check; long n-grams — default
+    * 8 — make background collisions vanish while verbatim/near-verbatim
+    * leaks still overlap almost fully).
+    *
+    * Scale shape: the benchmark side is an eval suite — tiny relative to
+    * the corpus — so its distinct n-gram set BROADCASTS; the corpus-side
+    * join is then a map-side hash probe and only matching (doc, gram)
+    * rows enter the one groupBy shuffle. Nothing is quadratic and the
+    * 100 TB corpus is scanned exactly once. */
+  def contamination(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
+    val trainSh = shingles(docs, idCol, textCol, n)
+    val benchSh = shingles(bench, idCol, textCol, n).select(col("sh")).distinct()
+    val sizes = trainSh.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val shared = trainSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes, Seq("id"))
+      .where(col("n_shared") * thrDen >= col("n_grams") * thrNum)
+      .select(col("id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("frac_r"))
+  }
+
   private val PRIME = 2147483647L // 2^31 - 1
 
   /** MinHash signature columns: minhash_j = min over shingles of

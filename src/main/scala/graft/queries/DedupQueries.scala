@@ -62,6 +62,40 @@ object DedupQueries {
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")
 
+  /** D6: benchmark decontamination — the "held-out eval" set is the
+    * deterministic doc_id%10==0 slice; training docs sharing >= half
+    * their word 8-grams with any benchmark doc are flagged. 8-grams give
+    * clean separation on this corpus (background docs share ZERO;
+    * near-dup partners of benchmark docs share >= 94%), mirroring why
+    * production decontamination uses 8-13-gram overlap. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contamination(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, thrNum = 1, thrDen = 2)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_grams"), col("frac_r"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val gram = (1 to 7).foldLeft("w[i]")((acc, k) => s"$acc || ' ' || w[i+$k]")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, $gram AS sh
+       |       FROM tok, UNNEST(range(1, len(w) - 6)) AS u(i)),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+       |          WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+       |ov AS (SELECT s.doc_id, COUNT(*) AS n_shared
+       |       FROM sh s JOIN bench b USING (sh)
+       |       WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+       |SELECT doc_id, n_shared, n_grams,
+       |  round(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS frac_r
+       |FROM ov JOIN sizes USING (doc_id)
+       |WHERE n_shared * 2 >= n_grams
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** D3: SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
     * xxhash64-based — not oracle-expressible; rows-only check. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =

@@ -249,21 +249,22 @@ object Tpch2 {
        |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
 
   /** Q15: top supplier(s) by quarterly revenue. Lineitem is scanned and
-    * aggregated ONCE; the global max is a window over the per-supplier
-    * result, which is dimension-sized, so its single-partition exchange
-    * carries |suppliers| rows — strictly cheaper than the naive CTE
-    * formulation's second fact scan (verified: AQE does not reuse the
-    * shuffle stage across the rev/max(rev) subtrees). */
+    * aggregated ONCE (the persisted `rev` diamond — AQE does not reuse
+    * the shuffle stage across the rev/max(rev) subtrees); the global max
+    * is a partial-aggregate tree over the persisted per-supplier result,
+    * so only one partial max per partition crosses the wire — unlike an
+    * empty-frame window, which would funnel all |suppliers| rows through
+    * a single partition. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= tsLit("1996-01-01") &&
              col("l_shipdate") <  tsLit("1996-04-01"))
     val rev = l.groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      .persist()
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     val s = Tables.supplier(spark, dir)
-    rev.withColumn("max_revenue",
-        max(col("total_revenue")).over(Window.partitionBy()))
+    rev.join(broadcast(mx))
       .where(col("total_revenue") === col("max_revenue"))
       .join(broadcast(s), col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

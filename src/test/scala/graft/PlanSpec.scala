@@ -63,9 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(total > 0 && bounded == total)
   }
 
-  test("q15: lineitem is scanned once (window max, not a second agg subtree)") {
+  test("q15: lineitem is scanned once (persisted diamond, not a second agg subtree)") {
     val plan = executed(Tpch2.q15TopSupplier(spark, sf001)).toString
-    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 1, plan)
+    // both the rev and max(rev) subtrees read the persisted per-supplier
+    // aggregate (textual FileScan mentions inside the printed cached plan
+    // are cosmetic — the parquet is materialized once)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
+    // and the global max is a partial-agg tree, never an empty-frame
+    // window funnelling all suppliers through one partition
+    assert(!plan.contains("Window"), plan)
   }
 
   test("q7/q8: every dimension join broadcasts, facts never sort-merge") {
@@ -95,6 +101,13 @@ class PlanSpec extends SparkSpec {
 
   test("d5: exact near-dup is a block-pair equi-join — no nested loop, no cartesian") {
     val plan = executed(graft.queries.SimilarityQueries.cosineNearDup(spark, sf001)).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("d6: benchmark n-gram set broadcasts; corpus side never nested-loops") {
+    val plan = executed(graft.queries.DedupQueries.decontaminate(spark, sf001)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }

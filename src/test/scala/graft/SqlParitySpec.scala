@@ -21,7 +21,9 @@ class SqlParitySpec extends SparkSpec {
     // len-of-regexp-list (m1, m2), HUGEINT // division (pipe3),
     // list_cosine_similarity (sim5)
     "t7_repetition", "pipe1_quality_filter", "pipe3_token_pack",
-    "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features")
+    "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features",
+    // d6: string_split + UNNEST(range) lateral
+    "d6_decontaminate")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
