@@ -60,6 +60,48 @@ object Ingest {
       .start()
   }
 
+  /** Exactly-once streaming ingest THROUGH the ZTable facade. The plain
+    * file sink above is already exactly-once via its own metadata log,
+    * but it bypasses ZTable semantics; going through [[graft.sources
+    * .ZTable.append]] preserves resolution flooring, strict-order
+    * rejection, and the meta sidecar — and `append` is NOT idempotent,
+    * so a micro-batch replayed after a failure (Spark reprocesses the
+    * last uncommitted batch on restart) would double its rows. The
+    * batch-id high-water mark in the table directory closes that window:
+    * replays of already-landed batches are skipped. Mark persistence is
+    * one tiny driver-side file per batch — no data-path cost. */
+  def ingestZTable(
+      stream: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      spec: ZTableSpec = ZTableSpec()): StreamingQuery = {
+    val table = graft.sources.ZTable.createOrOpen(
+      stream.sparkSession, tablePath, spec)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        appendBatchIdempotent(table, df, batchId)
+      }
+      .start()
+  }
+
+  /** Append `df` as micro-batch `batchId` unless that batch already
+    * landed (exposed for direct testing of the replay path). */
+  def appendBatchIdempotent(table: graft.sources.ZTable,
+      df: DataFrame, batchId: Long): Unit = {
+    val mark = java.nio.file.Paths.get(table.path, "_last_stream_batch")
+    val last =
+      if (java.nio.file.Files.exists(mark))
+        java.nio.file.Files.readString(mark).trim.toLong
+      else -1L
+    if (batchId > last) {
+      table.append(df)
+      java.nio.file.Files.writeString(mark, batchId.toString)
+    }
+  }
+
   /** Streaming OHLCV bars: tumbling window per symbol with a watermark
     * bounding state; open/close via min_by/max_by on the sequence id. */
   def streamingOhlcv(stream: DataFrame, barWidth: String = "1 minute",

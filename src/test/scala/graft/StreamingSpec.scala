@@ -172,4 +172,29 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("n") == 2L)
     assert(last.getAs[Long]("sumCents") == 330L)
   }
+
+  test("ZTable streaming sink is exactly-once: replayed batches are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, "2024-01-01 10:00:01", "click", 1.0),
+      ev(2, "2024-01-02 10:00:02", "click", 2.0))
+    val out = Files.createTempDirectory("ztable_stream_").toString
+    val ckpt = Files.createTempDirectory("ztable_stream_ckpt_").toString
+    val q = Ingest.ingestZTable(mem.toDF(), out, ckpt,
+      ZTableSpec(strictOrder = false))
+    q.awaitTermination(60000)
+    val table = graft.sources.ZTable.open(spark, out)
+    assert(table.df.count() == 2)
+    // simulate Spark's post-failure replay: the SAME batch id arrives again
+    val replay = Seq(
+      ev(1, "2024-01-01 10:00:01", "click", 1.0),
+      ev(2, "2024-01-02 10:00:02", "click", 2.0)).toDF()
+    Ingest.appendBatchIdempotent(table, replay, 0L)
+    assert(table.df.count() == 2, "replayed batch 0 must be skipped")
+    // a genuinely new batch still lands
+    Ingest.appendBatchIdempotent(table,
+      Seq(ev(3, "2024-01-03 10:00:03", "click", 3.0)).toDF(), 1L)
+    assert(table.df.count() == 3)
+  }
 }
