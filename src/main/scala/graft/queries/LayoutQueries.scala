@@ -71,6 +71,33 @@ object LayoutQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Z1: Z-order-compaction round-trip — ingest events into a ZTable in
+    * several batches, rewrite the layout Morton-clustered on (ts,
+    * user_id), then run a time-range + user-range scan. Layout must
+    * never change results (the per-file bound tightening itself is
+    * pinned by ZTableSpec). */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_zorder_q_").toString + "/t"
+    val t = graft.sources.ZTable.create(spark, path,
+      graft.sources.ZTableSpec(strictOrder = false))
+    t.append(Tables.events(spark, dir))
+    t.compact(clusterBy = Seq("user_id"))
+    t.scan("2024-01-05 00:00:00", "2024-01-15 23:59:59")
+      .where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val zorderScanSql: String =
+    s"""SELECT user_id, COUNT(*) AS n, ${sqlSumMoney("value")} AS sum_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+       |  AND ts <= TIMESTAMP '2024-01-15 23:59:59'
+       |  AND user_id < 100
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** SKEW1: salted-join round-trip — the big side spreads each key over
     * deterministic salts, the small side replicates per salt (the
     * planner-independent hot-key tool); results must equal the plain

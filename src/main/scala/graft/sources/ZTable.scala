@@ -187,8 +187,17 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * append layout. Each partition rewrite is one distributed Spark job
     * (driver only enumerates partition dirs — bounded by the date grain,
     * never by rows); a production run would dispatch several partition
-    * jobs concurrently and commit via manifest instead of dir swap. */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    * jobs concurrently and commit via manifest instead of dir swap.
+    *
+    * `clusterBy` switches the rewrite to Z-ORDER layout: the sort key
+    * becomes a Morton interleave of ts and the given columns (numeric/
+    * timestamp columns min-max scaled per partition, strings hash-
+    * bucketed — see [[ZOrder]]), so row-group stats prune on secondary
+    * predicates too, at the cost of slightly looser ts bounds. A
+    * clusterBy compaction always rewrites (it exists to change layout,
+    * not just to merge small files). */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Int = {
     import scala.jdk.CollectionConverters._
     def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
       val s = Files.list(d)
@@ -206,12 +215,45 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       }
       val bytes = dataFiles.map(Files.size).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      if (dataFiles.length > nOut) {
+      if (dataFiles.length > nOut || (clusterBy.nonEmpty && dataFiles.nonEmpty)) {
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
-        spark.read.parquet(dir.toString)
-          .repartitionByRange(nOut, col(spec.tsCol))
-          .sortWithinPartitions(col(spec.tsCol))
-          .write.mode("overwrite").parquet(tmp.toString)
+        val base = spark.read.parquet(dir.toString)
+        val laid =
+          if (clusterBy.isEmpty)
+            base.repartitionByRange(nOut, col(spec.tsCol))
+              .sortWithinPartitions(col(spec.tsCol))
+          else {
+            // linearize each key: numeric/ts → double (min-max scaled on
+            // a partition-local stats pass — agg-sized, not row-sized),
+            // string → hash bucket; then one Morton key drives both the
+            // range split and the within-file sort.
+            import org.apache.spark.sql.types._
+            val keys = spec.tsCol +: clusterBy
+            val linear: Seq[(String, Option[org.apache.spark.sql.Column])] = keys.map { k =>
+              base.schema(k).dataType match {
+                case _: NumericType => k -> Some(col(k).cast("double"))
+                case _: TimestampType | _: TimestampNTZType =>
+                  k -> Some(unix_micros(col(k)).cast("double"))
+                case _ => k -> None
+              }
+            }
+            val statCols = linear.collect { case (k, Some(c)) =>
+              Seq(min(c).as(s"lo_$k"), max(c).as(s"hi_$k")) }.flatten
+            val stats =
+              if (statCols.isEmpty) null
+              else base.agg(statCols.head, statCols.tail: _*).head
+            val scaled = linear.map {
+              case (k, Some(c)) => ZOrder.scale(c,
+                stats.getAs[Double](s"lo_$k"), stats.getAs[Double](s"hi_$k"))
+              case (k, None) => ZOrder.bucket(col(k))
+            }
+            // ts least significant, clusterBy columns most significant
+            base.withColumn("z__", ZOrder.interleave(scaled))
+              .repartitionByRange(nOut, col("z__"))
+              .sortWithinPartitions(col("z__"))
+              .drop("z__")
+          }
+        laid.write.mode("overwrite").parquet(tmp.toString)
         // swap: tmp is fully written before the old dir disappears
         ls(dir).foreach(Files.delete)
         Files.delete(dir)

@@ -108,6 +108,58 @@ class ZTableSpec extends SparkSpec {
     assert(t.compact() == 1 && t.compact() == 0)
   }
 
+  test("z-order compaction tightens per-file bounds on the secondary column") {
+    // 4000 rows, 16 users, one day-partition. ts-only compaction leaves
+    // every output file spanning ALL users; z-order clustering must cut
+    // the per-file user spread while preserving the data exactly.
+    import org.apache.spark.sql.functions._
+    def data = (0 until 4000).map { i =>
+      (new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 20000L),
+        (i % 16).toLong, i.toDouble)
+    }
+    def build(path: String): ZTable = {
+      val t = ZTable.create(spark, path, Spec(strictOrder = false))
+      // 8 appends -> 8 input files (> the ~4-file output budget below)
+      (0 until 8).foreach { b =>
+        t.append(data.filter(_._3.toInt % 8 == b).toDF("ts", "user_id", "v"))
+      }
+      t
+    }
+    def perFileUserSpread(path: String): Seq[Long] = {
+      val s = Files.list(Paths.get(path, "p_date=2024-01-01"))
+      val fs = try {
+        val l = scala.collection.mutable.ArrayBuffer[String]()
+        s.forEach(p => if (p.getFileName.toString.endsWith(".parquet"))
+          l += p.toString)
+        l.toSeq
+      } finally s.close()
+      fs.map { f =>
+        spark.read.parquet(f).select(countDistinct(col("user_id")))
+          .head.getLong(0)
+      }
+    }
+    val pPlain = tmp(); val pZ = tmp()
+    val plain = build(pPlain); val zed = build(pZ)
+    val bytes = {
+      val s = Files.list(Paths.get(pPlain, "p_date=2024-01-01"))
+      try { var b = 0L; s.forEach(p => if (p.toString.endsWith(".parquet")) b += Files.size(p)); b }
+      finally s.close()
+    }
+    val target = math.max(1L, bytes / 4) // -> 4 output files
+    assert(plain.compact(target) == 1)
+    assert(zed.compact(target, clusterBy = Seq("user_id")) == 1)
+    val plainSpread = perFileUserSpread(pPlain)
+    val zSpread = perFileUserSpread(pZ)
+    assert(plainSpread.size >= 2 && zSpread.size >= 2)
+    // ts-sorted files each span all 16 users; z-ordered files must not
+    assert(plainSpread.forall(_ == 16L), plainSpread)
+    assert(zSpread.sum < plainSpread.sum, s"z=$zSpread plain=$plainSpread")
+    assert(zSpread.max <= 8L, s"z-ordered file spans too many users: $zSpread")
+    // data intact
+    assert(zed.df.orderBy("ts", "user_id").collect().toSeq ==
+      plain.df.orderBy("ts", "user_id").collect().toSeq)
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())
