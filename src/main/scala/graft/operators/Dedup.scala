@@ -23,16 +23,20 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Word n-gram shingle set: (id, sh) distinct. Tokenization is
-    * split-on-single-space over lowercased text, mirrored in oracle SQL. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Word n-gram shingle set: (id, sh), deduplicated per doc by default.
+    * Tokenization is split-on-single-space over lowercased text, mirrored
+    * in oracle SQL. `dedup = false` skips the distinct — callers that
+    * only need the gram STREAM (e.g. a map-side membership probe) avoid
+    * a corpus-wide shuffle that way. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      dedup: Boolean = true): DataFrame = {
     val w = split(lower(col(textCol)), " ")
-    df.select(col(idCol).as("id"), w.as("w"))
+    val raw = df.select(col(idCol).as("id"), w.as("w"))
       .where(size(col("w")) >= n)
       .withColumn("i", explode(sequence(lit(1), size(col("w")) - (n - 1))))
       .select(col("id"),
         concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("sh"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   /** Exact dedup: group by md5 content fingerprint, keep lowest id. */
@@ -81,18 +85,23 @@ object Dedup {
     * leaks still overlap almost fully).
     *
     * Scale shape: the benchmark side is an eval suite — tiny relative to
-    * the corpus — so its distinct n-gram set BROADCASTS; the corpus-side
-    * join is then a map-side hash probe and only matching (doc, gram)
-    * rows enter the one groupBy shuffle. Nothing is quadratic and the
-    * 100 TB corpus is scanned exactly once. */
+    * the corpus — so its distinct n-gram set BROADCASTS; the corpus side
+    * is a map-side hash probe over the raw gram stream (no corpus-wide
+    * distinct — the per-doc distinct-gram denominator comes from the
+    * single-pass [[graft.plans.RepetitionStats]] expression instead),
+    * and only MATCHING (doc, gram) rows enter a shuffle. Nothing is
+    * quadratic and the 100 TB corpus is scanned exactly once. */
   def contamination(docs: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       thrNum: Int = 1, thrDen: Int = 2): DataFrame = {
-    val trainSh = shingles(docs, idCol, textCol, n)
     val benchSh = shingles(bench, idCol, textCol, n).select(col("sh")).distinct()
-    val sizes = trainSh.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val shared = trainSh.join(broadcast(benchSh), Seq("sh"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val sizes = docs.select(col(idCol).as("id"),
+        graft.plans.TextOps.repetitionStats(split(lower(col(textCol)), " "), n)
+          .getField("n_distinct").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val shared = shingles(docs, idCol, textCol, n, dedup = false)
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("id")).agg(count_distinct(col("sh")).as("n_shared"))
     shared.join(sizes, Seq("id"))
       .where(col("n_shared") * thrDen >= col("n_grams") * thrNum)
       .select(col("id"), col("n_shared"), col("n_grams"),
