@@ -95,6 +95,26 @@ object SimilarityQueries {
       |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SIM6: persisted-IVF-index roundtrip — build the cell-partitioned
+    * index (graft.operators.IvfIndex), then probe ALL cells for query 0:
+    * a full probe degrades to the exact scan, so the layout must change
+    * nothing and sim1's brute-force oracle gates the whole build+search
+    * path (the same layout-roundtrip gate as s5/b1/z1). Partial-probe
+    * partition pruning and recall are pinned by SimilaritySpec. */
+  def ivfIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_q_")
+      .toString + "/idx"
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+      numCells = 16, path)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    graft.operators.IvfIndex.search(spark, path, qv, k = 10, nProbe = 16,
+        excludeId = Some(0L))
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+  }
+
   /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1 by
     * construction (bucket collisions only); rows-only check. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame =

@@ -186,8 +186,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * ranges and row-group min/max pruning gets strictly tighter than the
     * append layout. Each partition rewrite is one distributed Spark job
     * (driver only enumerates partition dirs — bounded by the date grain,
-    * never by rows); a production run would dispatch several partition
-    * jobs concurrently and commit via manifest instead of dir swap.
+    * never by rows), and the per-partition jobs are DISPATCHED
+    * CONCURRENTLY (Spark's scheduler interleaves them; the driver loop
+    * would otherwise serialize date-grain-many small jobs); a production
+    * run would commit via manifest instead of dir swap.
     *
     * `clusterBy` switches the rewrite to Z-ORDER layout: the sort key
     * becomes a Morton interleave of ts and the given columns (numeric/
@@ -207,8 +209,38 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     if (!Files.exists(root)) return 0
     val parts = ls(root).filter(d => Files.isDirectory(d) &&
       d.getFileName.toString.startsWith(partCol + "="))
-    var rewritten = 0
-    parts.foreach { dir =>
+    // Z-order stats: ONE grouped job covers every partition's min/max
+    // (grouped rows = #partitions × #keys — stats-sized), instead of one
+    // tiny agg job per date dir.
+    import org.apache.spark.sql.types._
+    val keys = spec.tsCol +: clusterBy
+    // linearizable (numeric/ts) keys get a double projection for min-max
+    // scaling; strings fall through to hash buckets
+    lazy val linearCol: Map[String, Option[org.apache.spark.sql.Column]] = {
+      val schema = spark.read.parquet(parts.head.toString).schema
+      keys.map { k =>
+        k -> (schema(k).dataType match {
+          case _: NumericType => Some(col(k).cast("double"))
+          case _: TimestampType | _: TimestampNTZType =>
+            Some(unix_micros(col(k)).cast("double"))
+          case _ => None
+        })
+      }.toMap
+    }
+    lazy val statsByPart: Map[String, org.apache.spark.sql.Row] = {
+      val statCols = keys.flatMap(k => linearCol(k).map(c =>
+        Seq(min(c).as(s"lo_$k"), max(c).as(s"hi_$k")))).flatten
+      if (statCols.isEmpty) Map.empty
+      else spark.read.parquet(path)
+        .groupBy(col(partCol).cast("string").as("p__"))
+        .agg(statCols.head, statCols.tail: _*)
+        .collect().map(r => r.getAs[String]("p__") -> r).toMap
+    }
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = parts.map { dir => Future {
       val dataFiles = ls(dir).filter { f =>
         val n = f.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
@@ -223,29 +255,17 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
             base.repartitionByRange(nOut, col(spec.tsCol))
               .sortWithinPartitions(col(spec.tsCol))
           else {
-            // linearize each key: numeric/ts → double (min-max scaled on
-            // a partition-local stats pass — agg-sized, not row-sized),
-            // string → hash bucket; then one Morton key drives both the
-            // range split and the within-file sort.
-            import org.apache.spark.sql.types._
-            val keys = spec.tsCol +: clusterBy
-            val linear: Seq[(String, Option[org.apache.spark.sql.Column])] = keys.map { k =>
-              base.schema(k).dataType match {
-                case _: NumericType => k -> Some(col(k).cast("double"))
-                case _: TimestampType | _: TimestampNTZType =>
-                  k -> Some(unix_micros(col(k)).cast("double"))
-                case _ => k -> None
+            // Morton key: numeric/ts keys min-max scaled per partition
+            // (from the precomputed stats), strings hash-bucketed; one
+            // key drives both the range split and the within-file sort.
+            val partVal = dir.getFileName.toString.stripPrefix(partCol + "=")
+            val stats = statsByPart.get(partVal).orNull
+            val scaled = keys.map { k =>
+              linearCol(k) match {
+                case Some(c) => ZOrder.scale(c,
+                  stats.getAs[Double](s"lo_$k"), stats.getAs[Double](s"hi_$k"))
+                case None => ZOrder.bucket(col(k))
               }
-            }
-            val statCols = linear.collect { case (k, Some(c)) =>
-              Seq(min(c).as(s"lo_$k"), max(c).as(s"hi_$k")) }.flatten
-            val stats =
-              if (statCols.isEmpty) null
-              else base.agg(statCols.head, statCols.tail: _*).head
-            val scaled = linear.map {
-              case (k, Some(c)) => ZOrder.scale(c,
-                stats.getAs[Double](s"lo_$k"), stats.getAs[Double](s"hi_$k"))
-              case (k, None) => ZOrder.bucket(col(k))
             }
             // ts least significant, clusterBy columns most significant
             base.withColumn("z__", ZOrder.interleave(scaled))
@@ -258,10 +278,11 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         ls(dir).foreach(Files.delete)
         Files.delete(dir)
         Files.move(tmp, dir)
-        rewritten += 1
+        rewritten.incrementAndGet()
       }
-    }
-    rewritten
+    }}
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    rewritten.get
   }
 
   private[sources] def writeMeta(): Unit = {

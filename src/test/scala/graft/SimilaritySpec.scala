@@ -100,6 +100,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex: partial probe prunes partitions and equals brute force over probed cells") {
+    import graft.operators.IvfIndex
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx_spec_")
+      .toString + "/idx"
+    IvfIndex.build(emb, "vec_id", "embedding", numCells = 8, path)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    // partial probe: partition pruning must reach the scan
+    val probe2 = IvfIndex.search(spark, path, qv, k = 10, nProbe = 2,
+      excludeId = Some(0L))
+    val plan = probe2.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("cell.* IN ".r.findFirstIn(plan).isDefined ||
+      plan.contains("cell#"), plan)
+    // the probe result is exactly brute-force top-k restricted to the
+    // probed cells — a deterministic property, unlike recall
+    val probedCells = spark.read.parquet(path)
+      .where(col("id").isin(probe2.collect().map(_.getAs[Long]("id")).toIndexedSeq: _*))
+      .select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(probedCells.size <= 2, s"results crossed probe boundary: $probedCells")
+    // full probe: identical to the global brute force (the sim6 gate)
+    val full = IvfIndex.search(spark, path, qv, k = 10, nProbe = 8,
+        excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(full == brute)
+  }
+
   test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
     import graft.functions.VecCentroid
     val emb = graft.Tables.embeddings(spark, sf001)

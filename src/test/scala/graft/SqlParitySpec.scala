@@ -23,7 +23,9 @@ class SqlParitySpec extends SparkSpec {
     "t7_repetition", "pipe1_quality_filter", "pipe3_token_pack",
     "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features",
     // d6: string_split + UNNEST(range) lateral
-    "d6_decontaminate")
+    "d6_decontaminate",
+    // sim6 shares sim1's list_cosine_similarity oracle
+    "sim6_ivf_index")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
