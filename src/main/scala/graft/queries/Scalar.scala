@@ -125,6 +125,32 @@ object Scalar {
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-15 23:59:59'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** DEL1: copy-on-write takedown — append events to a ZTable, DELETE the
+    * matching rows (`deleteWhere` rewrites only partitions containing
+    * matches), aggregate what remains. The oracle filters the original
+    * table with the negated predicate, so the delete must remove exactly
+    * the matching rows and nothing else across every partition. */
+  def takedown(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_del_").toString
+    deleteRecursively(Paths.get(path))
+    val t = ZTable.create(spark, path,
+      ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day, strictOrder = false))
+    t.append(Tables.events(spark, dir))
+    t.deleteWhere(col("event_type") === "error" && col("value") > 50.0)
+    t.df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val takedownSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE NOT (event_type = 'error' AND value > 50.0)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -285,6 +285,48 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     rewritten.get
   }
 
+  /** Copy-on-write delete: remove every row matching `pred`, rewriting
+    * ONLY the partition directories that contain matches — the takedown
+    * / right-to-be-forgotten primitive a training-data store needs.
+    *
+    * Scale shape: the per-partition probe is a `pred`-filtered count, so
+    * parquet pushdown + row-group stats bound it (a partition with no
+    * candidate row groups reads only footers); untouched partitions are
+    * never rewritten; affected ones rewrite once, ts-sorted, preserving
+    * the scan layout. Partition probes/rewrites dispatch concurrently
+    * like compact. Returns the number of rows deleted. */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
+    import scala.jdk.CollectionConverters._
+    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.iterator.asScala.toList finally s.close()
+    }
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return 0L
+    val parts = ls(root).filter(d => Files.isDirectory(d) &&
+      d.getFileName.toString.startsWith(partCol + "="))
+    val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = parts.map { dir => Future {
+      val base = spark.read.parquet(dir.toString)
+      val hits = base.where(pred).count()
+      if (hits > 0) {
+        val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
+        base.where(!coalesce(pred, lit(false)))
+          .sortWithinPartitions(col(spec.tsCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        ls(dir).foreach(Files.delete)
+        Files.delete(dir)
+        Files.move(tmp, dir)
+        deleted.addAndGet(hits)
+      }
+    }}
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    deleted.get
+  }
+
   private[sources] def writeMeta(): Unit = {
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +

@@ -160,6 +160,38 @@ class ZTableSpec extends SparkSpec {
       plain.df.orderBy("ts", "user_id").collect().toSeq)
   }
 
+  test("deleteWhere removes matching rows, rewrites only affected partitions") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (ts("2024-01-01 10:00:00"), "A", 1.0),
+      (ts("2024-01-01 11:00:00"), "B", 2.0),
+      (ts("2024-01-02 10:00:00"), "A", 3.0),
+      (ts("2024-01-03 10:00:00"), "C", 4.0)).toDF("ts", "sym", "v"))
+    def fileNames(day: String): Set[String] = {
+      val s = Files.list(Paths.get(path, s"p_date=$day"))
+      try {
+        val l = scala.collection.mutable.Set[String]()
+        s.forEach(p => if (p.toString.endsWith(".parquet"))
+          l += p.getFileName.toString)
+        l.toSet
+      } finally s.close()
+    }
+    val day2Before = fileNames("2024-01-02")
+    val day3Before = fileNames("2024-01-03")
+    // only 2024-01-01 contains sym=B
+    assert(t.deleteWhere(col("sym") === "B") == 1L)
+    assert(t.df.count() == 3)
+    assert(t.df.where(col("sym") === "B").count() == 0)
+    // untouched partitions keep their exact files (no rewrite)
+    assert(fileNames("2024-01-02") == day2Before)
+    assert(fileNames("2024-01-03") == day3Before)
+    // no-match delete is a no-op everywhere
+    assert(t.deleteWhere(col("sym") === "ZZZ") == 0L)
+    assert(t.df.count() == 3)
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())
