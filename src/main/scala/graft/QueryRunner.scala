@@ -18,13 +18,16 @@ import graft.sources.ZTable
   * engine-side contract is: JSON request in → Spark plan → JSON rows out.
   *
   * Request:
-  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe", "table":"/path/to/ztable",
+  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete",
+  *  "table":"/path/to/ztable",
   *  "from":"2024-01-01 00:00:00", "to":"...",        // scan/ohlcv
   *  "cols":["ts","v"],                                // scan projection
   *  "col":"sym",                                      // symbols / ohlcv
   *  "symbols":["A","B"],                              // ohlcv filter
   *  "price":"v", "size":"v", "seq":"ts",              // ohlcv columns
-  *  "width":"1 hour"}                                 // ohlcv bar width
+  *  "width":"1 hour",                                 // ohlcv bar width
+  *  "clusterBy":["user_id"], "targetFileBytes":1e8,   // compact (z-order)
+  *  "where":"sym = 'B' AND v > 50"}                   // delete predicate
   */
 object QueryRunner {
 
@@ -66,6 +69,15 @@ object QueryRunner {
           seqCol = strOpt("seq").getOrElse(table.spec.tsCol),
           width = strOpt("width").getOrElse("1 minute"))
           .orderBy("bucket", sym)
+      case "compact" =>
+        val target = req.get("targetFileBytes")
+          .collect { case n: Number => n.longValue }
+          .getOrElse(128L * 1024 * 1024)
+        val n = table.compact(target, clusterBy = list("clusterBy"))
+        spark.range(1).select(lit(n.toLong).as("partitions_rewritten"))
+      case "delete" =>
+        val n = table.deleteWhere(expr(str("where")))
+        spark.range(1).select(lit(n).as("rows_deleted"))
       case other =>
         throw new IllegalArgumentException(s"unknown op '$other'")
     }

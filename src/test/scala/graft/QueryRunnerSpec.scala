@@ -63,6 +63,18 @@ class QueryRunnerSpec extends SparkSpec {
     assert(rows("v").isEmpty)
   }
 
+  test("delete and compact admin requests") {
+    val path = mkTable()
+    val del = QueryRunner.run(spark,
+      s"""{"op":"delete","table":"$path","where":"sym = 'B'"}""").head
+    assert(del.getAs[Long]("rows_deleted") == 1L)
+    assert(ZTable.open(spark, path).df.count() == 3)
+    val comp = QueryRunner.run(spark,
+      s"""{"op":"compact","table":"$path","clusterBy":["sym"]}""").head
+    assert(comp.getAs[Long]("partitions_rewritten") == 2L)
+    assert(ZTable.open(spark, path).df.count() == 3)
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {
