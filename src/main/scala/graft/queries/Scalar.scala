@@ -151,6 +151,32 @@ object Scalar {
       |WHERE NOT (event_type = 'error' AND value > 50.0)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** IVM1: incremental rollup maintenance — three delta refreshes (one
+    * per event_id residue class) with a mid-stream delta compaction;
+    * the merged read must equal the one-shot aggregate over the whole
+    * table, proving partials are algebraic and merge/compaction
+    * lossless. Each refresh only aggregates its batch — the maintenance
+    * cost a 100 TB pipeline actually pays. */
+  def rollupRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_ivm_").toString + "/rollup"
+    val r = graft.sources.RollupTable(spark, path, grain = "day",
+      tsCol = "ts", dims = Seq("event_type"), valueCol = "value")
+    val ev = Tables.events(spark, dir)
+    r.refresh(ev.where(col("event_id") % 3 === 0))
+    r.refresh(ev.where(col("event_id") % 3 === 1))
+    r.compactDeltas()
+    r.refresh(ev.where(col("event_id") % 3 === 2))
+    r.read()
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("sum_val").cast("double").as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val rollupRefreshSql: String =
+    """SELECT date_trunc('day', ts) AS bucket, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
