@@ -43,6 +43,36 @@ class RollupTable(val spark: SparkSession, val path: String,
       .groupBy(col("bucket") +: dims.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_val")).as("sum_val"))
 
+  /** Streaming face: maintain this rollup from a stream. Each
+    * micro-batch folds via [[refresh]]; a batch-id high-water mark makes
+    * post-failure replays no-ops (refresh APPENDS a delta, so a replayed
+    * batch would otherwise double-count — same guard as
+    * Ingest.ingestZTable). */
+  def sink(stream: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        refreshBatchIdempotent(df, batchId)
+      }
+      .start()
+
+  /** Fold `df` as micro-batch `batchId` unless that batch already landed
+    * (exposed for direct testing of the replay path). The mark is a
+    * SIBLING of the parquet dir so delta compaction's dir swap cannot
+    * clobber it. */
+  def refreshBatchIdempotent(df: DataFrame, batchId: Long): Unit = {
+    val mark = Paths.get(path + "._last_stream_batch")
+    val last =
+      if (Files.exists(mark)) Files.readString(mark).trim.toLong else -1L
+    if (batchId > last) {
+      refresh(df)
+      Files.writeString(mark, batchId.toString)
+    }
+  }
+
   /** Fold all accumulated deltas into a single partial set: stage the
     * merged rollup to a sibling dir (never read-while-overwrite), then
     * swap. Restores O(#groups) reads after many refreshes. */

@@ -197,4 +197,34 @@ class StreamingSpec extends SparkSpec {
       Seq(ev(3, "2024-01-03 10:00:03", "click", 3.0)).toDF(), 1L)
     assert(table.df.count() == 3)
   }
+
+  test("streaming rollup sink maintains the aggregate; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00", "click", 1.50),
+      ev(2, "2024-01-01 11:00:00", "click", 2.25),
+      ev(3, "2024-01-02 10:00:00", "view", 4.00))
+    val path = Files.createTempDirectory("rollup_stream_").toString + "/r"
+    val ckpt = Files.createTempDirectory("rollup_stream_ckpt_").toString
+    val r = graft.sources.RollupTable(spark, path,
+      dims = Seq("event_type"), valueCol = "value")
+    r.sink(mem.toDF(), ckpt).awaitTermination(60000)
+    def snapshot() = r.read().collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getAs[Long]("n"),
+        x.getAs[java.math.BigDecimal]("sum_val").doubleValue))
+      .toSet
+    val after1 = snapshot()
+    assert(after1 == Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L, 3.75),
+      (ts("2024-01-02 00:00:00"), "view", 1L, 4.00)))
+    // replayed batch 0 must not double-count
+    val replay = Seq(ev(1, "2024-01-01 10:00:00", "click", 1.50)).toDF()
+    r.refreshBatchIdempotent(replay, 0L)
+    assert(snapshot() == after1)
+    // a new batch folds in incrementally
+    r.refreshBatchIdempotent(
+      Seq(ev(4, "2024-01-01 12:00:00", "click", 0.25)).toDF(), 1L)
+    assert(snapshot().contains((ts("2024-01-01 00:00:00"), "click", 3L, 4.00)))
+  }
 }
