@@ -78,6 +78,45 @@ object PipelineQueries {
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
 
+  /** PIPE4: deterministic mixture resampling — the corpus-assembly step
+    * that up/down-samples each source to its target weight ("2.25 epochs
+    * of curated, 0.4 of crawl"). Every doc emits floor(w) copies plus
+    * one more iff its md5 prefix falls under frac(w) — seedless,
+    * engine-agnostic (hex strings compare numerically when lowercase and
+    * equal length), and exactly w in expectation per source. Pure
+    * map-side: no shuffle beyond the oracle's output sort; at 100 TB
+    * resampling is a flat-map over the scan. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val curated = col("source").isin((0 until 5).map("src" + _): _*)
+    val whole = when(curated, 2).otherwise(0)
+    // frac(2.25)=0.25 -> md5 prefix < '40000000'; frac(0.4) -> '66666666'
+    val extra = when(substring(md5(col("text")), 1, 8) <
+      when(curated, "40000000").otherwise("66666666"), 1).otherwise(0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (whole + extra).cast(LongType).as("n_copies"))
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .select(col("source"), col("doc_id"), col("copy"))
+      .orderBy("source", "doc_id", "copy")
+  }
+
+  val mixtureResampleSql: String =
+    """WITH w AS (
+      |  SELECT source, doc_id,
+      |    (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |          THEN 2 ELSE 0 END)
+      |    + (CASE WHEN substr(md5(text), 1, 8) <
+      |            (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+      |                  THEN '40000000' ELSE '66666666' END)
+      |       THEN 1 ELSE 0 END) AS n_copies
+      |  FROM documents
+      |)
+      |SELECT source, doc_id, CAST(t.c AS BIGINT) AS copy
+      |FROM w, UNNEST(range(1, n_copies + 1)) AS t(c)
+      |WHERE n_copies > 0
+      |ORDER BY source, doc_id, copy""".stripMargin
+
   /** PIPE3: greedy token-budget packing — assign documents (per source,
     * in doc_id order) to training-batch bins of 512 tokens by running
     * cumulative sum; bin = tokens-before-this-doc div 512. Pure integer

@@ -26,11 +26,17 @@ class RollupTable(val spark: SparkSession, val path: String,
     val grain: String, val tsCol: String, val dims: Seq[String],
     val valueCol: String) {
 
+  /** Every stored partial carries the SAME sum type — Spark widens
+    * decimal sums (18,2 → 28,2), and a dir mixing fresh-delta and
+    * compacted-merge precisions fails the parquet read. */
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("sum_val", col("sum_val").cast("decimal(18,2)"))
+
   private def partial(batch: DataFrame): DataFrame =
-    batch.groupBy(
+    normalize(batch.groupBy(
         date_trunc(grain, col(tsCol)).as("bucket") +: dims.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("sum_val"))
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_val")))
 
   /** Fold one batch into the rollup: aggregate the batch, append the
     * delta. Never touches existing data. */
@@ -39,9 +45,9 @@ class RollupTable(val spark: SparkSession, val path: String,
 
   /** Merge-on-read: re-aggregate the stored partials (delta-sized). */
   def read(): DataFrame =
-    spark.read.parquet(path)
+    normalize(spark.read.parquet(path)
       .groupBy(col("bucket") +: dims.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("sum_val")).as("sum_val"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_val")).as("sum_val")))
 
   /** Streaming face: maintain this rollup from a stream. Each
     * micro-batch folds via [[refresh]]; a batch-id high-water mark makes

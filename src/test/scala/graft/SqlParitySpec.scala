@@ -25,7 +25,9 @@ class SqlParitySpec extends SparkSpec {
     // d6: string_split + UNNEST(range) lateral
     "d6_decontaminate",
     // sim6 shares sim1's list_cosine_similarity oracle
-    "sim6_ivf_index")
+    "sim6_ivf_index",
+    // pipe4: UNNEST(range) lateral
+    "pipe4_mixture")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
