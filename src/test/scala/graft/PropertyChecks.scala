@@ -139,4 +139,25 @@ object PropertyChecks extends Properties("graft") {
       }.toMap
       got == expected
     }
+
+  private val u16: Gen[Int] = Gen.choose(0, 65535)
+
+  property("ZOrder.interleave is injective and monotone per coordinate") =
+    Prop.forAll(Gen.listOfN(12, for { a <- u16; b <- u16 } yield (a, b))) { pairs0 =>
+      val pairs = pairs0.distinct
+      // evaluate z for each pair and its per-coordinate bumps in one job
+      val probes = pairs.flatMap { case (a, b) =>
+        Seq((a, b), (math.min(a + 1, 65535), b), (a, math.min(b + 1, 65535)))
+      }.distinct
+      val z = probes.toDF("a", "b")
+        .select(col("a"), col("b"), graft.sources.ZOrder.interleave(
+          Seq(col("a").cast("long"), col("b").cast("long"))).as("z"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val injective = z.values.toSet.size == probes.size
+      val monotone = pairs.forall { case (a, b) =>
+        (a == 65535 || z((a + 1, b)) > z((a, b))) &&
+        (b == 65535 || z((a, b + 1)) > z((a, b)))
+      }
+      injective && monotone
+    }
 }
