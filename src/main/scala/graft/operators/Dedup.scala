@@ -122,20 +122,39 @@ object Dedup {
     }
   }
 
-  /** MinHash + LSH banding candidates, verified with exact Jaccard.
-    * numHashes = bands * rowsPerBand. */
-  def minhashLshPairs(
-      sh: DataFrame,
-      thrNum: Int, thrDen: Int,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = sh.withColumn("h", hash(col("sh")))
+  /** Test-only reference: the exploded min-aggregation signature the
+    * single-pass MinHashSig expression replaced (DedupSpec gates their
+    * bit-equality). */
+  private[graft] def minhashSigViaAgg(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.withColumn("h", hash(col("sh")))
       .groupBy(col("id")).agg(minhashAggs(numHashes).head, minhashAggs(numHashes).tail: _*)
+
+  /** MinHash + LSH banding candidates, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand.
+    *
+    * Signatures are computed MAP-SIDE by the single-pass MinHashSig
+    * expression (one imperative pass per document in the scan stage) —
+    * the exploded shingle-then-72-way-min-agg formulation shuffled the
+    * whole corpus's (id, shingle-hash) pairs just to build signatures,
+    * the dominant exchange at 100 TB. Shingles are still materialized,
+    * but only the exact-verify join on the (tiny) candidate set reads
+    * them. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      thrNum: Int, thrDen: Int,
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val words = split(lower(col(textCol)), " ")
+    val sig = docs.select(col(idCol).as("id"),
+        graft.plans.TextOps.minhashSig(words, shingleN, numHashes).as("mh"))
+      .where(col("mh").isNotNull)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*)
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("mh"), bnd * rowsPerBand + r + 1)): _*)
           .as("sig"))
     }
+    val sh = shingles(docs, idCol, textCol, shingleN)
     val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = bucketed.select(col("id").as("ida"), col("band"), col("sig"))
@@ -157,8 +176,16 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document from xxhash64 token hashes. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document from xxhash64 token hashes — computed
+    * MAP-SIDE by the single-pass SimHash64 expression (zero shuffle; the
+    * exploded 64-way bit-count aggregation it replaces shuffled every
+    * (doc, token-hash) pair — DedupSpec gates bit-equality of the two). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.plans.TextOps.simhash64(split(lower(col(textCol)), " ")).as("simhash"))
+
+  /** Test-only reference: the exploded bit-count formulation. */
+  private[graft] def simhashViaAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("t"))
       .withColumn("h", xxhash64(col("t")))

@@ -158,4 +158,10 @@ object TextOps {
 
   def repetitionStats(words: Column, n: Int = 3): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(words), n))
+
+  def simhash64(words: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(words)))
+
+  def minhashSig(words: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(words), n, numHashes))
 }

@@ -57,7 +57,7 @@ object DedupQueries {
     * 8x4 banding missed it ~1.5% of configurations). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
-        Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+        Tables.documents(spark, dir), "doc_id", "text",
         thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3)
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")

@@ -27,9 +27,30 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the same near-dup pair") {
-    val pairs = Dedup.minhashLshPairs(Dedup.shingles(docs, "doc_id", "text", 3), 1, 2)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 1, 2)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
     assert(pairs.contains((0L, 1L)))
+  }
+
+  test("single-pass signature expressions are bit-identical to the agg formulations (sf0.001)") {
+    val corpus = graft.Tables.documents(spark, sf001)
+    // SimHash64 expression vs exploded 64-way bit-count agg
+    val viaExpr = Dedup.simhash(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    val viaAgg = Dedup.simhashViaAgg(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(viaExpr == viaAgg)
+    // MinHashSig expression vs exploded 72-way min agg
+    import org.apache.spark.sql.functions._
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val aggSig = Dedup.minhashSigViaAgg(sh, 72).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (0 until 72).map(j => r.getAs[Long](s"mh_$j")).toSeq).toMap
+    val exprSig = corpus.select(col("doc_id"),
+        graft.plans.TextOps.minhashSig(split(lower(col("text")), " "), 3, 72).as("mh"))
+      .where(col("mh").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSeq).toMap
+    assert(exprSig == aggSig)
   }
 
   test("simhash: identical text -> hamming 0, disjoint text -> large") {
