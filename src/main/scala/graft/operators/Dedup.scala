@@ -143,20 +143,17 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       thrNum: Int, thrDen: Int,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val words = split(lower(col(textCol)), " ")
+    // band strings emitted by ONE expression evaluation per row —
+    // element_at-per-band would let CollapseProject re-evaluate the
+    // signature bands×rows times (see MinHashBands scaladoc)
     val sig = docs.select(col(idCol).as("id"),
-        graft.plans.TextOps.minhashSig(words, shingleN, numHashes).as("mh"))
-      .where(col("mh").isNotNull)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          element_at(col("mh"), bnd * rowsPerBand + r + 1)): _*)
-          .as("sig"))
-    }
+        graft.plans.TextOps.minhashBands(words, shingleN, bands, rowsPerBand)
+          .as("bsig"))
+      .where(col("bsig").isNotNull)
     val sh = shingles(docs, idCol, textCol, shingleN)
-    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bucketed = sig.select(col("id"),
+        posexplode(col("bsig")).as(Seq("band", "sig")))
     val cand = bucketed.select(col("id").as("ida"), col("band"), col("sig"))
       .join(bucketed.select(col("id").as("idb"), col("band"), col("sig")), Seq("band", "sig"))
       .where(col("ida") < col("idb"))

@@ -61,13 +61,76 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+private[plans] object SigEval {
+  val PRIME = 2147483647L // 2^31 - 1
+
+  /** MinHash minima over word n-grams, or null when fewer than n words
+    * (the exploded formulation emitted no rows for those docs).
+    *
+    * Gram bytes are assembled in a reusable buffer — UTF-8 of a
+    * space-joined string == word bytes joined by 0x20, so no String
+    * round-trip is needed to match the replaced `hash(concat_ws(...))`:
+    * Spark `hash()` is Murmur3 seed 42 with an IntegerType result, which
+    * the replaced pipeline sign-extended to Long before the universal
+    * hash. Replicated exactly. */
+  def minhash(words: ArrayData, n: Int, numHashes: Int,
+      hashA: Array[Long], hashB: Array[Long]): Array[Long] = {
+    val nw = words.numElements()
+    val ng = nw - n + 1
+    if (ng <= 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val wb: Array[Array[Byte]] =
+      Array.tabulate(nw) { i =>
+        val w = words.getUTF8String(i)
+        if (w == null) Array.emptyByteArray else w.getBytes
+      }
+    var maxLen = 0
+    var i = 0
+    while (i < ng) {
+      var len = n - 1
+      var d = 0
+      while (d < n) { len += wb(i + d).length; d += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    i = 0
+    while (i < ng) {
+      var pos = 0
+      var d = 0
+      while (d < n) {
+        if (d > 0) { buf(pos) = ' '; pos += 1 }
+        val b = wb(i + d)
+        System.arraycopy(b, 0, buf, pos, b.length)
+        pos += b.length
+        d += 1
+      }
+      val h = Murmur3HashFunction.hash(
+        UTF8String.fromBytes(buf, 0, pos), StringType, 42L).toInt.toLong
+      var j = 0
+      while (j < numHashes) {
+        val v = {
+          val m = (h * hashA(j) + hashB(j)) % PRIME
+          if (m < 0) m + PRIME else m
+        }
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  def coeffA(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(j => 2L * j + 1)
+  def coeffB(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(j => 1099511628211L * (j + 1) % PRIME)
+}
+
 /** MinHash signature over word n-grams: array of `numHashes` universal-
-  * hash minima, or null when the document has fewer than n words (the
-  * exploded formulation emitted no rows for those — callers filter). */
+  * hash minima, or null when the document has fewer than n words. */
 case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
-
-  private val PRIME = 2147483647L // 2^31 - 1
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -81,41 +144,65 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
       s"MinHashSig requires array<string>, got ${other.simpleString}")
   }
 
+  @transient private lazy val hashA = SigEval.coeffA(numHashes)
+  @transient private lazy val hashB = SigEval.coeffB(numHashes)
+
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
-    val nw = words.numElements()
-    val ng = nw - this.n + 1
-    if (ng <= 0) return null
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < ng) {
-      sb.setLength(0)
-      var d = 0
-      while (d < this.n) {
-        if (d > 0) sb.append(' ')
-        val w = words.getUTF8String(i + d)
-        if (w != null) sb.append(w.toString)
-        d += 1
-      }
-      // Spark `hash()`: Murmur3, seed 42, IntegerType result — then the
-      // replaced pipeline cast it to Long (sign extension) before the
-      // universal hash. Replicate exactly.
-      val h = Murmur3HashFunction.hash(
-        UTF8String.fromString(sb.toString), StringType, 42L).toInt.toLong
-      var j = 0
-      while (j < numHashes) {
-        val a = 2L * j + 1
-        val b = 1099511628211L * (j + 1) % PRIME
-        val v = { val m = (h * a + b) % PRIME; if (m < 0) m + PRIME else m }
-        if (v < mins(j)) mins(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+    val mins = SigEval.minhash(
+      input.asInstanceOf[ArrayData], n, numHashes, hashA, hashB)
+    if (mins == null) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** LSH band signatures in ONE evaluation: array of `bands` strings, each
+  * the '_'-joined minima of its rows. Emitting the banded form directly
+  * matters because referencing a signature array column from `bands ×
+  * rows` band-string expressions lets CollapseProject inline the parent
+  * projection and re-evaluate the signature per REFERENCE — the same
+  * O(references) trap WinnowFingerprints documents. One expression, one
+  * pass, one row. */
+case class MinHashBands(child: Expression, n: Int, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) =>
+      if (n < 1 || bands < 1 || rowsPerBand < 1) TypeCheckResult.TypeCheckFailure(
+        s"MinHashBands needs positive n/bands/rowsPerBand, got ($n, $bands, $rowsPerBand)")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"MinHashBands requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val hashA = SigEval.coeffA(bands * rowsPerBand)
+  @transient private lazy val hashB = SigEval.coeffB(bands * rowsPerBand)
+
+  override def nullSafeEval(input: Any): Any = {
+    val mins = SigEval.minhash(
+      input.asInstanceOf[ArrayData], n, bands * rowsPerBand, hashA, hashB)
+    if (mins == null) return null
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('_')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
     copy(child = c)
 }

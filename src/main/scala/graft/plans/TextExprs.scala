@@ -164,4 +164,7 @@ object TextOps {
 
   def minhashSig(words: Column, n: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(words), n, numHashes))
+
+  def minhashBands(words: Column, n: Int, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(MinHashBands(ColumnBridge.expression(words), n, bands, rowsPerBand))
 }
