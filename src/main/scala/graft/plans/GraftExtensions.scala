@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.winnowDescriptor)
     e.injectFunction(GraftExtensions.repetitionDescriptor)
+    e.injectFunction(GraftExtensions.simhashDescriptor)
+    e.injectFunction(GraftExtensions.minhashDescriptor)
     e.injectOptimizerRule(_ => NanosPushdownRule)
   }
 }
@@ -66,6 +68,28 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RepetitionStats].getName, "repetition"),
     (exprs: Seq[Expression]) => buildRepetition(exprs))
 
+  private def buildSimhash(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => SimHash64(c)
+    case _ => throw new IllegalArgumentException("simhash64 takes 1 argument")
+  }
+
+  /** minhash(words_array, n, num_hashes) — ints must be literals. */
+  private def buildMinhash(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c, Literal(n: Int, _), Literal(k: Int, _)) => MinHashSig(c, n, k)
+    case _ => throw new IllegalArgumentException(
+      "minhash takes (words_array, n_literal, num_hashes_literal)")
+  }
+
+  private[graft] val simhashDescriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => buildSimhash(exprs))
+
+  private[graft] val minhashDescriptor = (
+    FunctionIdentifier("minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash"),
+    (exprs: Seq[Expression]) => buildMinhash(exprs))
+
   /** Register on an already-built session: the custom Catalyst
     * expressions, plus the scalar function library (currency formatting,
     * trading calendar) and the fold UDAF — the full SQL face of graft's
@@ -77,6 +101,10 @@ object GraftExtensions {
       "winnow", buildWinnow, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition", buildRepetition, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", buildSimhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash", buildMinhash, "scala_udf")
     graft.functions.Calendar.register(spark)
     graft.functions.Format.register(spark)
     spark.udf.register("fold_sum_cents",

@@ -44,6 +44,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("repetition n must be >= 1"))
   }
 
+  test("simhash64 and minhash are callable from SQL and match the operator face") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_sig_docs")
+    val viaSql = spark.sql(
+      """SELECT simhash64(split(lower(text), ' ')) AS sh,
+        |       minhash(split(lower(text), ' '), 3, 4) AS mh
+        |FROM ext_sig_docs""".stripMargin).head
+    val viaOp = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+      .head.getAs[Long]("simhash")
+    assert(viaSql.getAs[Long]("sh") == viaOp)
+    assert(viaSql.getSeq[Long](1).length == 4)
+  }
+
   test("format_currency and fold_sum_cents are callable from SQL") {
     GraftExtensions.register(spark)
     val f = spark.sql("SELECT format_currency(CAST(1234.5678 AS FLOAT), 5) AS s")
