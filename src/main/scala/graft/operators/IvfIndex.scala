@@ -49,21 +49,42 @@ object IvfIndex {
   /** Build the index directory: `cell=<id>/` parquet partitions holding
     * (id, vec, vnorm), plus `_centroids.json`. One scan, zero shuffle —
     * assignment is a codegen'd array-argmax over literal centroid
-    * vectors; the partitioned write distributes rows by cell value. */
+    * vectors; the partitioned write distributes rows by cell value.
+    *
+    * `quantize = true` stores int8 codes + a per-vector scale INSTEAD of
+    * the float vector: probes then read ~1/4 the bytes — at 100 TB, ANN
+    * serving is scan-I/O-bound, so storage width is the lever that
+    * matters after partition pruning. Cell assignment still uses full
+    * precision; only storage (and therefore probe-time cosines, within
+    * ~1e-2) is approximate — SimilaritySpec bounds the recall and the
+    * cosine error. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, path: String): Unit = {
+      numCells: Int, path: String, quantize: Boolean = false): Unit = {
     val cents = centroids(emb, idCol, vecCol, numCells)
     val cellIds = typedlit(cents.map(_.cell))
     val simCols = cents.map { c =>
       VectorOps.dot(col("vec"), typedlit(c.vec)) / (col("vnorm") * lit(c.norm))
     }
-    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
       .withColumn("sims", array(simCols.toIndexedSeq: _*))
       .withColumn("cell",
         element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .drop("sims")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val stored =
+      if (!quantize) assigned
+      else assigned
+        // one-time build cost: HOFs are fine here, the hot path is probe
+        .withColumn("scale",
+          greatest(aggregate(col("vec"),
+            lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0,
+            lit(java.lang.Double.MIN_NORMAL)))
+        .withColumn("codes", transform(col("vec"),
+          x => round(x.cast("double") / col("scale")).cast("byte")))
+        // norm of the DEQUANTIZED vector keeps probe cosines in [-1, 1]
+        .withColumn("vnorm", col("scale") * sqrt(VectorOps.normSq(col("codes"))))
+        .drop("vec")
+    stored.write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = cents.map(c =>
         s"""{"cell":${c.cell},"norm":${c.norm},"vec":[${c.vec.mkString(",")}]}""")
       .mkString("[", ",", "]")
@@ -103,10 +124,15 @@ object IvfIndex {
       .map(_._1)
     val probedScan = spark.read.parquet(path)
       .where(col("cell").isin(probed.toIndexedSeq: _*))
-    excludeId.fold(probedScan)(x => probedScan.where(col("id") =!= x))
-      .select(col("id"),
-        (VectorOps.dot(col("vec"), typedlit(queryVec)) / (col("vnorm") * lit(qnorm)))
-          .as("cos"))
+    val filtered = excludeId.fold(probedScan)(x => probedScan.where(col("id") =!= x))
+    // quantized index: dot(q, codes)·scale == dot(q, dequantized), one
+    // codegen'd int8 loop per row reading 1/4 the bytes
+    val dot =
+      if (filtered.columns.contains("codes"))
+        VectorOps.dot(typedlit(queryVec), col("codes")) * col("scale")
+      else VectorOps.dot(col("vec"), typedlit(queryVec))
+    filtered
+      .select(col("id"), (dot / (col("vnorm") * lit(qnorm))).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

@@ -27,14 +27,14 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   private def ok(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    case ArrayType(FloatType | DoubleType | ByteType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"DotProduct requires array<float|double> inputs, got " +
+      s"DotProduct requires array<float|double|tinyint> inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
@@ -42,26 +42,36 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def get(x: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => x.getFloat(i).toDouble
+    case ByteType  => x.getByte(i).toDouble
+    case _         => x.getDouble(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val lt = elemType(left)
+    val rt = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
     acc
   }
 
+  private def getter(dt: DataType): String = dt match {
+    case FloatType => "getFloat"
+    case ByteType  => "getByte"
+    case _         => "getDouble"
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val lGet = getter(elemType(left))
+    val rGet = getter(elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

@@ -132,6 +132,38 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IvfIndex int8 quantization: high recall, bounded cosine error, smaller files") {
+    import graft.operators.IvfIndex
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val full = java.nio.file.Files.createTempDirectory("ivf_q_full_").toString + "/idx"
+    val quant = java.nio.file.Files.createTempDirectory("ivf_q_int8_").toString + "/idx"
+    IvfIndex.build(emb, "vec_id", "embedding", numCells = 8, full)
+    IvfIndex.build(emb, "vec_id", "embedding", numCells = 8, quant, quantize = true)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    def top(path: String, k: Int) = IvfIndex
+      .search(spark, path, qv, k, nProbe = 8, excludeId = Some(0L))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cos"))
+    val exact = top(full, 10).toMap
+    val approx = top(quant, 10)
+    // recall@10 vs exact, and cosines within int8 quantization error
+    val recall = approx.count { case (id, _) => exact.contains(id) } / 10.0
+    assert(recall >= 0.8, s"recall $recall")
+    approx.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(math.abs(c - e) < 0.02, s"id $id: $c vs $e"))
+    }
+    // the point of int8: the stored index is materially smaller
+    def bytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try {
+        s.filter(f => f.toString.endsWith(".parquet"))
+          .mapToLong(java.nio.file.Files.size).sum
+      } finally s.close()
+    }
+    assert(bytes(quant) < bytes(full) * 0.6, s"${bytes(quant)} vs ${bytes(full)}")
+  }
+
   test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
     import graft.functions.VecCentroid
     val emb = graft.Tables.embeddings(spark, sf001)
