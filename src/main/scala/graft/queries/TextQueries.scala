@@ -123,6 +123,33 @@ object TextQueries {
       |        / greatest(len(grams), 1), 6) AS dup_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** T8: corpus-wide character-pair statistics — the scoring pass of BPE
+    * vocabulary learning (each merge step picks the most frequent
+    * adjacent pair; this is that ranking, distributed). Two explodes +
+    * one count shuffle whose cardinality is the SYMBOL-PAIR space (a few
+    * hundred for lowercase ASCII), not the corpus — the shape that lets
+    * a 100 TB corpus vote on a tokenizer. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+
+  val bpePairsSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      |), p AS (
+      |  SELECT substr(w, CAST(t.i AS INT), 2) AS pair
+      |  FROM tok, UNNEST(range(1, length(w))) AS t(i)
+      |  WHERE length(w) >= 2
+      |)
+      |SELECT pair, COUNT(*) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
