@@ -245,6 +245,95 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Distributed Lloyd k-means over the embedding column.
+    *
+    * Init is deterministic farthest-point (k short driver rounds: seed =
+    * min-xxhash vector, then repeatedly the vector maximizing min
+    * squared distance to the chosen set — with separated clusters this
+    * lands one seed per cluster, which plain hash-init does not). Each
+    * Lloyd iteration is ONE scan: assignment is a map-side argmin over
+    * literal centroids (|v|²−2v·c+|c|², codegen dots, no shuffle), the
+    * update is the VecCentroid typed Aggregator whose shuffle carries
+    * k×partitions dim-sized partials — never the vectors. Driver holds
+    * only k×dim doubles. That is the k-means shape that survives 100 TB.
+    * Empty cells keep their previous centroid.
+    *
+    * `spherical = true` (default) runs spherical k-means — vectors
+    * normalized up front, centroids renormalized each iteration, so
+    * argmin-euclidean == argmax-cosine. Embedding clusters are
+    * directional (cosine) structures; plain euclidean k-means splits
+    * them on norm differences. */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, spherical: Boolean = true): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def unit(c: Array[Double]): Array[Double] = {
+      var n = 0.0
+      c.foreach(x => n += x * x)
+      val s = math.sqrt(n)
+      if (s > 0) c.map(_ / s) else c
+    }
+    val prepped =
+      if (!spherical) emb
+      else emb.select(col(idCol),
+        transform(col(vecCol),
+          x => x.cast("double") / sqrt(VectorOps.normSq(col(vecCol))))
+          .cast("array<float>").as(vecCol))
+    // reused k init rounds + iters times — cache instead of rescanning
+    val base = prepped.select(col(idCol).as("id"), col(vecCol).as("vf"),
+        VectorOps.normSq(col(vecCol)).as("vnormsq"))
+      .persist()
+    def dist2(c: Array[Double]): Column = {
+      var cn = 0.0
+      c.foreach(x => cn += x * x)
+      col("vnormsq") - lit(2.0) * VectorOps.dot(col("vf"), typedlit(c)) + lit(cn)
+    }
+    val seed = base.orderBy(xxhash64(col("id")), col("id"))
+      .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
+    val cents = scala.collection.mutable.ArrayBuffer(seed)
+    while (cents.size < k) {
+      val minD = cents.map(dist2).reduce(least(_, _))
+      val next = base.orderBy(minD.desc, col("id"))
+        .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
+      cents += next
+    }
+    var cs = cents.toArray
+    for (_ <- 1 to iters) {
+      val byCell = kmeansAssign(base.drop("id"), "vf", cs)
+        .select(col("cell"), col("vf")).as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .agg(graft.functions.VecCentroid.toColumn.name("c"))
+        .collect().toMap
+      cs = Array.tabulate(k)(i => byCell.get(i + 1).map(_.values).getOrElse(cs(i)))
+      if (spherical) cs = cs.map(unit)
+    }
+    base.unpersist()
+    cs
+  }
+
+  /** Map-side hard assignment to the nearest centroid (1-based cell =
+    * centroid index + 1). Input needs `vnormsq`; adds `cell`. */
+  private def kmeansAssign(withNorm: DataFrame, vecCol: String,
+      cs: Array[Array[Double]]): DataFrame = {
+    val d2s = cs.map { c =>
+      var cn = 0.0
+      c.foreach(x => cn += x * x)
+      col("vnormsq") - lit(2.0) * VectorOps.dot(col(vecCol), typedlit(c)) + lit(cn)
+    }
+    withNorm.withColumn("cell",
+      array_position(array(d2s.toIndexedSeq: _*),
+        array_min(array(d2s.toIndexedSeq: _*))).cast("int"))
+  }
+
+  /** Final hard assignment for trained centroids: (id, cell). */
+  def kmeansAssignments(emb: DataFrame, idCol: String, vecCol: String,
+      cs: Array[Array[Double]]): DataFrame =
+    kmeansAssign(
+      emb.select(col(idCol).as("id"), col(vecCol).as("vf"),
+        VectorOps.normSq(col(vecCol)).as("vnormsq")),
+      "vf", cs)
+      .select(col("id"), col("cell"))
+
   /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
     * candidate pairs only within buckets. Recall < 1 by construction;
     * SimilaritySpec measures it against the exact pair set. */

@@ -115,6 +115,21 @@ object SimilarityQueries {
       .orderBy(col("cos_r").desc, col("id"))
   }
 
+  /** SIM7: distributed spherical k-means — farthest-point init, map-side
+    * argmin assignment, VecCentroid updates (one scan per iteration,
+    * driver holds k×dim doubles). Iterative + hash-seeded → not
+    * SQL-expressible; SimilaritySpec gates centroid parity against a
+    * driver-side reference implementation. */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cs = graft.operators.Similarity.kmeans(
+      emb, "vec_id", "embedding", k = 8, iters = 3)
+    graft.operators.Similarity.kmeansAssignments(emb, "vec_id", "embedding", cs)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("long").as("cell"), col("n"))
+      .orderBy("cell")
+  }
+
   /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1 by
     * construction (bucket collisions only); rows-only check. */
   def lshAnn(spark: SparkSession, dir: String): DataFrame =

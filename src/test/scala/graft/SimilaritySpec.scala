@@ -164,6 +164,61 @@ class SimilaritySpec extends SparkSpec {
     assert(bytes(quant) < bytes(full) * 0.6, s"${bytes(quant)} vs ${bytes(full)}")
   }
 
+  test("kmeans matches a driver-side reference implementation (sf0.001)") {
+    // Dual-path gate (the repo's pattern for non-SQL-expressible ops):
+    // the distributed spherical k-means — farthest-point init, map-side
+    // argmin assignment, VecCentroid update — must land on the same
+    // centroids as a plain in-memory implementation of the same
+    // algorithm, up to double-summation order (1e-6).
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val k = 8; val iters = 4
+    val cs = Similarity.kmeans(emb, "vec_id", "embedding", k, iters)
+    // --- reference, driver-side ---
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // match the operator's float-precision normalization exactly
+    val data = rows.map { case (id, v) =>
+      (id, unit(v).map(_.toFloat).map(_.toDouble))
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def xxh(id: Long): Long =
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    val seedId = data.map(_._1).minBy(id => (xxh(id), id))
+    var ref = Vector(data.find(_._1 == seedId).get._2)
+    while (ref.size < k) {
+      val next = data.maxBy { case (id, v) =>
+        (ref.map(c => d2(v, c)).min, -id)
+      }
+      ref = ref :+ next._2
+    }
+    var refCs = ref.toArray
+    for (_ <- 1 to iters) {
+      val grouped = data.groupBy { case (_, v) =>
+        refCs.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2
+      }
+      refCs = refCs.zipWithIndex.map { case (old, i) =>
+        grouped.get(i) match {
+          case Some(vs) =>
+            val dim = vs.head._2.length
+            val s = new Array[Double](dim)
+            vs.foreach(_._2.zipWithIndex.foreach { case (x, d) => s(d) += x })
+            unit(s.map(_ / vs.length))
+          case None => old
+        }
+      }
+    }
+    assert(cs.length == refCs.length)
+    cs.zip(refCs).zipWithIndex.foreach { case ((a, b), i) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6, s"centroid $i: $x vs $y")
+      }
+    }
+  }
+
   test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
     import graft.functions.VecCentroid
     val emb = graft.Tables.embeddings(spark, sf001)
