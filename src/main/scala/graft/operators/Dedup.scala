@@ -173,6 +173,46 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup edge list
+    * (`ida < idb`): the cluster-resolution step that turns pairwise
+    * matches into dedup groups (root = smallest doc id in the component
+    * = the canonical keeper, matching `exact`'s min-id convention).
+    *
+    * Iterative min-label propagation: each round joins the edge list
+    * with current labels (one hash shuffle on node id) and lowers every
+    * node to the min label in its neighborhood; converges in
+    * O(component diameter) rounds — near-dup components are shallow
+    * (pairs/chains), so 2-4 rounds in practice. Each round's result is
+    * cached and the previous unpersisted, so lineage stays flat. At
+    * extreme diameters the alternating small-star/large-star variant
+    * halves rounds; the join shape is identical. Returns (id, comp). */
+  def components(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
+      .persist()
+    var comp = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var converged = false
+    while (!converged) {
+      val nmin = sym
+        .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
+      val next = comp
+        .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next
+        .join(comp.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .where(col("comp") =!= col("prev")).limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+    }
+    sym.unpersist()
+    comp
+  }
+
   /** 64-bit SimHash per document from xxhash64 token hashes — computed
     * MAP-SIDE by the single-pass SimHash64 expression (zero shuffle; the
     * exploded 64-way bit-count aggregation it replaces shuffled every

@@ -96,6 +96,40 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** D7: near-dup cluster resolution — the jaccard pair list (d4's
+    * edges) resolved into connected components; root = min doc id =
+    * the canonical keeper. Exercises TRANSITIVE closure: at sf0.1 the
+    * corpus has multi-pair chains, so min-over-direct-neighbors would
+    * be wrong — the oracle is a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.jaccardPairs(
+          Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+          thrNum = 4, thrDen = 5, maxDocFreq = 500))
+      .select(col("id").as("member"), col("comp").as("root"))
+      .orderBy("member")
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT ida, idb FROM ov
+      |      JOIN sizes na ON ida = na.doc_id JOIN sizes nb ON idb = nb.doc_id
+      |      WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4),
+      |e AS (SELECT ida AS src, idb AS dst FROM p
+      |      UNION ALL SELECT idb, ida FROM p),
+      |reach(member, root) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.member)
+      |SELECT member, MIN(root) AS root
+      |FROM reach GROUP BY member ORDER BY member""".stripMargin
+
   /** D3: SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
     * xxhash64-based — not oracle-expressible; rows-only check. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =

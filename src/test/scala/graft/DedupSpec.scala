@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).exists(_ <= 10))
   }
 
+  test("components resolves chains transitively, not just direct neighbors") {
+    // chain 10-20, 20-30 (one component rooted at 10), isolated pair 40-50,
+    // and a triangle 1-2, 2-3, 1-3
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L),
+      (1L, 2L), (2L, 3L), (1L, 3L)).toDF("ida", "idb")
+    val comp = Dedup.components(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(comp == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("hot-shingle cap drops stop-shingle pairs, keeps genuine near-dups") {
     // six docs whose ONLY shingle is shared boilerplate (df=6), plus a
     // twin pair sharing rare shingles (df=2)

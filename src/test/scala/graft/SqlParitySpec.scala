@@ -26,8 +26,8 @@ class SqlParitySpec extends SparkSpec {
     "d6_decontaminate",
     // sim6 shares sim1's list_cosine_similarity oracle
     "sim6_ivf_index",
-    // pipe4/t8: UNNEST(range) lateral, string_split
-    "pipe4_mixture", "t8_bpe_pairs")
+    // pipe4/t8/d7: UNNEST(range) lateral, string_split, recursive CTE
+    "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
