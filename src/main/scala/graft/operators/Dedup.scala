@@ -109,6 +109,44 @@ object Dedup {
           col("n_grams").cast(DoubleType), 6).as("frac_r"))
   }
 
+  /** Bloom-filter decontamination: same contract and output as
+    * [[contamination]], but the membership probe is a BLOOM FILTER built
+    * over the benchmark gram set instead of a broadcast of the exact set.
+    *
+    * This is the shape for when the eval-suite gram set outgrows an
+    * exact broadcast (a full eval stack is 10⁸-10⁹ grams — tens of GB as
+    * strings, ~1 GB as a 1% bloom): the filter's bits broadcast to every
+    * task, the corpus gram stream is pre-filtered map-side (false
+    * positives only ADD candidates), and the exact verify then runs as a
+    * plain shuffle join on the surviving (tiny) candidate stream — NOT a
+    * broadcast, deliberately, because at that scale the exact set can't
+    * ship. Correctness is fpp-independent: the verify join removes every
+    * false positive, so output == [[contamination]] exactly (gated by
+    * d8 sharing d6's oracle, and DedupSpec equality). */
+  def bloomContamination(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      thrNum: Int = 1, thrDen: Int = 2, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val benchSh = shingles(bench, idCol, textCol, n).select(col("sh")).distinct()
+      .persist()
+    val bf = benchSh.stat.bloomFilter("sh", math.max(benchSh.count(), 1L), fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+    val sizes = docs.select(col(idCol).as("id"),
+        graft.plans.TextOps.repetitionStats(split(lower(col(textCol)), " "), n)
+          .getField("n_distinct").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val shared = shingles(docs, idCol, textCol, n, dedup = false)
+      .where(mightContain(col("sh")))            // map-side bloom probe
+      .join(benchSh, Seq("sh"))                  // exact verify: shuffle join
+      .groupBy(col("id")).agg(count_distinct(col("sh")).as("n_shared"))
+    shared.join(sizes, Seq("id"))
+      .where(col("n_shared") * thrDen >= col("n_grams") * thrNum)
+      .select(col("id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("frac_r"))
+  }
+
   private val PRIME = 2147483647L // 2^31 - 1
 
   /** MinHash signature columns: minhash_j = min over shingles of

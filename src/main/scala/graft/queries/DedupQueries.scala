@@ -130,6 +130,21 @@ object DedupQueries {
       |SELECT member, MIN(root) AS root
       |FROM reach GROUP BY member ORDER BY member""".stripMargin
 
+  /** D8: decontamination through the BLOOM probe path — identical rows
+    * to d6 by construction (bloom false positives are removed by the
+    * exact-verify shuffle join), so it shares d6's oracle: the gate
+    * proves fpp-independence of the result, the way d2 gates LSH recall
+    * against d4's exact pairs. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.bloomContamination(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, thrNum = 1, thrDen = 2)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_grams"), col("frac_r"))
+      .orderBy("doc_id")
+  }
+
   /** D3: SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
     * xxhash64-based — not oracle-expressible; rows-only check. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =

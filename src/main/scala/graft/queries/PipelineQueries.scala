@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -116,6 +116,39 @@ object PipelineQueries {
       |FROM w, UNNEST(range(1, n_copies + 1)) AS t(c)
       |WHERE n_copies > 0
       |ORDER BY source, doc_id, copy""".stripMargin
+
+  /** PIPE5: PII scrubbing — redact digit runs (account numbers, ids)
+    * across two heterogeneous sources in one pass: customer names and a
+    * deterministic slice of event payloads. Pure codegen'd regexp over
+    * the scan (RE2-compatible pattern, no lookaround — Spark's Java
+    * regex and DuckDB's RE2 agree on `[0-9]+`); redaction count rides
+    * along for audit. Zero shuffle at any scale — the sort exists only
+    * for the oracle. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    def scrub(src: String, df: DataFrame, id: Column, text: Column): DataFrame =
+      df.select(lit(src).as("src"), id.as("rec_id"),
+        regexp_replace(text, "[0-9]+", "[NUM]").as("redacted"),
+        size(regexp_extract_all(text, lit("[0-9]+"), lit(0)))
+          .cast(LongType).as("n_hits"))
+    scrub("customer", Tables.customer(spark, dir), col("c_custkey"), col("c_name"))
+      .union(scrub("event",
+        Tables.eventsRawTs(spark, dir).where(col("event_id") % 100 === 0),
+        col("event_id"), col("props")))
+      .orderBy("src", "rec_id")
+  }
+
+  val piiScrubSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS src, c_custkey AS rec_id,
+      |    regexp_replace(c_name, '[0-9]+', '[NUM]', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_hits
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'event' AS src, event_id AS rec_id,
+      |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits
+      |  FROM events WHERE event_id % 100 = 0)
+      |ORDER BY src, rec_id""".stripMargin
 
   /** PIPE3: greedy token-budget packing — assign documents (per source,
     * in doc_id order) to training-batch bins of 512 tokens by running

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Corpus search + language-model scoring (north star): BM25 keyword
+  * retrieval and a corpus-trained bigram-LM perplexity signal — the two
+  * remaining "query the training corpus" surfaces after ANN (sim*) and
+  * n-gram overlap (d*).
+  *
+  * Scale design:
+  *  - BM25 computes per-term tf MAP-SIDE from the token array (the query
+  *    term list is a handful of literals — no explode, no posting-list
+  *    shuffle); the only aggregates are a one-row corpus-stats row
+  *    (N, avg length, per-term df) that broadcasts back, and the final
+  *    TakeOrdered top-k. At 100 TB the stats row is index-time metadata;
+  *    the scoring pass stays one scan with zero data-sized shuffles.
+  *  - The bigram LM's count tables are corpus-level aggregates over a
+  *    BOUNDED vocabulary (vocab² keys at most, ~1k here), so training is
+  *    one map-side-combined count shuffle whose output is model-sized,
+  *    not corpus-sized, and scoring joins the broadcast model map-side.
+  *    An unbounded-vocab corpus would swap the broadcasts for hash joins
+  *    keyed on the gram — same plan shape, still linear.
+  */
+object SearchQueries {
+
+  private val Terms = Seq("spark", "merge", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** SEARCH1: BM25 top-20 documents for a fixed 3-term query.
+    * Robertson/Spärck Jones BM25 with k1=1.2, b=0.75; idf is the
+    * "+1" variant (Lucene-style, always positive). Score rounded to 6dp
+    * on both sides; the formula is written with identical operation
+    * order in SQL so the doubles agree bitwise before rounding. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id") +: size(col("w")).cast(DoubleType).as("len") +:
+        Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("w"), x => x === t)).cast(DoubleType).as(s"tf$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n") +: avg(col("len")).as("avglen") +:
+      Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val score: Column = Terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * (K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("avglen")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .where(Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25Sql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(",\n      |    ")
+    val dfCols = Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${K1 + 1.0}) / " +
+        s"(tf$i + $K1 * (1.0 - $B + $B * len / avglen))").mkString("\n      |    + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS len,
+       |    $tfCols
+       |  FROM tok),
+       |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen, $dfCols FROM t)
+       |SELECT doc_id, round(
+       |    $score, 6) AS score
+       |FROM t CROSS JOIN s
+       |WHERE tf0 + tf1 + tf2 > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** LM1: corpus-trained bigram language model, add-one smoothing —
+    * per-document average negative log-likelihood (the KenLM-style
+    * perplexity quality signal: high nll = out-of-distribution text).
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); nll = avg(-ln p) over the
+    * document's bigrams. Counts stay integers until the one division, so
+    * both engines divide identical values. */
+  def bigramPpl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val big = tok.where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val uni = tok.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    big
+      .join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("wd", "w1")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(avg(-log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val bigramPplSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM tok, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      |uni AS (SELECT wd, COUNT(*) AS cu
+      |        FROM (SELECT unnest(w) AS wd FROM tok) GROUP BY wd),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+      |v AS (SELECT COUNT(*) AS v FROM uni)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  round(AVG(-ln((cb + 1.0) / (cu + v))), 6) AS nll
+      |FROM big JOIN bc USING (w1, w2) JOIN uni ON big.w1 = uni.wd CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Test-only reference for LM1: same model, scored through shuffle
+    * joins (no broadcast hints) — gates that the broadcast plan and the
+    * shuffle plan agree bitwise. */
+  private[graft] def bigramPplViaShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val big = tok.where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val uni = tok.select(explode(col("w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cu"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    big.join(bc.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("wd", "w1").hint("shuffle_hash"), Seq("w1"))
+      .crossJoin(v)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        round(avg(-log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+}

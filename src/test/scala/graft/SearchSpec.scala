@@ -1,0 +1,85 @@
+package graft
+
+import graft.queries.{DedupQueries, PipelineQueries, SearchQueries}
+
+/** Search + LM scoring + bloom decontamination + PII scrub (round-2 tail
+  * surface). Each no-oracle-independent property is gated here; the
+  * driver's DuckDB hash gate covers the exact values.
+  */
+class SearchSpec extends SparkSpec {
+
+  test("bm25 returns ranked results with positive scores and a stable order") {
+    val rows = SearchQueries.bm25(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sorted.reverse), "scores must be non-increasing")
+    // ties broken by doc_id ascending
+    val pairs = rows.map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    pairs.sliding(2).foreach {
+      case Array((s1, d1), (s2, d2)) =>
+        assert(s1 > s2 || (s1 == s2 && d1 < d2))
+      case _ =>
+    }
+  }
+
+  test("bm25 tf equals the explode-based posting-list count") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001)
+    // independent formulation: explode tokens, count 'spark' per doc
+    val posting = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") === "spark")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    val hof = docs
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), x => x === "spark")).as("tf"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("tf").toLong).toMap
+    assert(hof.filter(_._2 > 0) == posting)
+  }
+
+  test("bigram LM: broadcast and shuffle-join plans agree after rounding") {
+    val a = SearchQueries.bigramPpl(spark, sf001).collect().toSeq
+    val b = SearchQueries.bigramPplViaShuffle(spark, sf001).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bigram LM nll is bounded by the add-one-smoothing worst case") {
+    val rows = SearchQueries.bigramPpl(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // p >= 1/(max_cu + V) and p <= 1 => 0 <= nll <= ln(total_tokens + V)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("nll")
+      assert(nll >= 0.0 && nll < 20.0)
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
+  test("bloom decontamination equals the exact broadcast path at any fpp") {
+    val exact = DedupQueries.decontaminate(spark, sf001).collect().toSeq
+    val bloom = DedupQueries.bloomDecontaminate(spark, sf001).collect().toSeq
+    assert(bloom == exact)
+    // a deliberately awful fpp still verifies exactly
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf001)
+    val sloppy = graft.operators.Dedup.bloomContamination(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8, thrNum = 1, thrDen = 2, fpp = 0.5)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_grams"), col("frac_r"))
+      .orderBy("doc_id").collect().toSeq
+    assert(sloppy == exact)
+  }
+
+  test("pii scrub leaves no digits and counts every redaction") {
+    val rows = PipelineQueries.piiScrub(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.exists(_.isDigit), s"unredacted digits in: $red")
+    }
+    // every customer name carries exactly one digit run
+    assert(rows.filter(_.getAs[String]("src") == "customer")
+      .forall(_.getAs[Long]("n_hits") == 1L))
+  }
+}
