@@ -79,6 +79,20 @@ object SearchQueries {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** SEARCH2: the same BM25 query answered from a PERSISTED inverted
+    * index (term-hash-bucketed posting lists + stats sidecar) — build
+    * once, probe the query terms' buckets via partition pruning. Shares
+    * search1's oracle: index serving must reproduce the full-scan
+    * results exactly. */
+  def invertedIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_inv_q_")
+      .toString + "/idx"
+    graft.operators.InvertedIndex.build(
+      Tables.documents(spark, dir), "doc_id", "text", path)
+    graft.operators.InvertedIndex.search(spark, path, Terms, k = 20,
+      k1 = K1, b = B)
+  }
+
   /** LM1: corpus-trained bigram language model, add-one smoothing —
     * per-document average negative log-likelihood (the KenLM-style
     * perplexity quality signal: high nll = out-of-distribution text).

@@ -39,6 +39,20 @@ class SearchSpec extends SparkSpec {
     assert(hof.filter(_._2 > 0) == posting)
   }
 
+  test("inverted index: serving equals the full-scan BM25 query; probe prunes buckets") {
+    val viaScan = SearchQueries.bm25(spark, sf001).collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("inv_idx_spec_").toString + "/idx"
+    graft.operators.InvertedIndex.build(
+      Tables.documents(spark, sf001), "doc_id", "text", path)
+    val probe = graft.operators.InvertedIndex.search(
+      spark, path, Seq("spark", "merge", "window"), k = 20)
+    val plan = probe.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("bkt.* IN ".r.findFirstIn(plan).isDefined || plan.contains("bkt#"), plan)
+    assert(probe.collect().toSeq == viaScan)
+  }
+
   test("bigram LM: broadcast and shuffle-join plans agree after rounding") {
     val a = SearchQueries.bigramPpl(spark, sf001).collect().toSeq
     val b = SearchQueries.bigramPplViaShuffle(spark, sf001).collect().toSeq

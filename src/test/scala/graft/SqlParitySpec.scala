@@ -30,8 +30,8 @@ class SqlParitySpec extends SparkSpec {
     "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters",
     // round-2 tail: string_split/list_filter (search1, lm1, d8 shares
     // d6's SQL), 4-arg regexp_replace + len() (pipe5)
-    "search1_bm25", "lm1_bigram_ppl", "d8_bloom_decontaminate",
-    "pipe5_pii_scrub")
+    "search1_bm25", "search2_inverted_index", "lm1_bigram_ppl",
+    "d8_bloom_decontaminate", "pipe5_pii_scrub")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
