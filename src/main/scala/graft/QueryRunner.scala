@@ -18,7 +18,12 @@ import graft.sources.ZTable
   * engine-side contract is: JSON request in → Spark plan → JSON rows out.
   *
   * Request:
-  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete",
+  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"
+  *       |"index"|"search",
+  *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
+  *  "index":"/path/idx", "buckets":256,                // index build
+  *  "terms":["spark","merge"], "k":10,                 // search
+  *  ...or for table ops:
   *  "table":"/path/to/ztable",
   *  "from":"2024-01-01 00:00:00", "to":"...",        // scan/ohlcv
   *  "cols":["ts","v"],                                // scan projection
@@ -46,8 +51,20 @@ object QueryRunner {
       case Some(xs: Seq[_]) => xs.map(_.toString)
       case _ => Nil
     }
-    val table = ZTable.open(spark, str("table"))
+    lazy val table = ZTable.open(spark, str("table"))
     str("op") match {
+      case "index" => // build an inverted text index from a document table
+        graft.operators.InvertedIndex.build(
+          spark.read.parquet(str("docs")),
+          strOpt("id").getOrElse("doc_id"), strOpt("text").getOrElse("text"),
+          str("index"),
+          numBuckets = req.get("buckets")
+            .collect { case n: Number => n.intValue }.getOrElse(256))
+        spark.range(1).select(lit(str("index")).as("index_built"))
+      case "search" => // BM25 over a built index
+        graft.operators.InvertedIndex.search(spark, str("index"),
+          list("terms"),
+          k = req.get("k").collect { case n: Number => n.intValue }.getOrElse(10))
       case "scan" =>
         table.scan(str("from"), str("to"), list("cols"))
       case "symbols" =>

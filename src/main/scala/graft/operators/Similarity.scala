@@ -347,4 +347,55 @@ object Similarity {
       .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Deterministic sparse-sign random projection planes (Achlioptas-
+    * style JL embedding): outDim rows of ±1/√outDim, signs from
+    * xxhash64 of the flat (plane, dim) index — no RNG, same planes on
+    * every executor and every run. */
+  private[graft] def rpPlanes(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val s = 1.0 / math.sqrt(outDim)
+    Array.tabulate(outDim)(j => Array.tabulate(inDim) { i =>
+      if (XXH64.hashInt(j * inDim + i, 42L) < 0) -s else s
+    })
+  }
+
+  /** Project the embedding column to `outDim` dims: one codegen'd dot
+    * per plane, map-side, zero shuffle. At 100 TB the projected column
+    * is PERSISTED next to the corpus (outDim/inDim of the vector bytes —
+    * the same scan-I/O lever as int8 IVF codes, composable with it);
+    * here it is computed inline since the corpus fits a scan. */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, inDim: Int = 64): DataFrame = {
+    val planes = rpPlanes(inDim, outDim)
+    emb.select(col(idCol).as("id"),
+      array(planes.map(p => VectorOps.dot(col(vecCol), typedlit(p))).toIndexedSeq: _*)
+        .as("rvec"))
+  }
+
+  /** Top-k by exact cosine, with candidate generation in PROJECTED
+    * space: rank all vectors by projected cosine (reading only the
+    * narrow rvec column), take `candidates` of them, then score just
+    * those against the full-width query vector. Recall is a JL
+    * distortion question — gated by sim8 sharing sim1's exact oracle
+    * (deterministic planes ⇒ the gate is stable, the d2/d4 trick), and
+    * measured in SimilaritySpec. */
+  def rpTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, outDim: Int = 16,
+      candidates: Int = 100): DataFrame = {
+    val proj = randomProject(emb, idCol, vecCol, outDim)
+    val qp = proj.where(col("id") === queryId).select(col("rvec").as("qr"))
+    val cand = proj.where(col("id") =!= queryId)
+      .join(broadcast(qp))
+      .select(col("id"), cosine(col("rvec"), col("qr")).as("rcos"))
+      .orderBy(col("rcos").desc, col("id"))
+      .limit(candidates)
+      .select(col("id"))
+    val q = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol)).as("qv"))
+    emb.join(broadcast(cand), emb(idCol) === cand("id"))
+      .join(broadcast(q))
+      .select(col("id"), cosine(toDouble(col(vecCol)), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -29,6 +29,23 @@ object SimilarityQueries {
       |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
       |LIMIT 10""".stripMargin
 
+  /** SIM8: top-10 served through RANDOM-PROJECTION candidates — rank in
+    * a 32-dim JL projection (½ the vector bytes), exact-verify the top
+    * 300 candidates at full width. Shares sim1's oracle, so projected-
+    * space recall of the true top-10 is itself hash-gated (deterministic
+    * planes make the gate stable run-to-run). The candidate budget is
+    * deliberately generous: this corpus is isotropic random — the JL
+    * worst case (true top-10 spread to projected rank ~200 of 500);
+    * clustered real-world embeddings prune far harder. The scan-bytes
+    * saving (projected column is outDim/inDim the width) holds either
+    * way — that, not candidate count, is the 100 TB lever. */
+  def rpTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rpTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryId = 0L, k = 10,
+        outDim = 32, candidates = 300)
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+
   /** D5: embedding near-dup pairs (cosine >= 0.45) — EXACT, via the
     * block-pair equi-join (no broadcast nested loop, no cartesian;
     * PlanSpec asserts). The oracle is the exact pair set, green by

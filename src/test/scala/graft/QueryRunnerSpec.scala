@@ -75,6 +75,18 @@ class QueryRunnerSpec extends SparkSpec {
     assert(ZTable.open(spark, path).df.count() == 3)
   }
 
+  test("index build + search requests round-trip BM25 over the JSON surface") {
+    val idx = Files.createTempDirectory("qr_inv_idx_").toString + "/idx"
+    val built = QueryRunner.run(spark,
+      s"""{"op":"index","docs":"$sf001/documents.parquet","index":"$idx"}""").head
+    assert(built.getAs[String]("index_built") == idx)
+    val hits = QueryRunner.run(spark,
+      s"""{"op":"search","index":"$idx","terms":["spark","merge","window"],"k":20}""")
+      .collect().toSeq
+    val direct = graft.queries.SearchQueries.bm25(spark, sf001).collect().toSeq
+    assert(hits == direct)
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {

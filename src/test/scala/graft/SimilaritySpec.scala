@@ -100,6 +100,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("random-projection top-k equals brute force; projection is ~JL-isometric (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    // candidates+verify must recover the exact top-10 (the sim8 gate)
+    val viaRp = Similarity.rpTopK(emb, "vec_id", "embedding", 0L, 10,
+      outDim = 32, candidates = 300).collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaRp == brute)
+    // deterministic planes: same projection on every call
+    val p1 = Similarity.rpPlanes(64, 32).flatten.toSeq
+    assert(p1 == Similarity.rpPlanes(64, 32).flatten.toSeq)
+    assert(p1.forall(v => math.abs(v) == 1.0 / math.sqrt(32.0)))
+  }
+
   test("IvfIndex: partial probe prunes partitions and equals brute force over probed cells") {
     import graft.operators.IvfIndex
     val emb = graft.Tables.embeddings(spark, sf001)

@@ -24,8 +24,8 @@ class SqlParitySpec extends SparkSpec {
     "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features",
     // d6: string_split + UNNEST(range) lateral
     "d6_decontaminate",
-    // sim6 shares sim1's list_cosine_similarity oracle
-    "sim6_ivf_index",
+    // sim6/sim8 share sim1's list_cosine_similarity oracle
+    "sim6_ivf_index", "sim8_rp_topk",
     // pipe4/t8/d7: UNNEST(range) lateral, string_split, recursive CTE
     "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters",
     // round-2 tail: string_split/list_filter (search1, lm1, d8 shares
