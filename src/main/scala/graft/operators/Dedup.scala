@@ -230,6 +230,13 @@ object Dedup {
       .persist()
     var comp = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
+    // Convergence via the label-sum signature: labels only ever
+    // decrease element-wise, so sum(comp) strictly decreases until the
+    // fixpoint — one tiny aggregate per round instead of a
+    // changed-rows join against the previous labeling.
+    def sig(df: DataFrame): java.math.BigDecimal = // decimal: id sums can pass 2^63 at scale
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSig = sig(comp)
     var converged = false
     while (!converged) {
       val nmin = sym
@@ -240,12 +247,11 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .persist()
-      val changed = next
-        .join(comp.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .where(col("comp") =!= col("prev")).limit(1).count()
+      val s = sig(next)
       comp.unpersist()
       comp = next
-      converged = changed == 0
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
     }
     sym.unpersist()
     comp

@@ -237,4 +237,27 @@ object Ingest {
           Iterator.single(RunningTotal(key, n, cents))
       }
   }
+
+  /** Streaming curation: the pipe1/pipe5 document-quality + PII-scrub
+    * signals applied to a LIVE document stream. Every signal is a
+    * stateless per-row expression (token count, quality score,
+    * duplicated-3-gram repetition, digit-run redaction), so the stream
+    * face is the batch plan verbatim — no state, no watermark, no
+    * shuffle; curation keeps up with ingest at any rate because each
+    * micro-batch is one map. StreamingSpec gates batch/stream parity row
+    * by row. */
+  def curateStream(docs: DataFrame, minTokens: Int = 20,
+      minQuality: Double = 0.5): DataFrame = {
+    import graft.functions.Text
+    docs
+      .select(col("doc_id"), col("text"),
+        Text.nTokens(col("text")).cast("long").as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"),
+        graft.plans.TextOps.repetitionStats(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 3).as("r"))
+      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
+        (col("r.n_grams") - col("r.n_distinct")) * 10 <= col("r.n_grams"))
+      .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality_r"),
+        regexp_replace(col("text"), "[0-9]+", "[NUM]").as("text_clean"))
+  }
 }

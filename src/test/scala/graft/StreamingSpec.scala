@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Event, Ingest}
 import graft.sources.ZTableSpec
 
+/** Top-level (Spark 4.1 requires non-nested case classes for encoders). */
+case class StreamDoc(doc_id: Long, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -196,6 +199,25 @@ class StreamingSpec extends SparkSpec {
     Ingest.appendBatchIdempotent(table,
       Seq(ev(3, "2024-01-03 10:00:03", "click", 3.0)).toDF(), 1L)
     assert(table.df.count() == 3)
+  }
+
+  test("streaming curation equals the batch plan on the same documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").as[StreamDoc].collect()
+    val mem = MemoryStream[StreamDoc]
+    mem.addData(docs.toIndexedSeq)
+    val q = Ingest.curateStream(mem.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("curated")
+      .orderBy("doc_id").collect().toSeq
+    val batch = Ingest.curateStream(Tables.documents(spark, sf001))
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("streaming rollup sink maintains the aggregate; replays are no-ops") {
