@@ -108,6 +108,76 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** A12: GAP-FILLED OHLCV bars — the reference's own open TODO
+    * (`src/server/ohlcv.rs:56` wants "duration like" dense output; its
+    * shipped endpoint emits only non-empty bars). Empty hours get
+    * open=high=low=close = forward-filled previous close, volume 0,
+    * n 0 — the convention charting frontends expect.
+    *
+    * Scale shape: the dense grid is span-sized (hours × symbols, a
+    * dimension), the left join and the forward-fill window both key on
+    * the symbol — so post-aggregation work is bounded by BAR count, not
+    * tick count; the only tick-sized stage is the same partial-agg scan
+    * a4 runs. Forward-fill is `last(close) IGNORE NULLS` over buckets
+    * within each symbol — no global sort, no self-join per gap. */
+  def ohlcvDense(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sumMoney(col("value")).as("volume"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n"))
+    val grid = bars.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("event_type"),
+        explode(sequence(col("b0"), col("b1"), expr("interval 1 hour"))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(bars, Seq("event_type", "bucket"), "left")
+      .withColumn("c_ff", last(col("close"), ignoreNulls = true).over(w))
+      .select(col("bucket"), col("event_type"),
+        coalesce(col("open"), col("c_ff")).as("open"),
+        coalesce(col("high"), col("c_ff")).as("high"),
+        coalesce(col("low"), col("c_ff")).as("low"),
+        coalesce(col("close"), col("c_ff")).as("close"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val ohlcvDenseSql: String =
+    s"""WITH bars AS (
+       |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+       |    min_by(value, event_id) AS open, max(value) AS high,
+       |    min(value) AS low, max_by(value, event_id) AS close,
+       |    ${sqlSumMoney("value")} AS volume, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |spans AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+       |          FROM bars GROUP BY 1),
+       |grid AS (SELECT event_type,
+       |           unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+       |         FROM spans),
+       |j AS (SELECT g.event_type, g.bucket, b.open, b.high, b.low, b.close,
+       |             b.volume, b.n
+       |      FROM grid g LEFT JOIN bars b
+       |        ON g.event_type = b.event_type AND g.bucket = b.bucket),
+       |f AS (SELECT event_type, bucket, open, high, low, close, volume, n,
+       |        last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+       |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c_ff
+       |      FROM j)
+       |SELECT bucket, event_type,
+       |  coalesce(open, c_ff) AS open, coalesce(high, c_ff) AS high,
+       |  coalesce(low, c_ff) AS low, coalesce(close, c_ff) AS close,
+       |  coalesce(volume, 0.0) AS volume, coalesce(n, 0) AS n
+       |FROM f ORDER BY bucket, event_type""".stripMargin
+
   /** A3: the reference's `/ohlcv` endpoint shape (reference
     * `src/server/ohlcv.rs:88-134`): time-range + symbol filter, resample
     * to 1-hour bars, assemble per-symbol time-ordered bar arrays with

@@ -81,6 +81,33 @@ object Scalar {
   val minMaxTsSql: String =
     "SELECT min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n FROM events"
 
+  /** PROFILE1: one-pass data profile of the fact table (the dataset-card
+    * step of a corpus build, and C3's describe extended from schema to
+    * data): row count, per-column null counts, min/max, and exact
+    * distinct cardinalities. The two exact COUNT(DISTINCT)s make
+    * Catalyst Expand the scan 3-way — the honest exact plan; at 100 TB
+    * swap them for approx_count_distinct (a11's HLL path) and the
+    * profile collapses back to one partial-agg pass. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("l_orderkey")).as("d_orderkey"),
+      count_distinct(col("l_returnflag")).as("d_returnflag"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  val tableProfileSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS d_orderkey,
+      |  COUNT(DISTINCT l_returnflag) AS d_returnflag,
+      |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin
+
   /** A1a: typed-Aggregator fold (exact cents accumulator). */
   def foldAggregator(spark: SparkSession, dir: String): DataFrame =
     Fold.aggregatorSum(Tables.lineitem(spark, dir), "l_returnflag", "l_quantity")
