@@ -150,6 +150,25 @@ object TextQueries {
       |SELECT pair, COUNT(*) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
 
+  /** T9: full BPE tokenize — learn a 30-merge table from the corpus
+    * word histogram (one distributed count + driver-side Sennrich loop,
+    * graft.functions.Bpe), then apply it map-side per document. The
+    * per-doc invariant n_words <= n_bpe <= n_chars_nospace is part of
+    * the output so the rows-only gate still checks real structure;
+    * TextSpec gates the expression against the driver reference encode.
+    * Iterative + histogram-dependent -> not SQL-expressible. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.functions.Bpe.learn(docs, "text", numMerges = 30)
+    docs.select(col("doc_id"),
+        graft.functions.Bpe.encodeCount(split(lower(col("text")), " "), merges)
+          .as("n_bpe_tokens"),
+        Text.nTokens(col("text")).cast(LongType).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType)
+          .as("n_chars_nospace"))
+      .orderBy("doc_id")
+  }
+
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

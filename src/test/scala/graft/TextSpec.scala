@@ -112,4 +112,38 @@ class TextSpec extends SparkSpec {
       assert(r.getSeq[Long](2) == expect, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("BPE: learned merges are deterministic; expression matches driver encode (sf0.001)") {
+    import graft.functions.Bpe
+    val docs = graft.Tables.documents(spark, sf001)
+    val merges = Bpe.learn(docs, "text", numMerges = 30)
+    assert(merges.size == 30)
+    assert(merges == Bpe.learn(docs, "text", numMerges = 30))
+    val rank = merges.zipWithIndex.toMap
+    val out = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        Bpe.encodeCount(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " "), merges).as("n"))
+      .orderBy("doc_id").limit(25).collect()
+    out.foreach { r =>
+      val text = r.getAs[String]("text").toLowerCase
+      val words = text.split(" ").filter(_.nonEmpty)
+      val expect = words.map(w => Bpe.encodeWord(w, rank).length.toLong).sum
+      assert(r.getAs[Long]("n") == expect, s"doc ${r.getLong(0)}")
+      // structural bounds: words <= bpe tokens <= non-space chars
+      assert(expect >= words.length && expect <= words.map(_.length).sum)
+    }
+    // zero merges degrade to character count
+    val chars = docs.select(Bpe.encodeCount(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " "), Nil).as("n"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.col("text"), " ", "")).as("c"))
+      .limit(10).collect()
+    chars.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("c").toLong))
+  }
 }
