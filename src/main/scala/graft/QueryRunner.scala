@@ -61,6 +61,9 @@ object QueryRunner {
           numBuckets = req.get("buckets")
             .collect { case n: Number => n.intValue }.getOrElse(256))
         spark.range(1).select(lit(str("index")).as("index_built"))
+      case "analyze" => // one-pass data profile (C3 describe -> data stats)
+        graft.operators.Profile.profile(
+          strOpt("docs").map(spark.read.parquet(_)).getOrElse(table.df))
       case "search" => // BM25 over a built index
         graft.operators.InvertedIndex.search(spark, str("index"),
           list("terms"),

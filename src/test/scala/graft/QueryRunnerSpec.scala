@@ -87,6 +87,25 @@ class QueryRunnerSpec extends SparkSpec {
     assert(hits == direct)
   }
 
+  test("analyze request profiles every column in one pass") {
+    val path = mkTable()
+    val prof = QueryRunner.run(spark, s"""{"op":"analyze","table":"$path"}""")
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val cols = ZTable.open(spark, path).df.columns.toSet
+    assert(prof.keySet == cols)
+    prof.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 4L)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("approx_distinct") >= 1L)
+    }
+    // raw-parquet profiling via "docs": arrays get null min/max, not errors
+    val emb = QueryRunner.run(spark,
+      s"""{"op":"analyze","table":"$path","docs":"$sf001/embeddings.parquet"}""")
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(emb("embedding").getAs[String]("min") == null)
+    assert(emb("vec_id").getAs[Long]("approx_distinct") > 400L)
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {
