@@ -238,6 +238,17 @@ object Ingest {
       }
   }
 
+  /** Stream-static dimension enrichment: the most common production
+    * streaming join — events against a slowly-changing dimension table.
+    * The static side BROADCASTS per micro-batch (re-resolved each batch,
+    * so a refreshed dimension file is picked up without restarting the
+    * query); no streaming state, no watermark — unlike stream-stream
+    * joins this is stateless by construction and scales with the
+    * dimension's broadcast size only. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming curation: the pipe1/pipe5 document-quality + PII-scrub
     * signals applied to a LIVE document stream. Every signal is a
     * stateless per-row expression (token count, quality score,

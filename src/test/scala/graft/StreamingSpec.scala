@@ -201,6 +201,25 @@ class StreamingSpec extends SparkSpec {
     assert(table.df.count() == 3)
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, "2024-01-01 10:00:00", "click", 1.0),   // user 1
+      ev(12, "2024-01-01 10:00:01", "view", 2.0),   // user 2
+      ev(23, "2024-01-01 10:00:02", "click", 3.0))  // user 3 (no dim row)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Ingest.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val byEvent = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(byEvent == Map(1L -> "gold", 12L -> "silver", 23L -> null))
+  }
+
   test("streaming curation equals the batch plan on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf001)
