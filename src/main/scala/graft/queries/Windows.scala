@@ -99,6 +99,38 @@ object Windows {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** W5: distribution window functions — ntile/percent_rank/cume_dist/
+    * first_value/nth_value, the remaining SQL-standard window family
+    * (w1-w4 cover ranking, offset, frames, and time windows). Unique
+    * tiebreak in the window order keeps every function deterministic;
+    * percent_rank and cume_dist are integer-ratio doubles, so both
+    * engines compute identical values with no rounding needed. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("qtile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("cheapest", first_value(col("o_orderkey")).over(w))
+      .withColumn("second", nth_value(col("o_orderkey"), 2).over(w))
+      .select("o_orderkey", "o_orderpriority", "qtile", "pr", "cd",
+        "cheapest", "second")
+      .orderBy("o_orderkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS qtile,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** J6: as-of join — each purchase matched to the same user's latest
     * click at-or-before it (operators.AsOfJoin: one shuffle, no blowup). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
