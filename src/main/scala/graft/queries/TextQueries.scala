@@ -169,6 +169,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T10: heavy hitters through a COUNT-MIN SKETCH — completes the
+    * sketch family (HLL a11, MinHash d2, SimHash d3, Bloom d8, winnow
+    * t6). The sketch folds distributively (mergeable per-partition
+    * buffers); the top-10 exact counts ride a word-count aggregation.
+    * The ORACLE TRICK: the output carries `cms_ok` = (exact <= estimate
+    * <= exact + eps*N) — the CMS guarantee — and the DuckDB side emits
+    * literal TRUE, so the driver's hash gate fails iff the sketch ever
+    * violates its error bound. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val cms = tok.stat.countMinSketch("w", eps = 0.0001, confidence = 0.99, seed = 42)
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(10).collect()
+    top.map { r =>
+      val (w, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(w)
+      (w, n, est >= n && est <= n + (0.0001 * cms.totalCount()).ceil.toLong)
+    }.toSeq.toDF("w", "n", "cms_ok")
+      .orderBy(col("n").desc, col("w"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT w, n, true AS cms_ok FROM (
+      |  SELECT w, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w)
+      |ORDER BY n DESC, w LIMIT 10""".stripMargin
+
+  /** F8: spelling-variant pairs — distinct corpus words within edit
+    * distance 2 (typo/inflection clustering, the string-similarity leg
+    * of the dedup family). The self-join is VOCABULARY-sized (bounded,
+    * not corpus-sized) — at a web-scale vocabulary you'd block on
+    * (length, first char) before the quadratic compare; here the plain
+    * theta join is honest for a bounded dictionary. */
+  def editPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    vocab.select(col("w").as("wa"))
+      .join(vocab.select(col("w").as("wb")), col("wa") < col("wb"))
+      .where(levenshtein(col("wa"), col("wb")) <= 2)
+      .select(col("wa"), col("wb"),
+        levenshtein(col("wa"), col("wb")).cast(LongType).as("dist"))
+      .orderBy("wa", "wb")
+  }
+
+  val editPairsSql: String =
+    """WITH v AS (SELECT DISTINCT w
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0)
+      |SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+      |FROM v a JOIN v b ON a.w < b.w
+      |WHERE levenshtein(a.w, b.w) <= 2
+      |ORDER BY wa, wb""".stripMargin
+
   /** T4: md5 content fingerprint of the canonical text form. */
   def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
