@@ -108,6 +108,45 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** FUNNEL1: conversion-funnel analysis — per user, the earliest
+    * strictly-ordered view -> click -> purchase chain (the sequenced
+    * pattern match behind product funnels; a bounded MATCH_RECOGNIZE).
+    * Three filtered min-aggregations chained by joins, all keyed on
+    * user_id — one shuffle key end to end, linear at any scale. Strict
+    * `>` comparisons are safe across engines because event timestamps
+    * are µs-aligned (the ns->µs floor is lossless). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, t_view, t_click, t_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** A12: GAP-FILLED OHLCV bars — the reference's own open TODO
     * (`src/server/ohlcv.rs:56` wants "duration like" dense output; its
     * shipped endpoint emits only non-empty bars). Empty hours get
