@@ -108,6 +108,35 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** COHORT1: weekly retention triangle — users grouped by first-active
+    * week (cohort), counted per week offset they were active again. Two
+    * aggregations and one join, all keyed on user_id; offsets are exact
+    * integer arithmetic (both weeks are Monday-truncated, so the day
+    * difference is always a multiple of 7). The classic product-metrics
+    * companion to funnel1. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val active = e.distinct()
+    active.join(first, Seq("user_id"))
+      .select(col("cohort"),
+        expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("offset"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |first AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM active JOIN first USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** FUNNEL1: conversion-funnel analysis — per user, the earliest
     * strictly-ordered view -> click -> purchase chain (the sequenced
     * pattern match behind product funnels; a bounded MATCH_RECOGNIZE).

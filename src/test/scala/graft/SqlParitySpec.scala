@@ -32,6 +32,8 @@ class SqlParitySpec extends SparkSpec {
     // d6's SQL), 4-arg regexp_replace + len() (pipe5),
     // generate_series+unnest grid (a12); unnest vocab (t10, f8)
     "a12_ohlcv_dense", "t10_cms_heavy_hitters", "f8_edit_pairs",
+    // cohort1: // integer division + date_diff arg order
+    "cohort1_retention",
     "search1_bm25", "search2_inverted_index", "lm1_bigram_ppl",
     "d8_bloom_decontaminate", "pipe5_pii_scrub")
 
