@@ -160,4 +160,24 @@ object PropertyChecks extends Properties("graft") {
       }
       injective && monotone
     }
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val mergeTable: Gen[Seq[(String, String)]] =
+    Gen.choose(0, 10).flatMap(n => Gen.listOfN(n,
+      for { a <- Gen.alphaLowerChar; b <- Gen.alphaLowerChar }
+        yield (a.toString, b.toString))).map(_.distinct)
+
+  property("BPE encode: expression == driver encode; word <= tokens <= chars") =
+    Prop.forAll(Gen.nonEmptyListOf(word), mergeTable) { (words, merges) =>
+      val rank = merges.zipWithIndex.toMap
+      val got = Seq(words.mkString(" ")).toDF("text")
+        .select(graft.functions.Bpe.encodeCount(
+          split(col("text"), " "), merges).as("n"))
+        .head.getLong(0)
+      val expected = words.map(w => graft.functions.Bpe.encodeWord(w, rank).length.toLong).sum
+      val chars = words.map(_.length.toLong).sum
+      got == expected && got >= words.length && got <= chars
+    }
 }
