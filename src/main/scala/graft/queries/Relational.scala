@@ -168,6 +168,42 @@ object Relational {
       |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, day""".stripMargin
 
+  /** SET4/SET5: bag semantics — EXCEPT ALL / INTERSECT ALL keep
+    * per-row multiplicities (Spark plans them as aggregated counts +
+    * generate, one shuffle each, no row explosion). Counts ride along
+    * so the oracle checks multiplicities, not just membership. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def userDays(t: String) = e.where(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    userDays("click").exceptAll(userDays("purchase"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
+  val setExceptAllSql: String =
+    """SELECT user_id, day, COUNT(*) AS n FROM (
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click'
+      |  EXCEPT ALL
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase')
+      |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def userDays(t: String) = e.where(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    userDays("click").intersectAll(userDays("view"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "day")
+  }
+
+  val setIntersectAllSql: String =
+    """SELECT user_id, day, COUNT(*) AS n FROM (
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click'
+      |  INTERSECT ALL
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'view')
+      |GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
+
   /** A5a: ROLLUP over (returnflag, linestatus) with exact decimal sums. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
