@@ -168,6 +168,26 @@ object Relational {
       |SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, day""".stripMargin
 
+  /** O2: null-ordering sort semantics — customers sorted by first order
+    * date with NULLS FIRST (never-ordered customers lead), unique key
+    * tiebreak. The null placement is the semantic under test; both
+    * engines use the same explicit NULLS FIRST. */
+  def sortNulls(spark: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("first_order"))
+    Tables.customer(spark, dir)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("first_order"))
+      .orderBy(col("first_order").asc_nulls_first, col("c_custkey"))
+  }
+
+  val sortNullsSql: String =
+    """SELECT c_custkey, first_order FROM customer
+      |LEFT JOIN (SELECT o_custkey, min(o_orderdate) AS first_order
+      |           FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY first_order ASC NULLS FIRST, c_custkey""".stripMargin
+
   /** SET4/SET5: bag semantics — EXCEPT ALL / INTERSECT ALL keep
     * per-row multiplicities (Spark plans them as aggregated counts +
     * generate, one shuffle each, no row explosion). Counts ride along
