@@ -329,6 +329,38 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** J10: KEYLESS interval join — high-value purchases inside ANY
+    * error-incident window (no equi key: incidents are global, not
+    * per-user). Catalyst's native plan for this predicate is a
+    * BroadcastNestedLoopJoin; operators.Intervals.overlapJoin rewrites
+    * it as the bucketed FRAGMENT JOIN (explode to 10-min buckets,
+    * ordinary equi join, exact predicate + report-once filter) —
+    * PlanSpec asserts no BNLJ/cartesian survives in the plan. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val windows = e.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val purchases = e.where(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    graft.operators.Intervals.overlapJoin(
+        purchases, col("p_ts"), col("p_ts"),
+        windows, col("w_start"), col("w_end"),
+        bucketMicros = 600000000L) // bucket = window length (10 min)
+      .select(col("purchase_id"), col("incident_id"), col("p_ts"), col("w_start"))
+      .orderBy("purchase_id", "incident_id")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH w AS (SELECT event_id AS incident_id, ts AS w_start,
+      |                  ts + INTERVAL 10 MINUTE AS w_end
+      |           FROM events WHERE event_type = 'error'),
+      |p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM events
+      |      WHERE event_type = 'purchase' AND value > 95)
+      |SELECT purchase_id, incident_id, p_ts, w_start
+      |FROM p JOIN w ON p_ts >= w_start AND p_ts <= w_end
+      |ORDER BY purchase_id, incident_id""".stripMargin
+
   /** A5d: GROUPING SETS — independent per-dimension totals in one pass. */
   def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

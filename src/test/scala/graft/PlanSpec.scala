@@ -128,4 +128,12 @@ class PlanSpec extends SparkSpec {
     // partial agg -> single exchange on (window, type) -> final agg + sort
     assert(shuffles(p) <= 2, p.toString)
   }
+
+  test("j10: keyless interval join plans as an equi join, never a nested loop") {
+    val plan = executed(
+      graft.queries.Relational.intervalOverlap(spark, sf001)).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join") && plan.contains("__b"), plan)
+  }
 }
