@@ -238,6 +238,34 @@ object Ingest {
       }
   }
 
+  /** KEYLESS stream-stream interval join — points (purchases) matched
+    * into incident windows from another stream with NO shared key.
+    * Spark requires an equi condition on stream-stream joins; the
+    * fragment-join bucket id (operators.Intervals' trick) MANUFACTURES
+    * one: windows explode into the time buckets they span, points carry
+    * their single bucket, and the join is an ordinary watermarked
+    * stream-stream equi join whose event-time range condition
+    * (`p_ts BETWEEN w_start AND w_start + len`) lets Spark expire state.
+    * StreamingSpec gates parity with the batch fragment join. */
+  def incidentJoinStream(points: DataFrame, incidents: DataFrame,
+      windowLenMicros: Long = 600000000L, bucketMicros: Long = 600000000L,
+      lateness: String = "10 seconds"): DataFrame = {
+    val lenExpr = s"INTERVAL ${windowLenMicros / 1000000L} SECONDS"
+    val p = points.withWatermark("ts", lateness)
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        floor(unix_micros(col("ts")) / lit(bucketMicros)).as("pb"))
+    val w = incidents.withWatermark("ts", lateness)
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"))
+      .withColumn("wb", explode(sequence(
+        floor(unix_micros(col("w_start")) / lit(bucketMicros)),
+        floor((unix_micros(col("w_start")) + lit(windowLenMicros)) / lit(bucketMicros)))))
+    p.join(w,
+      col("pb") === col("wb") &&
+        col("p_ts") >= col("w_start") &&
+        col("p_ts") <= col("w_start") + expr(lenExpr))
+      .select(col("p_id"), col("incident_id"), col("p_ts"), col("w_start"))
+  }
+
   /** Stream-static dimension enrichment: the most common production
     * streaming join — events against a slowly-changing dimension table.
     * The static side BROADCASTS per micro-batch (re-resolved each batch,

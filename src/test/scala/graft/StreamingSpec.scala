@@ -201,6 +201,29 @@ class StreamingSpec extends SparkSpec {
     assert(table.df.count() == 3)
   }
 
+  test("keyless stream-stream interval join via fragment buckets matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    // incident at 10:00:00 covers [10:00:00, 10:10:00]; one at 10:30:00
+    errors.addData(ev(100, "2024-01-01 10:00:00", "error", 0.0),
+      ev(101, "2024-01-01 10:30:00", "error", 0.0))
+    purchases.addData(
+      ev(1, "2024-01-01 10:05:00", "purchase", 9.0),  // inside incident 100
+      ev(2, "2024-01-01 10:10:00", "purchase", 9.0),  // boundary of 100
+      ev(3, "2024-01-01 10:20:00", "purchase", 9.0),  // in no window
+      ev(4, "2024-01-01 10:31:00", "purchase", 9.0))  // inside incident 101
+    val q = Ingest.incidentJoinStream(purchases.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("incident_join")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("incident_join").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("incident_id"))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (4L, 101L)))
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
