@@ -81,6 +81,32 @@ object Scalar {
   val minMaxTsSql: String =
     "SELECT min(ts) AS first_ts, max(ts) AS last_ts, COUNT(*) AS n FROM events"
 
+  /** S6: reference-native-format roundtrip — events written to the
+    * per-column little-endian block layout (the reference's actual
+    * storage model: one file per column, line-per-symbol dicts) and
+    * read back through the graft-native DataSource V2 connector, then
+    * hash-compared against DuckDB reading the original parquet. Gates
+    * the whole connector path: write, block partitioning, dictionary
+    * decode, and the ns->µs ts reconstruction on top. */
+  def nativeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_native_q_")
+      .toString + "/t"
+    graft.sources.GraftNative.write(
+      Tables.eventsRawTs(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+      tmp)
+    spark.read.format("graft-native").load(tmp)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val nativeRoundtripSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** PROFILE1: one-pass data profile of the fact table (the dataset-card
     * step of a corpus build, and C3's describe extended from schema to
     * data): row count, per-column null counts, min/max, and exact
