@@ -86,10 +86,35 @@ object GraftNative {
         fields.zipWithIndex.foreach { case ((name, typ), i) =>
           writeColumn(block, name, typ, data, i)
         }
+        // per-block numeric min/max sidecar — the reference's partition
+        // metadata (ref src/table/meta.rs), used for block skipping
+        val stats = fields.zipWithIndex.collect {
+          case ((name, "i64"), i) =>
+            val vs = data.map(_.getLong(i))
+            s""""$name":[${vs.min},${vs.max}]"""
+          case ((name, "f64"), i) =>
+            val vs = data.map(_.getDouble(i))
+            s""""$name":[${vs.min},${vs.max}]"""
+        }
+        Files.write(block.resolve("_stats.json"),
+          stats.mkString("{", ",", "}").getBytes(StandardCharsets.UTF_8))
       }
       Iterator.single(data.length)
     }.count()
     ()
+  }
+
+  /** Exact per-block bounds (BigDecimal — i64 nanos exceed a double's
+    * 2^53 integer range, and a rounded bound could wrongly skip). */
+  private[sources] def blockStats(
+      block: String): Map[String, (java.math.BigDecimal, java.math.BigDecimal)] = {
+    val p = Paths.get(block, "_stats.json")
+    if (!Files.exists(p)) Map.empty
+    else """"([^"]+)":\[([-0-9.eE]+),([-0-9.eE]+)\]""".r
+      .findAllMatchIn(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .map(m => m.group(1) ->
+        (new java.math.BigDecimal(m.group(2)), new java.math.BigDecimal(m.group(3))))
+      .toMap
   }
 
   private def writeColumn(block: Path, name: String, typ: String,
@@ -141,28 +166,73 @@ class GraftNativeTable(dir: String, schema: StructType)
 }
 
 class GraftNativeScanBuilder(dir: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var skippable: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve file-schema field order; empty projection (count(*)) is legal
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = GraftNativeScan(dir, required)
+  /** Numeric range/equality filters drive BLOCK SKIPPING against the
+    * per-block min/max sidecars (the reference's partition-metadata
+    * seek, ref src/table/meta.rs). Everything is returned as residual —
+    * skipping is pruning, not evaluation — so Spark re-applies the
+    * exact predicate above the scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skippable = filters.filter {
+      case GreaterThan(_, _: Number) | GreaterThanOrEqual(_, _: Number) |
+           LessThan(_, _: Number) | LessThanOrEqual(_, _: Number) |
+           EqualTo(_, _: Number) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skippable
+  override def build(): Scan = GraftNativeScan(dir, required, skippable.toSeq)
 }
 
 case class GraftNativeBlock(block: String) extends InputPartition
 
-case class GraftNativeScan(dir: String, required: StructType)
+case class GraftNativeScan(dir: String, required: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch with Serializable {
+  import org.apache.spark.sql.sources._
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-native cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-native cols=[${required.fieldNames.mkString(",")}] " +
+      s"skipFilters=[${filters.mkString(",")}]"
+
+  private def dec(v: Any): java.math.BigDecimal =
+    new java.math.BigDecimal(v.toString)
+
+  /** True iff the stats PROVE no row of this block can match. */
+  private def provablyEmpty(block: String): Boolean = {
+    val stats = GraftNative.blockStats(block)
+    filters.exists {
+      case GreaterThan(c, v: Number) =>
+        stats.get(c).exists { case (_, mx) => mx.compareTo(dec(v)) <= 0 }
+      case GreaterThanOrEqual(c, v: Number) =>
+        stats.get(c).exists { case (_, mx) => mx.compareTo(dec(v)) < 0 }
+      case LessThan(c, v: Number) =>
+        stats.get(c).exists { case (mn, _) => mn.compareTo(dec(v)) >= 0 }
+      case LessThanOrEqual(c, v: Number) =>
+        stats.get(c).exists { case (mn, _) => mn.compareTo(dec(v)) > 0 }
+      case EqualTo(c, v: Number) =>
+        stats.get(c).exists { case (mn, mx) =>
+          dec(v).compareTo(mn) < 0 || dec(v).compareTo(mx) > 0 }
+      case _ => false
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("block-") &&
         Files.isDirectory(p))
       .toArray.sortBy(_.getFileName.toString)
+      .filterNot(p => provablyEmpty(p.toString))
       .map(p => GraftNativeBlock(p.toString): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftNativeReaderFactory(required)

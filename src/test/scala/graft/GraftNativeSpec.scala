@@ -47,6 +47,28 @@ class GraftNativeSpec extends SparkSpec {
     assert(spark.read.format("graft-native").load(dir).count() == 100L)
   }
 
+  test("numeric filters skip whole blocks via the min/max sidecars") {
+    val dir = tmp()
+    // range-partition so blocks get disjoint id ranges
+    val src = (1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    GraftNative.write(src, dir)
+    def partsFor(pred: org.apache.spark.sql.Column): Int = {
+      val df = spark.read.format("graft-native").load(dir).where(pred)
+      df.queryExecution.executedPlan.execute().getNumPartitions
+    }
+    val all = partsFor(col("id") >= 1L)
+    assert(all == 4, s"expected 4 blocks, got $all")
+    assert(partsFor(col("id") > 900L) == 1)
+    assert(partsFor(col("id") === 5L) == 1)
+    assert(partsFor(col("id") < 0L) == 0)
+    // correctness unaffected by skipping
+    assert(spark.read.format("graft-native").load(dir)
+      .where(col("id") > 900L).count() == 100L)
+    // doubles skip too
+    assert(partsFor(col("v") <= 10.0) == 1)
+  }
+
   test("events roundtrip equals the parquet read (sf0.001)") {
     val dir = tmp()
     val src = Tables.eventsRawTs(spark, sf001)
