@@ -97,7 +97,8 @@ object GraftNative {
             s""""$name":[${vs.min},${vs.max}]"""
         }
         Files.write(block.resolve("_stats.json"),
-          stats.mkString("{", ",", "}").getBytes(StandardCharsets.UTF_8))
+          (stats :+ s""""__rows":[${data.length},${data.length}]""")
+            .mkString("{", ",", "}").getBytes(StandardCharsets.UTF_8))
       }
       Iterator.single(data.length)
     }.count()
@@ -165,12 +166,56 @@ class GraftNativeTable(dir: String, schema: StructType)
     new GraftNativeScanBuilder(dir, schema)
 }
 
+/** One pushed aggregate: kind ∈ min|max|count, with the source column
+  * (empty for count) and its data type. */
+case class GraftNativeAgg(kind: String, col: String, dt: DataType)
+
 class GraftNativeScanBuilder(dir: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var skippable: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[GraftNativeAgg]] = None
+
+  /** MIN/MAX/COUNT(*) with no grouping answer from the per-block stats
+    * sidecars alone — zero column files read (the reference's
+    * "metadata answers first/last-ts" C2 shape, ref src/table/meta.rs).
+    * Partial-pushdown contract: one row per block, Spark finalizes
+    * (min of mins, sum of counts). Spark only attempts this when no
+    * post-scan filters remain; every filter here is residual, so the
+    * pushdown can never see a filtered scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty || skippable.nonEmpty) return false
+    def statCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          full.fields.find(x => x.name == f.fieldNames.head &&
+            (x.dataType == LongType || x.dataType == DoubleType))
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case m: Min => statCol(m.column).map(f => GraftNativeAgg("min", f.name, f.dataType))
+      case m: Max => statCol(m.column).map(f => GraftNativeAgg("max", f.name, f.dataType))
+      case _: CountStar => Some(GraftNativeAgg("count", "", LongType))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    // every non-empty block must carry a stats sidecar
+    val blocks = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
+      .toSeq
+    val ok = blocks.forall { b =>
+      !Files.list(b).iterator().asScala.exists(_.toString.endsWith(".bin")) ||
+        Files.exists(b.resolve("_stats.json"))
+    }
+    if (!ok) return false
+    aggs = Some(specs.flatten)
+    true
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve file-schema field order; empty projection (count(*)) is legal
     required = StructType(full.fields.filter(f =>
@@ -190,20 +235,28 @@ class GraftNativeScanBuilder(dir: String, full: StructType)
     filters
   }
   override def pushedFilters(): Array[Filter] = skippable
-  override def build(): Scan = GraftNativeScan(dir, required, skippable.toSeq)
+  override def build(): Scan =
+    GraftNativeScan(dir, required, skippable.toSeq, aggs)
 }
 
 case class GraftNativeBlock(block: String) extends InputPartition
 
 case class GraftNativeScan(dir: String, required: StructType,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    aggs: Option[Seq[GraftNativeAgg]] = None)
     extends Scan with Batch with Serializable {
   import org.apache.spark.sql.sources._
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggs match {
+    case Some(specs) => StructType(specs.zipWithIndex.map { case (a, i) =>
+      StructField(s"${a.kind}_$i", a.dt, nullable = a.kind != "count")
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-native cols=[${required.fieldNames.mkString(",")}] " +
-      s"skipFilters=[${filters.mkString(",")}]"
+      s"skipFilters=[${filters.mkString(",")}]" +
+      aggs.fold("")(s => s" pushedAggs=[${s.map(a => a.kind + "(" + a.col + ")").mkString(",")}]")
 
   private def dec(v: Any): java.math.BigDecimal =
     new java.math.BigDecimal(v.toString)
@@ -234,8 +287,38 @@ case class GraftNativeScan(dir: String, required: StructType,
       .toArray.sortBy(_.getFileName.toString)
       .filterNot(p => provablyEmpty(p.toString))
       .map(p => GraftNativeBlock(p.toString): InputPartition)
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftNativeReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = aggs match {
+    case Some(specs) => new GraftNativeAggReaderFactory(specs)
+    case None => new GraftNativeReaderFactory(required)
+  }
+}
+
+/** Aggregate-pushdown reader: ONE row per block, straight from the
+  * stats sidecar — no column file is ever opened (spec proves it by
+  * deleting them all). */
+class GraftNativeAggReaderFactory(specs: Seq[GraftNativeAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val block = partition.asInstanceOf[GraftNativeBlock].block
+      private val stats = GraftNative.blockStats(block)
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted || stats.isEmpty) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val vals: Array[Any] = specs.map { a =>
+          a.kind match {
+            case "count" => stats("__rows")._1.longValueExact(): Any
+            case "min" if a.dt == LongType => stats(a.col)._1.longValueExact()
+            case "max" if a.dt == LongType => stats(a.col)._2.longValueExact()
+            case "min" => stats(a.col)._1.doubleValue()
+            case "max" => stats(a.col)._2.doubleValue()
+          }
+        }.toArray
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class GraftNativeReaderFactory(required: StructType)

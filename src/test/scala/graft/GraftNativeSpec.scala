@@ -69,6 +69,25 @@ class GraftNativeSpec extends SparkSpec {
     assert(partsFor(col("v") <= 10.0) == 1)
   }
 
+  test("min/max/count push down to the stats sidecars: zero data reads") {
+    val dir = tmp()
+    GraftNative.write((1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(4, col("id")), dir)
+    // delete EVERY data file — only the stats sidecars remain
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".bin") || p.toString.endsWith(".dict"))
+      .foreach(java.nio.file.Files.delete)
+    val df = spark.read.format("graft-native").load(dir)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        expr("count(*)").as("n"), min(col("v")).as("vmn"), max(col("v")).as("vmx"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggs="),
+      df.queryExecution.executedPlan.toString)
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)) ==
+      ((1L, 1000L, 1000L, 1.0, 1000.0)))
+  }
+
   test("events roundtrip equals the parquet read (sf0.001)") {
     val dir = tmp()
     val src = Tables.eventsRawTs(spark, sf001)
