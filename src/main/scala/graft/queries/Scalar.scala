@@ -107,6 +107,25 @@ object Scalar {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** C2b: first/last-ts + row count answered from the graft-native
+    * STATS SIDECARS alone — the reference's "meta answers first/last
+    * ts" (ref src/table/meta.rs) made literal through DSv2 aggregate
+    * pushdown: after the one-time write, the aggregation opens zero
+    * column files. Shares c2's oracle (same values, different path). */
+  def nativeMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_native_c2_")
+      .toString + "/t"
+    graft.sources.GraftNative.write(
+      Tables.eventsRawTs(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+      tmp)
+    spark.read.format("graft-native").load(tmp)
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"),
+        count(lit(1)).as("n"))
+      .select(timestamp_micros(expr("mn div 1000")).as("first_ts"),
+        timestamp_micros(expr("mx div 1000")).as("last_ts"), col("n"))
+  }
+
   /** PROFILE1: one-pass data profile of the fact table (the dataset-card
     * step of a corpus build, and C3's describe extended from schema to
     * data): row count, per-column null counts, min/max, and exact
