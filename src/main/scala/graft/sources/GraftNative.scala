@@ -133,6 +133,8 @@ object GraftNative {
       val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach { r =>
         val s = r.getString(i)
+        require(s.indexOf('\n') < 0, // dict sidecar is line-per-symbol (ref scheme)
+          s"graft-native str values must not contain newlines: column $name")
         bb.putInt(dict.getOrElseUpdate(s, dict.size))
       }
       Files.write(block.resolve(s"$name.bin"), bb.array())

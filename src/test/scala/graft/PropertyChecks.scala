@@ -169,6 +169,27 @@ object PropertyChecks extends Properties("graft") {
       for { a <- Gen.alphaLowerChar; b <- Gen.alphaLowerChar }
         yield (a.toString, b.toString))).map(_.distinct)
 
+  private val interval: Gen[(Long, Long)] =
+    for { s <- Gen.choose(0L, 60L); len <- Gen.choose(0L, 25L) } yield (s, s + len)
+
+  property("fragment interval join == naive theta join for random intervals") =
+    Prop.forAll(Gen.nonEmptyListOf(interval), Gen.nonEmptyListOf(interval),
+        Gen.oneOf(3L, 7L, 10L)) { (lsRaw, rsRaw, bucket) =>
+      val ls = lsRaw.take(10).zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val rs = rsRaw.take(10).zipWithIndex.map { case ((s, e), i) => (100L + i, s, e) }
+      def df(xs: Seq[(Long, Long, Long)], id: String, a: String, b: String) =
+        xs.toDF("i", "s", "e").select(col("i").as(id),
+          timestamp_micros(col("s")).as(a), timestamp_micros(col("e")).as(b))
+      val got = graft.operators.Intervals.overlapJoin(
+          df(ls, "lid", "ls", "le"), col("ls"), col("le"),
+          df(rs, "rid", "rs", "re"), col("rs"), col("re"), bucket)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = ls.flatMap { case (li, s, e) =>
+        rs.collect { case (ri, s2, e2) if s <= e2 && s2 <= e => (li, ri) }
+      }.toSet
+      got.length == got.toSet.size && got.toSet == naive
+    }
+
   property("BPE encode: expression == driver encode; word <= tokens <= chars") =
     Prop.forAll(Gen.nonEmptyListOf(word), mergeTable) { (words, merges) =>
       val rank = merges.zipWithIndex.toMap
