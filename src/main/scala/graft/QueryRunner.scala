@@ -61,6 +61,9 @@ object QueryRunner {
           numBuckets = req.get("buckets")
             .collect { case n: Number => n.intValue }.getOrElse(256))
         spark.range(1).select(lit(str("index")).as("index_built"))
+      case "native_scan" => // read the reference's native column format
+        val df = spark.read.format("graft-native").load(str("path"))
+        if (list("cols").isEmpty) df else df.select(list("cols").map(col): _*)
       case "analyze" => // one-pass data profile (C3 describe -> data stats)
         graft.operators.Profile.profile(
           strOpt("docs").map(spark.read.parquet(_)).getOrElse(table.df))

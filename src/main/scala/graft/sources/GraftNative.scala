@@ -51,6 +51,14 @@ object GraftNative {
       s"graft-native v0 supports i64/f64/str, got $other")
   }
 
+  /** List a dir's entries, CLOSING the NIO stream (Files.list leaks a
+    * file descriptor per call otherwise — repeated scans would exhaust
+    * the limit on a long-lived session). */
+  private[sources] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   private[sources] def schemaOf(dir: String): StructType = {
     val json = new String(Files.readAllBytes(Paths.get(dir, MetaFile)),
       StandardCharsets.UTF_8)
@@ -207,11 +215,10 @@ class GraftNativeScanBuilder(dir: String, full: StructType)
     }
     if (specs.exists(_.isEmpty)) return false
     // every non-empty block must carry a stats sidecar
-    val blocks = Files.list(Paths.get(dir)).iterator().asScala
+    val blocks = GraftNative.listDir(Paths.get(dir))
       .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
-      .toSeq
     val ok = blocks.forall { b =>
-      !Files.list(b).iterator().asScala.exists(_.toString.endsWith(".bin")) ||
+      !GraftNative.listDir(b).exists(_.toString.endsWith(".bin")) ||
         Files.exists(b.resolve("_stats.json"))
     }
     if (!ok) return false
@@ -283,12 +290,13 @@ case class GraftNativeScan(dir: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    Files.list(Paths.get(dir)).iterator().asScala
+    GraftNative.listDir(Paths.get(dir))
       .filter(p => p.getFileName.toString.startsWith("block-") &&
         Files.isDirectory(p))
-      .toArray.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .filterNot(p => provablyEmpty(p.toString))
       .map(p => GraftNativeBlock(p.toString): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory = aggs match {
     case Some(specs) => new GraftNativeAggReaderFactory(specs)
     case None => new GraftNativeReaderFactory(required)

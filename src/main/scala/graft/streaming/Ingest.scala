@@ -250,6 +250,8 @@ object Ingest {
   def incidentJoinStream(points: DataFrame, incidents: DataFrame,
       windowLenMicros: Long = 600000000L, bucketMicros: Long = 600000000L,
       lateness: String = "10 seconds"): DataFrame = {
+    require(windowLenMicros % 1000000L == 0,
+      "windowLenMicros must be whole seconds (interval literal)")
     val lenExpr = s"INTERVAL ${windowLenMicros / 1000000L} SECONDS"
     val p = points.withWatermark("ts", lateness)
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"),

@@ -106,6 +106,16 @@ class QueryRunnerSpec extends SparkSpec {
     assert(emb("vec_id").getAs[Long]("approx_distinct") > 400L)
   }
 
+  test("native_scan request reads the graft-native format with projection") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("qr_native_").toString + "/t"
+    graft.sources.GraftNative.write(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "s"), dir)
+    val rows = QueryRunner.run(spark,
+      s"""{"op":"native_scan","path":"$dir","cols":["s"]}""").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {
