@@ -14,9 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** "graft-native" — a DataSource V2 reader for the REFERENCE's storage
@@ -111,6 +113,16 @@ object GraftNative {
       Iterator.single(data.length)
     }.count()
     ()
+  }
+
+  /** A block's symbol dictionary as a set, if the sidecar exists.
+    * Symbol-count-sized (same class as the stats sidecar): reading it
+    * at plan time costs one small file per block per string filter. */
+  private[sources] def blockDict(block: String, colName: String): Option[Set[String]] = {
+    val p = Paths.get(block, s"$colName.dict")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1).toSet)
   }
 
   /** Exact per-block bounds (BigDecimal — i64 nanos exceed a double's
@@ -229,16 +241,23 @@ class GraftNativeScanBuilder(dir: String, full: StructType)
     // preserve file-schema field order; empty projection (count(*)) is legal
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  /** Numeric range/equality filters drive BLOCK SKIPPING against the
-    * per-block min/max sidecars (the reference's partition-metadata
-    * seek, ref src/table/meta.rs). Everything is returned as residual —
-    * skipping is pruning, not evaluation — so Spark re-applies the
-    * exact predicate above the scan. */
+  /** Numeric range/equality/membership filters drive BLOCK SKIPPING
+    * against the per-block min/max sidecars (the reference's
+    * partition-metadata seek, ref src/table/meta.rs); string
+    * equality/membership skips via the line-per-symbol dict sidecars
+    * (the reference's symbol dictionary, ref src/table/read.rs:13-23 —
+    * a symbol absent from a block's dict provably has no rows there,
+    * which is P5 symbol-membership filtering answered from metadata).
+    * Everything is returned as residual — skipping is pruning, not
+    * evaluation — so Spark re-applies the exact predicate above the
+    * scan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     skippable = filters.filter {
       case GreaterThan(_, _: Number) | GreaterThanOrEqual(_, _: Number) |
            LessThan(_, _: Number) | LessThanOrEqual(_, _: Number) |
-           EqualTo(_, _: Number) => true
+           EqualTo(_, _: Number) | EqualTo(_, _: String) => true
+      case In(_, vs) => vs.nonEmpty &&
+        (vs.forall(_.isInstanceOf[Number]) || vs.forall(_.isInstanceOf[String]))
       case _ => false
     }
     filters
@@ -285,6 +304,15 @@ case class GraftNativeScan(dir: String, required: StructType,
       case EqualTo(c, v: Number) =>
         stats.get(c).exists { case (mn, mx) =>
           dec(v).compareTo(mn) < 0 || dec(v).compareTo(mx) > 0 }
+      case EqualTo(c, v: String) =>
+        GraftNative.blockDict(block, c).exists(!_.contains(v))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        GraftNative.blockDict(block, c).exists(d => !vs.exists(v =>
+          d.contains(v.asInstanceOf[String])))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        stats.get(c).exists { case (mn, mx) => vs.forall { v =>
+          val d = dec(v.asInstanceOf[Number])
+          d.compareTo(mn) < 0 || d.compareTo(mx) > 0 } }
       case _ => false
     }
   }
@@ -335,6 +363,94 @@ class GraftNativeReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftNativeReader(partition.asInstanceOf[GraftNativeBlock].block, required)
+  /** Non-empty projections read COLUMNAR (S4 "zero-copy columnar batch"
+    * made literal in Spark terms: the scan emits ColumnarBatch and rows
+    * materialize only at the ColumnarToRow boundary, inside whole-stage
+    * codegen). The empty projection (count(*) with residual filters)
+    * stays on the row reader — a zero-column batch buys nothing. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    required.fields.nonEmpty
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new GraftNativeColumnarReader(partition.asInstanceOf[GraftNativeBlock].block, required)
+}
+
+/** Columnar block reader: each column file is decoded ONCE into a
+  * primitive array (the moral equivalent of the reference's
+  * reinterpret-mmap-as-typed-slice, ref src/table/read.rs:109-128 —
+  * the JVM can't alias bytes as long[] without copying, so this is one
+  * bulk copy instead of zero, still no per-row boxing), then served as
+  * 4096-row ColumnarBatches through reused OnHeapColumnVectors with
+  * bulk put(Longs|Doubles). Dictionary codes stay codes until batch
+  * fill; each batch row writes the pre-encoded UTF-8 bytes of its dict
+  * entry. */
+class GraftNativeColumnarReader(block: String, required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  private val BatchRows = 4096
+
+  private sealed trait Col { def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit }
+  private final class LongCol(vs: Array[Long]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putLongs(0, n, vs, start)
+  }
+  private final class DoubleCol(vs: Array[Double]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putDoubles(0, n, vs, start)
+  }
+  private final class DictCol(codes: Array[Int], dict: Array[Array[Byte]]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { vec.putByteArray(i, dict(codes(start + i))); i += 1 }
+    }
+  }
+
+  private val cols: Array[Col] = required.fields.map { f =>
+    val bytes = Files.readAllBytes(Paths.get(block, s"${f.name}.bin"))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    f.dataType match {
+      case LongType =>
+        val vs = new Array[Long](bytes.length / 8)
+        bb.asLongBuffer().get(vs)
+        new LongCol(vs)
+      case DoubleType =>
+        val vs = new Array[Double](bytes.length / 8)
+        bb.asDoubleBuffer().get(vs)
+        new DoubleCol(vs)
+      case StringType =>
+        val codes = new Array[Int](bytes.length / 4)
+        bb.asIntBuffer().get(codes)
+        val dict = new String(Files.readAllBytes(Paths.get(block, s"${f.name}.dict")),
+          StandardCharsets.UTF_8).split("\n", -1)
+          .map(_.getBytes(StandardCharsets.UTF_8))
+        new DictCol(codes, dict)
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+  }
+  private val nRows: Int = {
+    val f = required.fields.head
+    val w = if (f.dataType == StringType) 4 else 8
+    (Files.size(Paths.get(block, s"${f.name}.bin")) / w).toInt
+  }
+  private val vecs: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(vecs.map(v => v: ColumnVector))
+  private var pos = 0
+
+  override def next(): Boolean =
+    if (pos >= nRows) false
+    else {
+      val n = math.min(BatchRows, nRows - pos)
+      var c = 0
+      while (c < cols.length) {
+        vecs(c).reset()
+        cols(c).fill(vecs(c), pos, n)
+        c += 1
+      }
+      batch.setNumRows(n)
+      pos += n
+      true
+    }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = vecs.foreach(_.close())
 }
 
 /** Reads one block: only the REQUIRED columns' files are opened — the

@@ -88,6 +88,41 @@ class GraftNativeSpec extends SparkSpec {
       ((1L, 1000L, 1000L, 1.0, 1000.0)))
   }
 
+  test("string filters skip whole blocks via the dict sidecars") {
+    val dir = tmp()
+    // range-partition on id so blocks carry disjoint symbol sets
+    val src = (1L to 1000L).map(i => (i, if (i <= 500) "AAPL" else "MSFT"))
+      .toDF("id", "sym").repartitionByRange(4, col("id"))
+    GraftNative.write(src, dir)
+    def partsFor(pred: org.apache.spark.sql.Column): Int = {
+      val df = spark.read.format("graft-native").load(dir).where(pred)
+      df.queryExecution.executedPlan.execute().getNumPartitions
+    }
+    assert(partsFor(col("sym") === "MSFT") == 2)
+    assert(partsFor(col("sym") === "ZZZZ") == 0)
+    assert(partsFor(col("sym").isin("AAPL")) == 2)
+    assert(partsFor(col("sym").isin("AAPL", "MSFT")) == 4)
+    assert(partsFor(col("id").isin(5L, 7L)) == 1)
+    assert(partsFor(col("id").isin(-1L, -2L)) == 0)
+    // correctness unaffected by skipping
+    assert(spark.read.format("graft-native").load(dir)
+      .where(col("sym") === "MSFT").count() == 500L)
+  }
+
+  test("scan is columnar: ColumnarBatches cross batch boundaries bitwise") {
+    val dir = tmp()
+    // 10_000 rows in one block: 3 batches at the 4096-row batch size
+    val src = (1L to 10000L).map(i => (i, i * 0.25, s"s${i % 7}"))
+      .toDF("id", "px", "sym").coalesce(1)
+    GraftNative.write(src, dir)
+    val back = spark.read.format("graft-native").load(dir)
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      back.queryExecution.executedPlan.toString)
+    assert(back.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    assert(back.agg(sum("px")).head.getDouble(0) ==
+      src.agg(sum("px")).head.getDouble(0))
+  }
+
   test("events roundtrip equals the parquet read (sf0.001)") {
     val dir = tmp()
     val src = Tables.eventsRawTs(spark, sf001)
