@@ -223,6 +223,46 @@ object Scalar {
       |WHERE NOT (event_type = 'error' AND value > 50.0)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** UP1: MERGE upsert round-trip — append events to a ZTable, merge a
+    * delta that UPDATES every user_id<50 row (value doubled, same
+    * event_id) and INSERTS shifted-key copies of the user_id∈[50,60)
+    * rows, then aggregate. The oracle replays the same merge in SQL
+    * (anti-join + union), so matched keys must be replaced exactly once
+    * and unmatched keys inserted exactly once across every partition. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_up_").toString
+    deleteRecursively(Paths.get(path))
+    val t = ZTable.create(spark, path,
+      ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day, strictOrder = false))
+    val ev = Tables.events(spark, dir)
+    t.append(ev)
+    val updates = ev.where(col("user_id") < 50)
+      .withColumn("value", col("value") * 2)
+    val inserts = ev.where(col("user_id") >= 50 && col("user_id") < 60)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    t.merge(updates.unionByName(inserts), Seq("event_id"))
+    t.df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH delta AS (
+      |  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+      |  FROM events WHERE user_id < 50
+      |  UNION ALL
+      |  SELECT event_id + 10000000, ts, user_id, event_type, value, props
+      |  FROM events WHERE user_id >= 50 AND user_id < 60),
+      |merged AS (
+      |  SELECT * FROM events
+      |  WHERE event_id NOT IN (SELECT event_id FROM delta)
+      |  UNION ALL SELECT * FROM delta)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** IVM1: incremental rollup maintenance — three delta refreshes (one
     * per event_id residue class) with a mid-stream delta compaction;
     * the merged read must equal the one-shot aggregate over the whole

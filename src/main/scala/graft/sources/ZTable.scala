@@ -327,6 +327,66 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     deleted.get
   }
 
+  /** MERGE (copy-on-write upsert): every table row whose key matches a
+    * source row is replaced by the source version; source rows with no
+    * current match are inserted. The other half of the mutation story
+    * next to [[deleteWhere]] — corrections, re-scored quality columns,
+    * late restatements.
+    *
+    * Scale shape: phase 1 drops current versions of matched keys with
+    * one probe (semi-join against the distinct source keys) + one
+    * rewrite (anti-join) per partition directory, dispatched
+    * concurrently; partitions with no matched key are never rewritten,
+    * and the key set is delta-sized (broadcast when small, AQE picks a
+    * shuffle join when not — never a nested loop, keys are equi).
+    * Phase 2 writes all source rows into their ts-derived partitions in
+    * one pass, sorted within files like [[append]]. Strict ordering is
+    * deliberately bypassed: an upsert into history is out-of-order by
+    * nature, same class as [[compact]]/[[deleteWhere]] maintenance.
+    * Returns (replacedRows, writtenRows). */
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.iterator.asScala.toList finally s.close()
+    }
+    // one source materialization: the delta is re-read per partition
+    // probe/rewrite and once for the final write
+    val src = floorResolution(source).persist()
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val root = Paths.get(path)
+    val parts =
+      if (!Files.exists(root)) Nil
+      else ls(root).filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith(partCol + "="))
+    val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = parts.map { dir => Future {
+      val base = spark.read.parquet(dir.toString)
+      val hits = base.join(srcKeys, keyCols, "left_semi").count()
+      if (hits > 0) {
+        val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
+        base.join(srcKeys, keyCols, "left_anti")
+          .sortWithinPartitions(col(spec.tsCol))
+          .write.mode("overwrite").parquet(tmp.toString)
+        ls(dir).foreach(Files.delete)
+        Files.delete(dir)
+        Files.move(tmp, dir)
+        replaced.addAndGet(hits)
+      }
+    }}
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    val written = src.count()
+    withPartCol(src)
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(spec.tsCol))
+      .write.mode("append").partitionBy(partCol).parquet(path)
+    src.unpersist()
+    (replaced.get, written)
+  }
+
   private[sources] def writeMeta(): Unit = {
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +

@@ -192,6 +192,43 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 3)
   }
 
+  test("merge replaces matched keys, inserts new ones, rewrites only affected partitions") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "B", 2.0),
+      (3L, ts("2024-01-02 10:00:00"), "A", 3.0),
+      (4L, ts("2024-01-03 10:00:00"), "C", 4.0)).toDF("id", "ts", "sym", "v"))
+    def fileNames(day: String): Set[String] = {
+      val s = Files.list(Paths.get(path, s"p_date=$day"))
+      try {
+        val l = scala.collection.mutable.Set[String]()
+        s.forEach(p => if (p.toString.endsWith(".parquet"))
+          l += p.getFileName.toString)
+        l.toSet
+      } finally s.close()
+    }
+    val day3Before = fileNames("2024-01-03")
+    // update id=2 (same day), insert id=9 (new day) — day3 has no match
+    val delta = Seq(
+      (2L, ts("2024-01-01 11:00:00"), "B", 20.0),
+      (9L, ts("2024-01-05 09:00:00"), "D", 9.0)).toDF("id", "ts", "sym", "v")
+    val (replaced, written) = t.merge(delta, Seq("id"))
+    assert((replaced, written) == ((1L, 2L)))
+    assert(t.df.count() == 5)
+    assert(t.df.where(col("id") === 2L).select("v").head.getDouble(0) == 20.0)
+    assert(t.df.where(col("id") === 9L).select("sym").head.getString(0) == "D")
+    // the matchless partition keeps its exact files (no rewrite)
+    assert(fileNames("2024-01-03") == day3Before)
+    assert(Files.exists(Paths.get(path, "p_date=2024-01-05")))
+    // merging the same delta again replaces both rows, net count unchanged
+    val (r2, w2) = t.merge(delta, Seq("id"))
+    assert((r2, w2) == ((2L, 2L)))
+    assert(t.df.count() == 5)
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())
