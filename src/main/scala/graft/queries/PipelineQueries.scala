@@ -78,6 +78,20 @@ object PipelineQueries {
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
 
+  /** PIPE6: the same per-stratum sample as pipe2, served by the
+    * DISTRIBUTED-RESERVOIR shape (operators.Sampling: per-partition
+    * bounded heaps, sample-sized final rank) instead of pipe2's
+    * corpus-shuffling window. Shares pipe2's oracle verbatim, so the
+    * heap fold + merge is hash-gated equal to the window formulation —
+    * the d2/d8 implementation-B trick. */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topKPerGroup(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h")),
+      Seq("source"), col("h"), "doc_id", k = 20)
+      .select(col("source"), col("doc_id"), col("rk").cast(LongType).as("rk"))
+      .orderBy("source", "rk")
+
   /** PIPE4: deterministic mixture resampling — the corpus-assembly step
     * that up/down-samples each source to its target weight ("2.25 epochs
     * of curated, 0.4 of crawl"). Every doc emits floor(w) copies plus

@@ -28,6 +28,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("reservoir sample equals the window formulation on every partitioning") {
+    import org.apache.spark.sql.functions._
+    // pipe6 (bounded heaps) must reproduce pipe2 (window) bit-for-bit
+    val window = PipelineQueries.stratifiedSample(spark, sf001).collect().toSeq
+    val heaps = PipelineQueries.reservoirSample(spark, sf001).collect().toSeq
+    assert(heaps.nonEmpty && heaps == window)
+    // skewed layout: one group split across many partitions, k > some
+    // group sizes — heap merge must still produce the exact global top-k
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 490) "big" else "small"))
+      .toDF("id", "grp").repartition(13)
+    val got = graft.operators.Sampling
+      .topKPerGroup(df, Seq("grp"), md5(col("id").cast("string")), "id", k = 25)
+      .select("grp", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val want = df
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("rk") <= 25)
+      .select("grp", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "small") == 10) // min(k, group size)
+  }
+
   test("token pack: bins non-decreasing in doc order and budget-consistent") {
     val rows = PipelineQueries.tokenPack(spark, sf001).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
