@@ -305,24 +305,33 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     if (!Files.exists(root)) return 0L
     val parts = ls(root).filter(d => Files.isDirectory(d) &&
       d.getFileName.toString.startsWith(partCol + "="))
+    if (parts.isEmpty) return 0L
+    // ONE probe job over the whole table (pred pushdown + row-group
+    // stats still bound it) instead of date-grain-many tiny count jobs
+    val hitsByPart: Map[String, Long] = spark.read.parquet(path)
+      .where(pred)
+      .groupBy(col(partCol).cast("string").as("p__"))
+      .count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = parts.map { dir => Future {
-      val base = spark.read.parquet(dir.toString)
-      val hits = base.where(pred).count()
-      if (hits > 0) {
+    val jobs = parts
+      .filter(d => hitsByPart.contains(
+        d.getFileName.toString.stripPrefix(partCol + "=")))
+      .map { dir => Future {
+        val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
-        base.where(!coalesce(pred, lit(false)))
+        spark.read.parquet(dir.toString)
+          .where(!coalesce(pred, lit(false)))
           .sortWithinPartitions(col(spec.tsCol))
           .write.mode("overwrite").parquet(tmp.toString)
         ls(dir).foreach(Files.delete)
         Files.delete(dir)
         Files.move(tmp, dir)
         deleted.addAndGet(hits)
-      }
-    }}
+      }}
     Await.result(Future.sequence(jobs), Duration.Inf)
     deleted.get
   }
@@ -350,8 +359,8 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       val s = Files.list(d)
       try s.iterator.asScala.toList finally s.close()
     }
-    // one source materialization: the delta is re-read per partition
-    // probe/rewrite and once for the final write
+    // one source materialization: the delta is re-read for the probe,
+    // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val root = Paths.get(path)
@@ -359,24 +368,35 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       if (!Files.exists(root)) Nil
       else ls(root).filter(d => Files.isDirectory(d) &&
         d.getFileName.toString.startsWith(partCol + "="))
+    // ONE probe job over the whole table finds every affected partition
+    // and its hit count (a per-directory probe would launch
+    // date-grain-many tiny join jobs)
+    val hitsByPart: Map[String, Long] =
+      if (parts.isEmpty) Map.empty
+      else spark.read.parquet(path)
+        .join(srcKeys, keyCols, "left_semi")
+        .groupBy(col(partCol).cast("string").as("p__"))
+        .count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = parts.map { dir => Future {
-      val base = spark.read.parquet(dir.toString)
-      val hits = base.join(srcKeys, keyCols, "left_semi").count()
-      if (hits > 0) {
+    val jobs = parts
+      .filter(d => hitsByPart.contains(
+        d.getFileName.toString.stripPrefix(partCol + "=")))
+      .map { dir => Future {
+        val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
-        base.join(srcKeys, keyCols, "left_anti")
+        spark.read.parquet(dir.toString)
+          .join(srcKeys, keyCols, "left_anti")
           .sortWithinPartitions(col(spec.tsCol))
           .write.mode("overwrite").parquet(tmp.toString)
         ls(dir).foreach(Files.delete)
         Files.delete(dir)
         Files.move(tmp, dir)
         replaced.addAndGet(hits)
-      }
-    }}
+      }}
     Await.result(Future.sequence(jobs), Duration.Inf)
     val written = src.count()
     withPartCol(src)
