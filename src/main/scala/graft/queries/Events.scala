@@ -362,4 +362,34 @@ object Events {
        |FROM events
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** TS1: per-user EWMA of `value` over time (α=0.25 — exact binary, so
+    * the double recurrence is bit-identical in any IEEE engine) — the
+    * recursive per-series fold no SQL window expresses, run as
+    * operators.TimeSeries' one-shuffle sorted fold. The oracle replays
+    * the recurrence with a recursive CTE, so per-series ordering, state
+    * carry-over, and series isolation are all hash-gated. */
+  def ewmaValue(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewma(
+      Tables.events(spark, dir)
+        .where(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      valCol = "value", alpha = 0.25)
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma_r"))
+      .orderBy("user_id", "ts", "event_id")
+
+  val ewmaValueSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      |  FROM events WHERE user_id < 20),
+      |e AS (
+      |  SELECT user_id, event_id, value, rn, value AS ewma FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.event_id, s.value, s.rn,
+      |         0.25 * s.value + 0.75 * e.ewma
+      |  FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+      |SELECT user_id, event_id, round(ewma, 6) AS ewma_r
+      |FROM e ORDER BY user_id, rn""".stripMargin
 }

@@ -22,4 +22,28 @@ class FoldSpec extends SparkSpec {
     assert(agg == plain)
     assert(mp == plain)
   }
+
+  test("ewma: recurrence exact per series, isolated across keys, layout-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = for (k <- Seq("a", "b", "c"); t <- 1 to 50)
+      yield (k, t.toLong, (t * 7 % 13) + (if (k == "b") 100.0 else 0.0))
+    // adversarial layout: series interleaved and split across partitions
+    val df = rows.sortBy(_._2).toDF("k", "t", "x").repartition(7)
+    val got = graft.operators.TimeSeries
+      .ewma(df, Seq("k"), Seq("t"), "x", alpha = 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // driver-side reference fold
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0.0
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, t, x), i) =>
+        s = if (i == 0) x else 0.25 * x + 0.75 * s
+        (k, t) -> s
+      }
+    }
+    assert(got.size == rows.size)
+    want.foreach { case (key, v) =>
+      assert(got(key) == v, s"mismatch at $key") // bitwise: exact binary alpha
+    }
+  }
 }
