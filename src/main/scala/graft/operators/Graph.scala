@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge tables — the link-quality
+  * signals (PageRank-style centrality) a pretraining pipeline computes
+  * over citation/hyperlink graphs, next to the label-propagation
+  * components Dedup.clusters already runs over near-dup pairs.
+  *
+  * All arithmetic is FIXED-POINT (BIGINT mass units, integer division):
+  * float PageRank sums contributions in shuffle order, so no two
+  * engines — or two runs — agree bitwise, and an oracle can only gate
+  * it with tolerances. Integer mass makes every sum order-independent
+  * and every division deterministic, so the DuckDB oracle hash-gates
+  * the whole iteration exactly (the same determinism trick as md5
+  * sampling orders: engine-agnostic by construction).
+  *
+  * Scale shape: the edge table is the only big thing. Per iteration:
+  * one hash join edges⋈ranks on src (ranks is node-sized), one
+  * map-side-combined groupBy(dst) — the standard Pregel-style shuffle
+  * pair, linear in |E| per iteration, no driver materialization beyond
+  * the node count. Degrees are computed once and cached with the
+  * symmetrized edges.
+  */
+object Graph {
+
+  /** Total rank mass in fixed-point units (1.0 ≡ 10¹²). */
+  val Scale = 1000000000000L
+
+  /** PageRank with damping 0.85 over the UNDIRECTED view of `edges`
+    * (both directions added, so every node has out-degree ≥ 1 and no
+    * dangling-mass redistribution is needed): for `iters` rounds,
+    *   r'(v) = (15·Scale) div (100·N)  +  (85 · Σ_{u~v} r(u) div deg(u)) div 100.
+    * `edges` needs `src`/`dst` long columns with DISJOINT id spaces on
+    * the two sides or pre-deduplicated pairs (reversal must not create
+    * duplicate edges). Returns (id, r) with r in Scale units. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct().persist()
+    val n = nodes.count()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = sym.join(deg, "src").persist()
+    val base = (15L * Scale) / (100L * n)
+    var ranks = nodes.select(col("id"), lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst").as("cid"), expr("r div deg").as("c"))
+        .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contrib, col("id") === col("cid"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    // nodes/withDeg stay cached: ranks is lazy, so an eager unpersist
+    // here would drop them before the caller ever runs the plan
+    ranks
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** Graph-analytics queries — link-style centrality over relationship
+  * edges derived from the TPC-H tables. The LLM-pipeline use is link
+  * quality for crawled corpora (PageRank over the hyperlink graph as a
+  * document-quality prior); here the customer↔supplier purchase graph
+  * stands in for it at test scale.
+  */
+object GraphQueries {
+
+  /** G1: 3-iteration fixed-point PageRank over the customer↔supplier
+    * graph (edge = "this customer ordered from this supplier";
+    * supplier ids offset into a disjoint range). Fixed-point BIGINT
+    * mass makes the iteration order-independent, so the unrolled-CTE
+    * DuckDB oracle hash-gates every round exactly — no tolerance, no
+    * float drift (see operators.Graph). Output: supplier nodes only. */
+  def pagerankSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    Graph.pagerank(edges, iters = 3)
+      .where(col("id") >= 1000000L)
+      .select(col("id"), col("r"))
+      .orderBy("id")
+  }
+
+  val pagerankSuppliersSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+         |      + (85 * COALESCE(s.c, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT sym.dst AS id, CAST(SUM(p.r // deg.deg) AS BIGINT) AS c
+         |    FROM sym JOIN $prev p ON sym.src = p.id
+         |             JOIN deg ON sym.src = deg.src
+         |    GROUP BY sym.dst) s ON nodes.id = s.id)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+       |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)}
+       |SELECT id, r FROM r3 WHERE id >= 1000000 ORDER BY id""".stripMargin
+  }
+}

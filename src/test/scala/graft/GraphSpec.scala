@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: the same fixed-point iteration over plain
+    * collections — distributed result must match EXACTLY (integers). */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val nodes = sym.map(_._1).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val base = (15L * Graph.Scale) / (100L * n)
+    var r = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = nodes.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank matches the driver-side reference exactly (fixed-point)") {
+    // star (hub 1) + a path hanging off node 4: asymmetric degrees
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.pagerank(edges.toDF("src", "dst").repartition(3), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPagerank(edges, 4))
+    // hub out-ranks every leaf
+    assert(got(1L) > got(2L) && got(1L) > got(6L))
+  }
+
+  test("pagerank conserves mass up to integer-division dust") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(_.getLong(1))
+    val total = got.sum
+    // each division truncates < 1 unit per node per round; 10^12 scale
+    assert(total <= Graph.Scale && total > Graph.Scale - 100L, s"total=$total")
+  }
+}
