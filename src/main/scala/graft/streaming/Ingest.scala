@@ -238,6 +238,41 @@ object Ingest {
       }
   }
 
+  /** Streaming EWMA — the recursive per-series fold (operators.TimeSeries)
+    * carried ACROSS micro-batches: state is one (lastTs, lastEwma) pair
+    * per live series, each batch's rows fold in (ts, event_id) order on
+    * top of it. The streaming twin of TimeSeries.ewma: same recurrence,
+    * same O(1)-per-series state, arriving incrementally;
+    * StreamingSpec gates batch/stream parity on a replayed stream.
+    * Within-batch order is restored by a sort (grouped iterators carry
+    * no order guarantee); rows late across BATCH boundaries are dropped
+    * (strict-order ingest semantics, same as enforceOrder). */
+  def ewmaStream(ds: Dataset[Event], alpha: Double = 0.25): Dataset[(Long, Long, Double)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            st match {
+              case Some((lastTs, _)) if e.ts.getTime < lastTs =>
+                Nil // late across batches: strict-order drop
+              case Some((_, y)) =>
+                st = Some((e.ts.getTime, alpha * e.value + beta * y))
+                Seq((user, e.event_id, st.get._2))
+              case None =>
+                st = Some((e.ts.getTime, e.value))
+                Seq((user, e.event_id, e.value))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** KEYLESS stream-stream interval join — points (purchases) matched
     * into incident windows from another stream with NO shared key.
     * Spark requires an equi condition on stream-stream joins; the

@@ -176,6 +176,51 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Long]("sumCents") == 330L)
   }
 
+  test("streaming EWMA equals the batch fold when the stream replays in order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Ingest.ewmaStream(mem.toDS())
+      .toDF("user_id", "event_id", "ewma")
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode(OutputMode.Append).start()
+    // two users interleaved, split across three batches, in-order per user
+    val batches = Seq(
+      Seq(ev(10, "2024-01-01 10:00:01", "click", 4.0),   // user 0
+          ev(11, "2024-01-01 10:00:02", "click", 8.0)),  // user 1
+      Seq(ev(20, "2024-01-01 10:00:03", "click", 12.0),
+          ev(21, "2024-01-01 10:00:04", "click", 0.0)),
+      Seq(ev(30, "2024-01-01 10:00:05", "click", 6.0)))
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    val got = spark.table("ewma_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    q.stop()
+    val batch = graft.operators.TimeSeries.ewma(
+      batches.flatten.toDF(), Seq("user_id"), Seq("ts", "event_id"),
+      "value", alpha = 0.25)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(got == batch)
+    // state really carried: user 0 saw 4 -> 12 -> 6
+    assert(got((0L, 30L)) == 0.25 * 6.0 + 0.75 * (0.25 * 12.0 + 0.75 * 4.0))
+  }
+
+  test("streaming EWMA drops rows late across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Ingest.ewmaStream(mem.toDS())
+      .toDF("user_id", "event_id", "ewma")
+      .writeStream.format("memory").queryName("ewma_late_test")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(ev(10, "2024-01-01 10:00:05", "click", 4.0))
+    q.processAllAvailable()
+    mem.addData(ev(20, "2024-01-01 10:00:01", "click", 99.0)) // earlier ts
+    q.processAllAvailable()
+    val rows = spark.table("ewma_late_test").collect()
+    q.stop()
+    assert(rows.map(_.getLong(1)).toSet == Set(10L))
+  }
+
   test("ZTable streaming sink is exactly-once: replayed batches are skipped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
