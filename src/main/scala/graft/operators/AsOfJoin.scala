@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `toleranceMicros`: maximum staleness — a match older than
+    * `left.ts - tolerance` is discarded (null-padded), the trade↔quote
+    * "quote must be fresh" bound. Applied as a post-match filter on the
+    * same single-shuffle plan (the window already found the latest
+    * right row; staleness is a per-row predicate on it, costing no
+    * extra exchange). */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -30,7 +36,8 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       rightTiebreak: String,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val l = left.select(
@@ -54,9 +61,15 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = l.unionByName(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val found = l.unionByName(r)
+      .withColumn("__m0", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    val matched = toleranceMicros match {
+      case Some(tol) => found.withColumn("__m",
+        when(unix_micros(col("__ts")) - unix_micros(col(s"__m0.$rightTs")) <= tol,
+          col("__m0")))
+      case None => found.withColumn("__m", col("__m0"))
+    }
 
     val out = leftCols.map(c => col(s"__l.$c").as(c)) ++
       (rightTs +: rightCols).map(c => col(s"__m.$c").as(s"$prefix$c"))

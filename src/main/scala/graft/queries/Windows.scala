@@ -163,6 +163,60 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** J11: as-of join with a STALENESS TOLERANCE — the reference-domain
+    * "quote must be at most N old to price this trade" bound. Same
+    * single-shuffle plan as j6; matches older than 3 days null out.
+    * The oracle adds the freshness predicate inside the LATERAL. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    AsOfJoin.asof(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("value"), rightTiebreak = "event_id", prefix = "click_",
+        toleranceMicros = Some(3L * 86400L * 1000000L))
+      .orderBy("event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.ts, p.user_id, p.value,
+      |       cb.click_ts, cb.click_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.ts AS click_ts, c.value AS click_value
+      |  FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |    AND c.ts >= p.ts - INTERVAL 3 DAYS
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) cb ON TRUE
+      |ORDER BY p.event_id""".stripMargin
+
+  /** W6: trailing TIME-RANGE window — per-user 7-day trailing spend
+    * (RANGE frame over event time, not a rows frame: ragged tick
+    * spacing means "last N rows" ≠ "last N days"). Spark ranges over
+    * unix_micros so the inclusive bounds match DuckDB's INTERVAL frame
+    * exactly; the sum runs in DECIMAL (order-independent). */
+  def trailingRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("trail7",
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
+      .select("event_id", "user_id", "trail7")
+      .orderBy("event_id")
+  }
+
+  val trailingRangeSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+      |FROM events ORDER BY event_id""".stripMargin
+
   val asofJoinSql: String =
     """WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
       |     c AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')

@@ -41,4 +41,22 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("v"), "rid", "r_").collect()
     assert(out.head.getAs[Double]("r_v") == 20.0)
   }
+
+  test("tolerance nulls matches older than the staleness bound (inclusive)") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"),  // match 1h old  -> kept
+      (2L, ts("2024-01-01 12:00:00"), "A"),  // match 3h old  -> dropped
+      (3L, ts("2024-01-01 11:00:00"), "A"))  // match exactly 2h old -> kept
+      .toDF("id", "ts", "k")
+    val right = Seq((100L, ts("2024-01-01 09:00:00"), "A", 5.0))
+      .toDF("rid", "ts", "k", "v")
+    val out = AsOfJoin.asof(left, right, "k", "ts", "ts",
+        Seq("v"), "rid", "r_",
+        toleranceMicros = Some(2L * 3600L * 1000000L))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("r_v") == 5.0)
+    assert(out(1).getAs[Any]("r_v") == null)
+    assert(out(1).getAs[Any]("r_ts") == null)
+    assert(out(2).getAs[Double]("r_v") == 5.0)
+  }
 }
