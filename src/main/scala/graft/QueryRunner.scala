@@ -18,7 +18,7 @@ import graft.sources.ZTable
   * engine-side contract is: JSON request in → Spark plan → JSON rows out.
   *
   * Request:
-  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"
+  * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
   *       |"index"|"search",
   *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
   *  "index":"/path/idx", "buckets":256,                // index build
@@ -101,6 +101,11 @@ object QueryRunner {
       case "delete" =>
         val n = table.deleteWhere(expr(str("where")))
         spark.range(1).select(lit(n).as("rows_deleted"))
+      case "merge" => // upsert a parquet delta by key columns
+        val (replaced, written) =
+          table.merge(spark.read.parquet(str("source")), list("keys"))
+        spark.range(1).select(lit(replaced).as("rows_replaced"),
+          lit(written).as("rows_written"))
       case other =>
         throw new IllegalArgumentException(s"unknown op '$other'")
     }

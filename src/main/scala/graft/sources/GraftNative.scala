@@ -48,9 +48,20 @@ object GraftNative {
   private[sources] def typeOf(dt: DataType): String = dt match {
     case LongType => "i64"
     case DoubleType => "f64"
+    case IntegerType => "i32"
+    case FloatType => "f32"
     case StringType => "str"
     case other => throw new IllegalArgumentException(
-      s"graft-native v0 supports i64/f64/str, got $other")
+      s"graft-native supports i64/f64/i32/f32/str, got $other")
+  }
+
+  /** Bytes per stored value — the reference's fixed-width files
+    * (4-byte i32/f32 mirror its I32/F32 storage widths, str is a
+    * 4-byte dictionary code). */
+  private[sources] def widthOf(dt: DataType): Int = dt match {
+    case LongType | DoubleType => 8
+    case IntegerType | FloatType | StringType => 4
+    case other => throw new IllegalStateException(s"unsupported $other")
   }
 
   /** List a dir's entries, CLOSING the NIO stream (Files.list leaks a
@@ -64,11 +75,13 @@ object GraftNative {
   private[sources] def schemaOf(dir: String): StructType = {
     val json = new String(Files.readAllBytes(Paths.get(dir, MetaFile)),
       StandardCharsets.UTF_8)
-    val fields = """\{"name":"([^"]+)","type":"(i64|f64|str)"\}""".r
+    val fields = """\{"name":"([^"]+)","type":"(i64|f64|i32|f32|str)"\}""".r
       .findAllMatchIn(json).map { m =>
         val dt = m.group(2) match {
           case "i64" => LongType
           case "f64" => DoubleType
+          case "i32" => IntegerType
+          case "f32" => FloatType
           case "str" => StringType
         }
         StructField(m.group(1), dt, nullable = false)
@@ -104,6 +117,12 @@ object GraftNative {
             s""""$name":[${vs.min},${vs.max}]"""
           case ((name, "f64"), i) =>
             val vs = data.map(_.getDouble(i))
+            s""""$name":[${vs.min},${vs.max}]"""
+          case ((name, "i32"), i) =>
+            val vs = data.map(_.getInt(i))
+            s""""$name":[${vs.min},${vs.max}]"""
+          case ((name, "f32"), i) =>
+            val vs = data.map(_.getFloat(i))
             s""""$name":[${vs.min},${vs.max}]"""
         }
         Files.write(block.resolve("_stats.json"),
@@ -147,6 +166,14 @@ object GraftNative {
     case "f64" =>
       val bb = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach(r => bb.putDouble(r.getDouble(i)))
+      Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "i32" =>
+      val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach(r => bb.putInt(r.getInt(i)))
+      Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "f32" =>
+      val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach(r => bb.putFloat(r.getFloat(i)))
       Files.write(block.resolve(s"$name.bin"), bb.array())
     case "str" =>
       val dict = mutable.LinkedHashMap.empty[String, Int]
@@ -216,7 +243,8 @@ class GraftNativeScanBuilder(dir: String, full: StructType)
       e match {
         case f: NamedReference if f.fieldNames.length == 1 =>
           full.fields.find(x => x.name == f.fieldNames.head &&
-            (x.dataType == LongType || x.dataType == DoubleType))
+            (x.dataType == LongType || x.dataType == DoubleType ||
+             x.dataType == IntegerType || x.dataType == FloatType))
         case _ => None
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -345,12 +373,19 @@ class GraftNativeAggReaderFactory(specs: Seq[GraftNativeAgg])
         if (emitted || stats.isEmpty) false else { emitted = true; true }
       override def get(): InternalRow = {
         val vals: Array[Any] = specs.map { a =>
+          def bound(lo: Boolean) = if (lo) stats(a.col)._1 else stats(a.col)._2
           a.kind match {
             case "count" => stats("__rows")._1.longValueExact(): Any
-            case "min" if a.dt == LongType => stats(a.col)._1.longValueExact()
-            case "max" if a.dt == LongType => stats(a.col)._2.longValueExact()
-            case "min" => stats(a.col)._1.doubleValue()
-            case "max" => stats(a.col)._2.doubleValue()
+            case k =>
+              val b = bound(k == "min")
+              // each branch ascribes Any: match-type unification would
+              // otherwise numerically widen every bound to Double
+              a.dt match {
+                case LongType => b.longValueExact(): Any
+                case IntegerType => b.intValueExact(): Any
+                case FloatType => b.floatValue(): Any
+                case _ => b.doubleValue(): Any
+              }
           }
         }.toArray
         new GenericInternalRow(vals)
@@ -396,6 +431,14 @@ class GraftNativeColumnarReader(block: String, required: StructType)
     def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
       vec.putDoubles(0, n, vs, start)
   }
+  private final class IntCol(vs: Array[Int]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putInts(0, n, vs, start)
+  }
+  private final class FloatCol(vs: Array[Float]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putFloats(0, n, vs, start)
+  }
   private final class DictCol(codes: Array[Int], dict: Array[Array[Byte]]) extends Col {
     def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit = {
       var i = 0
@@ -415,6 +458,14 @@ class GraftNativeColumnarReader(block: String, required: StructType)
         val vs = new Array[Double](bytes.length / 8)
         bb.asDoubleBuffer().get(vs)
         new DoubleCol(vs)
+      case IntegerType =>
+        val vs = new Array[Int](bytes.length / 4)
+        bb.asIntBuffer().get(vs)
+        new IntCol(vs)
+      case FloatType =>
+        val vs = new Array[Float](bytes.length / 4)
+        bb.asFloatBuffer().get(vs)
+        new FloatCol(vs)
       case StringType =>
         val codes = new Array[Int](bytes.length / 4)
         bb.asIntBuffer().get(codes)
@@ -427,8 +478,8 @@ class GraftNativeColumnarReader(block: String, required: StructType)
   }
   private val nRows: Int = {
     val f = required.fields.head
-    val w = if (f.dataType == StringType) 4 else 8
-    (Files.size(Paths.get(block, s"${f.name}.bin")) / w).toInt
+    (Files.size(Paths.get(block, s"${f.name}.bin")) /
+      GraftNative.widthOf(f.dataType)).toInt
   }
   private val vecs: Array[OnHeapColumnVector] =
     required.fields.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
@@ -467,6 +518,14 @@ class GraftNativeReader(block: String, required: StructType)
         val bb = ByteBuffer.wrap(Files.readAllBytes(
           Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
         (i: Int) => bb.getDouble(i * 8)
+      case IntegerType =>
+        val bb = ByteBuffer.wrap(Files.readAllBytes(
+          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
+        (i: Int) => bb.getInt(i * 4)
+      case FloatType =>
+        val bb = ByteBuffer.wrap(Files.readAllBytes(
+          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
+        (i: Int) => bb.getFloat(i * 4)
       case StringType =>
         val bb = ByteBuffer.wrap(Files.readAllBytes(
           Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
@@ -483,8 +542,7 @@ class GraftNativeReader(block: String, required: StructType)
       if (required.fields.nonEmpty) required.fields
       else GraftNative.schemaOf(Paths.get(block).getParent.toString).fields.take(1)
     val f = fields.head
-    val w = if (f.dataType == StringType) 4 else 8
-    Files.size(Paths.get(block, s"${f.name}.bin")) / w
+    Files.size(Paths.get(block, s"${f.name}.bin")) / GraftNative.widthOf(f.dataType)
   }
   private var row = -1
   override def next(): Boolean = { row += 1; row < nRows }

@@ -88,6 +88,44 @@ class GraftNativeSpec extends SparkSpec {
       ((1L, 1000L, 1000L, 1.0, 1000.0)))
   }
 
+  test("narrow widths i32/f32 roundtrip, skip blocks, and push aggregates") {
+    val dir = tmp()
+    val src = (1 to 1000).map(i => (i, i * 0.5f, i.toLong))
+      .toDF("id", "px", "big")
+      .repartitionByRange(4, col("id"))
+    GraftNative.write(src, dir)
+    val back = spark.read.format("graft-native").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "int"), ("px", "float"), ("big", "bigint")))
+    // files are genuinely 4-byte wide
+    val block = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toVector
+          .filter(_.getFileName.toString.startsWith("block-")).head
+      } finally s.close()
+    }
+    assert(Files.size(block.resolve("id.bin")) * 2 ==
+      Files.size(block.resolve("big.bin")))
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getInt(0), r.getFloat(1), r.getLong(2))).toSeq ==
+      (1 to 1000).map(i => (i, i * 0.5f, i.toLong)))
+    // block skipping on the narrow types
+    def partsFor(pred: org.apache.spark.sql.Column): Int = {
+      val df = spark.read.format("graft-native").load(dir).where(pred)
+      df.queryExecution.executedPlan.execute().getNumPartitions
+    }
+    assert(partsFor(col("id") > 900) == 1)
+    assert(partsFor(col("px") <= 10.0f) == 1)
+    // aggregate pushdown serves int/float bounds from the sidecars
+    val agg = spark.read.format("graft-native").load(dir)
+      .agg(min(col("id")).as("mn"), max(col("px")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggs="))
+    val r = agg.head()
+    assert((r.getInt(0), r.getFloat(1)) == ((1, 500.0f)))
+  }
+
   test("string filters skip whole blocks via the dict sidecars") {
     val dir = tmp()
     // range-partition on id so blocks carry disjoint symbol sets

@@ -35,7 +35,9 @@ class SqlParitySpec extends SparkSpec {
     // cohort1: // integer division + date_diff arg order
     "cohort1_retention",
     "search1_bm25", "search2_inverted_index", "lm1_bigram_ppl",
-    "d8_bloom_decontaminate", "pipe5_pii_scrub")
+    "d8_bloom_decontaminate", "pipe5_pii_scrub",
+    // g1: // integer division
+    "g1_pagerank")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
