@@ -107,6 +107,40 @@ object Scalar {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** S6b: NARROW-WIDTH native roundtrip — user_id as a 4-byte i32 and
+    * value as a 4-byte f32 (the reference's I32/F32 storage widths, ref
+    * src/schema.rs:15 and src/table/read.rs widths), written and read
+    * back through graft-native, then aggregated. DuckDB replays the
+    * same double→float narrowing with CAST(value AS FLOAT), so the
+    * oracle hash-gates that the 4-byte files preserve exactly the
+    * narrowed values (both engines widen the identical float back to
+    * double for the sum — routed through DECIMAL for order
+    * independence). */
+  def nativeNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_narrow_q_")
+      .toString + "/t"
+    graft.sources.GraftNative.write(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id").cast("int").as("user_id"),
+          col("event_type"), col("value").cast("float").as("value")),
+      tmp)
+    spark.read.format("graft-native").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).cast("long").as("min_user"),
+        max(col("user_id")).cast("long").as("max_user"),
+        sum(col("value").cast("double").cast("decimal(18,6)"))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val nativeNarrowSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(min(CAST(user_id AS INTEGER)) AS BIGINT) AS min_user,
+      |  CAST(max(CAST(user_id AS INTEGER)) AS BIGINT) AS max_user,
+      |  CAST(SUM(CAST(CAST(CAST(value AS FLOAT) AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** C2b: first/last-ts + row count answered from the graft-native
     * STATS SIDECARS alone — the reference's "meta answers first/last
     * ts" (ref src/table/meta.rs) made literal through DSv2 aggregate
