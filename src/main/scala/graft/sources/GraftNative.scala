@@ -93,16 +93,37 @@ object GraftNative {
     * input partition (executors share the filesystem on local[*]; on a
     * cluster this would target a DFS path via the Hadoop FS API). */
   def write(df: DataFrame, dir: String): Unit = {
-    val schema = df.schema
+    writeMeta(df.schema, dir)
+    appendBlocks(df, dir, tag = "")
+  }
+
+  /** Append a batch as new blocks tagged `block-<tag><pid>` without
+    * touching existing ones — the streaming-ingest face (each
+    * micro-batch appends its own blocks, the reference's partition
+    * rollover). Creates the meta sidecar on first use; later batches
+    * must match its schema. */
+  def append(df: DataFrame, dir: String, tag: String): Unit = {
+    if (!Files.exists(Paths.get(dir, MetaFile))) writeMeta(df.schema, dir)
+    else require(schemaOf(dir) == StructType(df.schema.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = false))),
+      s"schema mismatch appending to graft-native table at $dir")
+    appendBlocks(df, dir, tag)
+  }
+
+  private def writeMeta(schema: StructType, dir: String): Unit = {
     schema.fields.foreach(f => typeOf(f.dataType)) // validate early
     Files.createDirectories(Paths.get(dir))
     val meta = schema.fields
       .map(f => s"""{"name":"${f.name}","type":"${typeOf(f.dataType)}"}""")
       .mkString("""{"cols":[""", ",", "]}")
     Files.write(Paths.get(dir, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def appendBlocks(df: DataFrame, dir: String, tag: String): Unit = {
+    val schema = df.schema
     val fields = schema.fields.map(f => (f.name, typeOf(f.dataType)))
     df.rdd.mapPartitionsWithIndex { case (pid, rows) =>
-      val block = Paths.get(dir, f"block-$pid%05d")
+      val block = Paths.get(dir, f"block-$tag$pid%05d")
       Files.createDirectories(block)
       val data = rows.toArray
       if (data.nonEmpty) {
@@ -132,6 +153,33 @@ object GraftNative {
       Iterator.single(data.length)
     }.count()
     ()
+  }
+
+  /** Merge all blocks into `numBlocks` fresh ones — the small-file
+    * compaction a streaming-ingested native table needs (micro-batches
+    * append one block per burst; scans pay per-block open cost). The
+    * rewrite materializes fully into a sibling dir BEFORE any old block
+    * is removed, then swaps — same copy-on-write discipline as
+    * ZTable.compact. Stats/dict sidecars regenerate with the new
+    * blocks. Returns the number of blocks replaced. */
+  def compactBlocks(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numBlocks: Int): Int = {
+    val tmp = dir + ".compacting"
+    if (Files.exists(Paths.get(tmp)))
+      listDir(Paths.get(tmp)).foreach { b =>
+        if (Files.isDirectory(b)) listDir(b).foreach(Files.delete)
+        Files.delete(b)
+      }
+    write(spark.read.format("graft-native").load(dir).repartition(numBlocks), tmp)
+    val old = listDir(Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
+    old.foreach { b => listDir(b).foreach(Files.delete); Files.delete(b) }
+    listDir(Paths.get(tmp))
+      .filter(_.getFileName.toString.startsWith("block-"))
+      .foreach(b => Files.move(b, Paths.get(dir, b.getFileName.toString)))
+    Files.delete(Paths.get(tmp, MetaFile))
+    Files.delete(Paths.get(tmp))
+    old.size
   }
 
   /** A block's symbol dictionary as a set, if the sidecar exists.

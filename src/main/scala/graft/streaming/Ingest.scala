@@ -102,6 +102,49 @@ object Ingest {
     }
   }
 
+  /** Exactly-once streaming sink writing the REFERENCE'S NATIVE FORMAT:
+    * each micro-batch appends its own `block-b<batchId>-*` dirs (the
+    * reference's partition rollover, one fsynced block per burst), and
+    * a batch-id high-water mark skips replays — so a restarted query
+    * never double-writes a block. Micro-batches accumulate small
+    * blocks; `GraftNative.compactBlocks` merges them (the lifecycle
+    * pair, same as ZTable compact after streaming appends). */
+  def ingestNative(stream: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        appendNativeIdempotent(dir, df, batchId)
+      }
+      .start()
+
+  /** Append `df` as native blocks for micro-batch `batchId` unless that
+    * batch already landed (exposed for direct replay testing).
+    * Timestamp columns store as i64 EPOCH NANOS — the reference's
+    * Timestamp type IS an i64 nanos column (ref src/schema.rs:7,
+    * SURVEY §1.2); readers reconstruct with
+    * `timestamp_micros(ts div 1000)` exactly like s6. */
+  def appendNativeIdempotent(dir: String, df: DataFrame, batchId: Long): Unit = {
+    val mark = java.nio.file.Paths.get(dir, "_last_stream_batch")
+    val last =
+      if (java.nio.file.Files.exists(mark))
+        java.nio.file.Files.readString(mark).trim.toLong
+      else -1L
+    if (batchId > last) {
+      val compat = df.schema.fields.foldLeft(df) { (d, f) =>
+        f.dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            d.withColumn(f.name, unix_micros(col(f.name)) * lit(1000L))
+          case _ => d
+        }
+      }
+      graft.sources.GraftNative.append(compat, dir, tag = f"b$batchId%06d-")
+      java.nio.file.Files.writeString(mark, batchId.toString)
+    }
+  }
+
   /** Streaming OHLCV bars: tumbling window per symbol with a watermark
     * bounding state; open/close via min_by/max_by on the sequence id. */
   def streamingOhlcv(stream: DataFrame, barWidth: String = "1 minute",

@@ -161,6 +161,40 @@ class GraftNativeSpec extends SparkSpec {
       src.agg(sum("px")).head.getDouble(0))
   }
 
+  test("append adds tagged blocks; compactBlocks merges them losslessly") {
+    val dir = tmp()
+    GraftNative.write(
+      (1L to 400L).map(i => (i, s"s${i % 5}")).toDF("id", "sym").repartition(4), dir)
+    GraftNative.append(
+      (401L to 500L).map(i => (i, s"s${i % 5}")).toDF("id", "sym"), dir, tag = "b1-")
+    def blocks(): Seq[String] = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("block-")).toVector.sorted
+      } finally s.close()
+    }
+    assert(blocks().exists(_.startsWith("block-b1-")))
+    val before = spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq
+    assert(before.size == 500)
+    val replaced = GraftNative.compactBlocks(spark, dir, numBlocks = 2)
+    assert(replaced >= 5 && blocks().size == 2)
+    val after = spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq
+    assert(after == before)
+    // stats sidecars regenerated: aggregate pushdown still metadata-only
+    val agg = spark.read.format("graft-native").load(dir)
+      .agg(min(col("id")), max(col("id")), count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggs="))
+    assert(agg.head.toSeq == Seq(1L, 500L, 500L))
+    // appending with a mismatched schema is rejected
+    intercept[IllegalArgumentException] {
+      GraftNative.append(Seq((1L, 2L)).toDF("id", "other"), dir, tag = "b2-")
+    }
+  }
+
   test("events roundtrip equals the parquet read (sf0.001)") {
     val dir = tmp()
     val src = Tables.eventsRawTs(spark, sf001)

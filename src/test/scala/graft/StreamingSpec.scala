@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{Event, Ingest}
-import graft.sources.ZTableSpec
+import graft.sources.{GraftNative => GraftNative2, ZTableSpec}
 
 /** Top-level (Spark 4.1 requires non-nested case classes for encoders). */
 case class StreamDoc(doc_id: Long, text: String)
@@ -174,6 +174,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(last.getAs[Long]("n") == 2L)
     assert(last.getAs[Long]("sumCents") == 330L)
+  }
+
+  test("native-format streaming sink is exactly-once and compacts after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, "2024-01-01 10:00:01", "click", 1.0),
+      ev(2, "2024-01-02 10:00:02", "view", 2.0))
+    val dir = Files.createTempDirectory("native_stream_").toString + "/t"
+    val ckpt = Files.createTempDirectory("native_stream_ckpt_").toString
+    val q = Ingest.ingestNative(mem.toDF(), dir, ckpt)
+    q.awaitTermination(60000)
+    val read0 = spark.read.format("graft-native").load(dir)
+    assert(read0.count() == 2)
+    // replaying the same batch id is a no-op (restart-after-commit)
+    Ingest.appendNativeIdempotent(dir,
+      Seq((9L, 9L)).toDF("a", "b"), batchId = 0L)
+    assert(spark.read.format("graft-native").load(dir).count() == 2)
+    // a NEW batch appends its own tagged blocks
+    Ingest.appendNativeIdempotent(dir,
+      spark.createDataFrame(Seq(ev(3, "2024-01-03 10:00:03", "click", 3.0))), batchId = 7L)
+    assert(spark.read.format("graft-native").load(dir).count() == 3)
+    // compaction folds the per-batch blocks into one, data intact
+    GraftNative2.compactBlocks(spark, dir, 1)
+    val back = spark.read.format("graft-native").load(dir)
+    assert(back.count() == 3)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
   }
 
   test("streaming EWMA equals the batch fold when the stream replays in order") {
