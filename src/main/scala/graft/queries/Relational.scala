@@ -439,4 +439,37 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
       .orderBy("l_returnflag")
+
+  /** A13: MERGEABLE-SKETCH ROLLUP — per-day Datasketches-HLL sketches of
+    * distinct users, unioned across days (hll_union_agg), vs the
+    * single-pass sketch and the exact count. This is the incremental-
+    * distinct pattern at 100 TB: store day-grain sketch columns
+    * (fixed-size, algebraic), answer any date-range distinct by
+    * unioning sketches — never rescanning raw data. The t10 gate trick:
+    * the oracle emits the exact count and TRUE; Spark computes
+    * `hll_ok` = (merged estimate == direct estimate, union losslessness)
+    * AND (relative error vs exact < 5%) — a hash FAIL means a sketch
+    * property broke. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"),
+        count(lit(1)).as("n_days"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      count_distinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(direct)
+      .select(col("n_days"), col("exact_users"),
+        (col("est_merged") === col("est_direct") &&
+          abs(col("est_merged") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("hll_ok"))
+  }
+
+  val sketchRollupSql: String =
+    """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(TRUE AS BOOLEAN) AS hll_ok
+      |FROM events""".stripMargin
 }

@@ -43,4 +43,12 @@ class AggSpec extends SparkSpec {
       assert(math.abs(s - se).toDouble / se < 0.10, s"$k supps: $s vs $se")
     }
   }
+
+  test("HLL sketch union is lossless: day-merged estimate == direct estimate") {
+    val r = Relational.sketchRollup(spark, sf001).head()
+    // hll_ok encodes BOTH union losslessness and the 5% error bound
+    assert(r.getAs[Boolean]("hll_ok"),
+      s"n_days=${r.getAs[Long]("n_days")} exact=${r.getAs[Long]("exact_users")}")
+    assert(r.getAs[Long]("n_days") > 20L)
+  }
 }

@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 2, p.toString)
   }
 
+  test("j11 tolerance rides j6's plan: still exactly two shuffles") {
+    // the staleness bound is a per-row predicate on the found match —
+    // it must not add an exchange (or, worse, become a range join)
+    val p = executed(Windows.asofJoinTolerance(spark, sf001))
+    assert(shuffles(p) == 2, p.toString)
+    assert(!p.toString.contains("NestedLoop"), p.toString)
+  }
+
+  test("w6: the RANGE frame costs one key exchange, like any window") {
+    val p = executed(Windows.trailingRange(spark, sf001))
+    // hash exchange for the user_id partition + range for the output sort
+    assert(shuffles(p) == 2, p.toString)
+  }
+
   test("s2: NanosPushdownRule pushes derived-ts range onto the raw nanos scan") {
     val plan = Events.scanDerived(spark, sf001).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
