@@ -106,6 +106,16 @@ object QueryRunner {
           table.merge(spark.read.parquet(str("source")), list("keys"))
         spark.range(1).select(lit(replaced).as("rows_replaced"),
           lit(written).as("rows_written"))
+      case "ewma" => // recursive per-series smoothing over a scan
+        val alpha = req.get("alpha")
+          .collect { case n: Number => n.doubleValue }.getOrElse(0.25)
+        val scanned = (strOpt("from"), strOpt("to")) match {
+          case (Some(f), Some(t)) => table.scan(f, t)
+          case _ => table.df
+        }
+        graft.operators.TimeSeries.ewma(scanned,
+          keyCols = list("keys"), orderCols = Seq(table.spec.tsCol),
+          valCol = str("value"), alpha = alpha)
       case other =>
         throw new IllegalArgumentException(s"unknown op '$other'")
     }

@@ -75,6 +75,26 @@ class QueryRunnerSpec extends SparkSpec {
     assert(ZTable.open(spark, path).df.count() == 3)
   }
 
+  test("merge and ewma requests over the JSON surface") {
+    import org.apache.spark.sql.functions.col
+    val path = mkTable()
+    // delta: update ("A", 10:30) to v=30, insert a new 12:00 row
+    val deltaPath = Files.createTempDirectory("qr_delta_").toString + "/d"
+    Seq((ts("2024-01-01 10:30:00"), "A", 30.0),
+        (ts("2024-01-01 12:00:00"), "C", 7.0))
+      .toDF("ts", "sym", "v").write.parquet(deltaPath)
+    val m = QueryRunner.run(spark,
+      s"""{"op":"merge","table":"$path","source":"$deltaPath","keys":["ts","sym"]}""").head
+    assert((m.getAs[Long]("rows_replaced"), m.getAs[Long]("rows_written")) == ((1L, 2L)))
+    assert(ZTable.open(spark, path).df.count() == 5)
+    // ewma per sym over the merged table: A sees 1.0 -> 30 -> 5
+    val e = QueryRunner.run(spark,
+      s"""{"op":"ewma","table":"$path","keys":["sym"],"value":"v","alpha":0.5}""")
+    val a = e.where(col("sym") === "A").orderBy("ts")
+      .select("ewma").collect().map(_.getDouble(0)).toSeq
+    assert(a == Seq(1.0, 0.5 * 30.0 + 0.5 * 1.0, 0.5 * 5.0 + 0.5 * 15.5))
+  }
+
   test("index build + search requests round-trip BM25 over the JSON surface") {
     val idx = Files.createTempDirectory("qr_inv_idx_").toString + "/idx"
     val built = QueryRunner.run(spark,
