@@ -190,6 +190,51 @@ object PropertyChecks extends Properties("graft") {
       got.length == got.toSet.size && got.toSet == naive
     }
 
+  property("ewma fold == driver recurrence for any series mix and layout") =
+    Prop.forAll(for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 2); x <- Gen.choose(-100, 100)
+      } yield (k.toLong, x.toDouble))
+      parts <- Gen.choose(1, 7)
+    } yield (rows.zipWithIndex.map { case ((k, x), i) => (k, i.toLong, x) }, parts)) {
+      case (rows, parts) =>
+        val got = graft.operators.TimeSeries
+          .ewma(rows.toDF("k", "t", "x").repartition(parts),
+            Seq("k"), Seq("t"), "x", alpha = 0.25)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+        val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+          var s = 0.0
+          rs.sortBy(_._2).zipWithIndex.map { case ((_, t, x), i) =>
+            s = if (i == 0) x else 0.25 * x + 0.75 * s
+            (k, t) -> s
+          }
+        }
+        got == want // bitwise: 0.25/0.75 are exact binary
+    }
+
+  property("reservoir topKPerGroup == window rank for any k and layout") =
+    Prop.forAll(for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.choose(0, 2).map(_.toString))
+      k <- Gen.choose(1, 6)
+      parts <- Gen.choose(1, 5)
+    } yield (rows.zipWithIndex.map { case (g, i) => (g, i.toLong) }, k, parts)) {
+      case (rows, k, parts) =>
+        val df = rows.toDF("g", "id").repartition(parts)
+        val got = graft.operators.Sampling
+          .topKPerGroup(df, Seq("g"), md5(col("id").cast("string")), "id", k)
+          .select("g", "id", "rk").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        val want = df.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")
+              .orderBy(md5(col("id").cast("string")), col("id"))))
+          .where(col("rk") <= k)
+          .select("g", "id", "rk").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        got == want
+    }
+
   property("BPE encode: expression == driver encode; word <= tokens <= chars") =
     Prop.forAll(Gen.nonEmptyListOf(word), mergeTable) { (words, merges) =>
       val rank = merges.zipWithIndex.toMap
