@@ -179,6 +179,81 @@ object PipelineQueries {
         expr("(cum - n_tokens) div 512").as("bin"))
       .orderBy("source", "doc_id")
 
+  /** PIPE7: the WHOLE curation pipeline as one flow — quality gates
+    * (pipe1's signals) → exact dedup keep-first (d1's fingerprint) →
+    * deterministic per-source sampling (pipe6's reservoir operator) →
+    * token-budget packing (pipe3's running bins). Each stage is
+    * oracle-proven alone; this gates their COMPOSITION: filters feeding
+    * dedup feeding the sample feeding the packer, one chained-CTE
+    * oracle replaying all four. Scale posture: stage 1 is scan-stage
+    * signals, stage 2 one fingerprint shuffle, stage 3 the sample-sized
+    * reservoir merge, stage 4 one window over the (tiny) sampled set. */
+  def endToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"),
+        Text.nTokens(col("text")).cast(LongType).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"),
+        TextOps.repetitionStats(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 3).as("r"))
+      .where(col("n_tokens") >= 20 && col("quality") >= 0.5 &&
+        (col("r.n_grams") - col("r.n_distinct")) * 10 <= col("r.n_grams"))
+    val kept = quality
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("krk", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("krk") === 1)
+    val sampled = graft.operators.Sampling.topKPerGroup(
+      kept.select(col("source"), col("doc_id"), col("n_tokens"),
+        md5(col("text")).as("h")),
+      Seq("source"), col("h"), "doc_id", k = 10)
+    sampled
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 256").as("bin"))
+      .orderBy("source", "doc_id")
+  }
+
+  val endToEndSql: String =
+    """WITH sig AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    0.4 * LEAST((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |                / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 5.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                / CAST(length(text) AS DOUBLE)) * 20.0, 1.0))
+      |    + 0.3 * LEAST(CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) / 100.0, 1.0) AS quality,
+      |    list_transform(range(1, greatest(len(regexp_extract_all(text, '\S+'))-1, 1)),
+      |      i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+1] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+2]) AS grams
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, doc_id, text, n_tokens FROM sig
+      |  WHERE n_tokens >= 20 AND quality >= 0.5
+      |    AND (len(grams) - len(list_distinct(grams))) * 10 <= len(grams)),
+      |kept AS (
+      |  SELECT source, doc_id, text, n_tokens FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      ORDER BY doc_id) AS krk FROM q)
+      |  WHERE krk = 1),
+      |sampled AS (
+      |  SELECT source, doc_id, n_tokens FROM (
+      |    SELECT source, doc_id, n_tokens,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY md5(text), doc_id) AS rk FROM kept)
+      |  WHERE rk <= 10),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sampled)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST((cum - n_tokens) // 256 AS BIGINT) AS bin
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   val tokenPackSql: String =
     """WITH t AS (
       |  SELECT source, doc_id,

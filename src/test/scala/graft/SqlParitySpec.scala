@@ -36,8 +36,8 @@ class SqlParitySpec extends SparkSpec {
     "cohort1_retention",
     "search1_bm25", "search2_inverted_index", "lm1_bigram_ppl",
     "d8_bloom_decontaminate", "pipe5_pii_scrub",
-    // g1: // integer division
-    "g1_pagerank")
+    // g1: // integer division; pipe7 composes pipe1's list_transform sig
+    "g1_pagerank", "pipe7_end_to_end")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
