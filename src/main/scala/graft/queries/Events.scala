@@ -379,6 +379,41 @@ object Events {
       .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma_r"))
       .orderBy("user_id", "ts", "event_id")
 
+  /** TS2: tick-rule trade classification (the Lee–Ready tick test) —
+    * +1 on an uptick, −1 on a downtick, and a ZERO-TICK CARRIES the
+    * last known direction: the classic lag + last-IGNORE-NULLS window
+    * composition over per-symbol time order (one key shuffle, state
+    * inside the window frame). Null until a first price change exists. */
+  def tickRule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(col("value"), 1).over(w)
+    val tick = when(prev.isNull, lit(null).cast("int"))
+      .when(col("value") > prev, lit(1))
+      .when(col("value") < prev, lit(-1))
+      .otherwise(lit(null).cast("int"))
+    Tables.events(spark, dir)
+      .where(col("user_id") < 50)
+      .withColumn("dir", last(tick, ignoreNulls = true).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("dir"))
+      .orderBy("event_id")
+  }
+
+  val tickRuleSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(value) OVER w IS NULL THEN NULL
+      |         WHEN value > lag(value) OVER w THEN 1
+      |         WHEN value < lag(value) OVER w THEN -1 END AS tick
+      |  FROM events WHERE user_id < 50
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |  CAST(last_value(tick IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS dir
+      |FROM t ORDER BY event_id""".stripMargin
+
   val ewmaValueSql: String =
     """WITH RECURSIVE s AS (
       |  SELECT user_id, event_id, value,

@@ -36,8 +36,9 @@ class SqlParitySpec extends SparkSpec {
     "cohort1_retention",
     "search1_bm25", "search2_inverted_index", "lm1_bigram_ppl",
     "d8_bloom_decontaminate", "pipe5_pii_scrub",
-    // g1: // integer division; pipe7 composes pipe1's list_transform sig
-    "g1_pagerank", "pipe7_end_to_end")
+    // g1: // integer division; pipe7 composes pipe1's list_transform sig;
+    // ts2: DuckDB puts IGNORE NULLS inside the call parens, Spark outside
+    "g1_pagerank", "pipe7_end_to_end", "ts2_tick_rule")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
