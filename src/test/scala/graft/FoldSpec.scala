@@ -46,4 +46,19 @@ class FoldSpec extends SparkSpec {
       assert(got(key) == v, s"mismatch at $key") // bitwise: exact binary alpha
     }
   }
+
+  test("ewma and sampling handle empty and single-row inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Double)].toDF("k", "t", "x")
+    assert(graft.operators.TimeSeries
+      .ewma(empty, Seq("k"), Seq("t"), "x", 0.25).count() == 0)
+    assert(graft.operators.Sampling
+      .topKPerGroup(empty.select(col("k"), col("t").as("id")),
+        Seq("k"), md5(col("id").cast("string")), "id", 3).count() == 0)
+    val one = Seq(("a", 1L, 7.0)).toDF("k", "t", "x")
+    val r = graft.operators.TimeSeries
+      .ewma(one, Seq("k"), Seq("t"), "x", 0.25).head()
+    assert(r.getDouble(3) == 7.0) // y0 = x0
+  }
 }

@@ -229,6 +229,20 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 5)
   }
 
+  test("merge into an empty table inserts everything; empty delta is a no-op") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    val delta = Seq((1L, ts("2024-01-01 10:00:00"), "A", 1.0))
+      .toDF("id", "ts", "sym", "v")
+    val (r1, w1) = t.merge(delta, Seq("id"))
+    assert((r1, w1) == ((0L, 1L)))
+    assert(t.df.count() == 1)
+    val (r2, w2) = t.merge(delta.limit(0), Seq("id"))
+    assert((r2, w2) == ((0L, 0L)))
+    assert(t.df.count() == 1)
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())
