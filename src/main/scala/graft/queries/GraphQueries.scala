@@ -34,6 +34,34 @@ object GraphQueries {
       .orderBy("id")
   }
 
+  /** G2: triangle count of the supplier CO-PURCHASE graph (edge =
+    * two suppliers sharing an order; the l_orderkey mod filter keeps
+    * the graph sparse enough that wedge volume stays join-sized at
+    * bench SF). Exactly-once ordered-wedge counting — see
+    * operators.Graph.triangleCount for the degree-orientation story. */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+    Graph.triangleCount(edges)
+  }
+
+  val supplierTrianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      |  WHERE x.l_orderkey % 10 = 0)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |       (SELECT COUNT(*) FROM e e1
+      |          JOIN e e2 ON e1.b = e2.a
+      |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin
+
   val pagerankSuppliersSql: String = {
     def iter(prev: String, k: Int): String =
       s"""r$k AS (

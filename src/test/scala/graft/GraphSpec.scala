@@ -35,6 +35,20 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(1L) > got(6L))
   }
 
+  test("triangle count: exactly-once on a hand-countable graph") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5) + isolated
+    // edge (6,7): total 4, no double counting, wedges without closure
+    // contribute nothing
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val r = Graph.triangleCount(edges.repartition(3)).head()
+    assert((r.getLong(0), r.getLong(1)) == ((8L, 4L)))
+    // triangle-free graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCount(path).head().getLong(1) == 0L)
+  }
+
   test("pagerank conserves mass up to integer-division dust") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
