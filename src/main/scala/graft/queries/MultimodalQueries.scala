@@ -58,6 +58,22 @@ object MultimodalQueries {
         element_at(col("features"), 1).cast(DoubleType).as("f0"))
       .orderBy("media_id")
 
+  /** M3: exact payload dedup — the binary-column twin of d1: identical
+    * media bytes collapse to one keeper via an md5-of-bytes fingerprint
+    * groupBy (one hash shuffle of fingerprints, never payloads — at
+    * 100 TB the bytes stay where they are and only 16-byte digests
+    * move). No codec involvement: byte-identical dedup is the first
+    * pass of any media pipeline and needs only the payload. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fakeMediaFromDocs(Tables.documents(spark, dir)).toDF()
+      .groupBy(md5(col("bytes")).as("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val mediaDedupSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
