@@ -83,4 +83,39 @@ object Graph {
     e.select(count(lit(1)).as("n_edges"))
       .crossJoin(tris.select(count(lit(1)).as("n_triangles")))
   }
+
+  /** The skew-proof variant: DEGREE-ORIENTED triangle counting.
+    * Each edge directs toward its higher-(degree, id) endpoint, wedges
+    * generate only among OUT-neighbors — so a hub of degree d with
+    * mostly higher-ranked neighbors stops producing d² wedges, and
+    * total wedge volume is O(|E|^1.5) (arboricity bound) instead of
+    * Σ deg². Same count as [[triangleCount]] — GraphSpec pins equality —
+    * at one extra degree join. Use this one at 100 TB. */
+  def triangleCountOriented(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // orient toward the higher (degree, id); carry the head's rank key
+    val out = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("t"), col("b").as("h"), col("db").as("dh")))
+        .otherwise(struct(col("b").as("t"), col("a").as("h"), col("da").as("dh")))
+        .as("o"))
+      .select(col("o.t").as("t"), col("o.h").as("h"), col("o.dh").as("dh"))
+      .persist()
+    // wedges among out-neighbors, normalized by rank so the closing
+    // oriented edge is uniquely (v -> w)
+    val wedges = out.select(col("t"), col("h").as("v"), col("dh").as("dv"))
+      .join(out.select(col("t"), col("h").as("w"), col("dh").as("dw")), Seq("t"))
+      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val closure = out.select(col("t").as("ct"), col("h").as("ch"))
+    val tris = wedges.join(closure,
+      wedges("v") === closure("ct") && wedges("w") === closure("ch"), "left_semi")
+    e.select(count(lit(1)).as("n_edges"))
+      .crossJoin(tris.select(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -48,7 +48,10 @@ object GraphQueries {
           col("x.l_suppkey") < col("y.l_suppkey"))
       .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
       .distinct()
-    Graph.triangleCount(edges)
+    // the degree-oriented variant is the query path (skew-proof wedge
+    // volume); GraphSpec pins equality with the plain ordered count,
+    // and the exact-count oracle gates it here
+    Graph.triangleCountOriented(edges)
   }
 
   val supplierTrianglesSql: String =

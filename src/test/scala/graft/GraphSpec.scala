@@ -49,6 +49,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(path).head().getLong(1) == 0L)
   }
 
+  test("degree-oriented triangle count equals the ordered count on skewed graphs") {
+    // hub-and-clique: node 0 connects to everything (the skew case the
+    // orientation exists for) + a random seeded graph
+    val rnd = new scala.util.Random(42)
+    val hub = (1L to 30L).map(i => (0L, i))
+    val clique = for (i <- 1L to 8L; j <- i + 1 to 8L) yield (i, j)
+    val random = (for (_ <- 1 to 120) yield {
+      val i = rnd.nextInt(40).toLong; val j = rnd.nextInt(40).toLong
+      if (i < j) Some((i, j)) else if (j < i) Some((j, i)) else None
+    }).flatten.distinct
+    for (edges <- Seq(hub ++ clique, random)) {
+      val df = edges.toDF("a", "b").repartition(3)
+      val plain = Graph.triangleCount(df).head()
+      val oriented = Graph.triangleCountOriented(df).head()
+      assert((plain.getLong(0), plain.getLong(1)) ==
+        ((oriented.getLong(0), oriented.getLong(1))), s"n_edges=${plain.getLong(0)}")
+      assert(plain.getLong(1) > 0L)
+    }
+  }
+
   test("pagerank conserves mass up to integer-division dust") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
