@@ -160,6 +160,43 @@ object Scalar {
         timestamp_micros(expr("mx div 1000")).as("last_ts"), col("n"))
   }
 
+  /** DQ1: declarative data-quality constraints — uniqueness, null/range,
+    * and domain-membership rules checked in ONE scan (a single
+    * aggregate computes every violation count; stack() unpivots to one
+    * row per rule). The expectations gate a pipeline runs before
+    * promoting a table: all-zero violations is the passing state, and
+    * the oracle proves the counts, not just the verdict. At 100 TB
+    * this is one pass + a 4-row result. */
+  def constraints(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        (count(lit(1)) - count_distinct(col("event_id"))).as("dup_event_id"),
+        sum(when(col("value").isNull || col("value") < 0, 1L).otherwise(0L))
+          .as("neg_or_null_value"),
+        sum(when(!col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"), 1L).otherwise(0L))
+          .as("bad_event_type"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"))
+      .selectExpr("""stack(4,
+          'bad_event_type', bad_event_type,
+          'dup_event_id', dup_event_id,
+          'neg_or_null_value', neg_or_null_value,
+          'null_ts', null_ts) AS (rule, violations)""")
+      .orderBy("rule")
+
+  val constraintsSql: String =
+    """SELECT rule, violations FROM (
+      |  SELECT 'dup_event_id' AS rule,
+      |    COUNT(*) - COUNT(DISTINCT event_id) AS violations FROM events
+      |  UNION ALL SELECT 'neg_or_null_value',
+      |    COUNT(*) FILTER (WHERE value IS NULL OR value < 0) FROM events
+      |  UNION ALL SELECT 'bad_event_type',
+      |    COUNT(*) FILTER (WHERE event_type NOT IN
+      |      ('click','error','purchase','signup','view')) FROM events
+      |  UNION ALL SELECT 'null_ts',
+      |    COUNT(*) FILTER (WHERE ts IS NULL) FROM events)
+      |ORDER BY rule""".stripMargin
+
   /** PROFILE1: one-pass data profile of the fact table (the dataset-card
     * step of a corpus build, and C3's describe extended from schema to
     * data): row count, per-column null counts, min/max, and exact
