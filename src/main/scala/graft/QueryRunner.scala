@@ -106,6 +106,31 @@ object QueryRunner {
           table.merge(spark.read.parquet(str("source")), list("keys"))
         spark.range(1).select(lit(replaced).as("rows_replaced"),
           lit(written).as("rows_written"))
+      case "check" => // declarative data-quality expectations (dq1, generic)
+        val df = strOpt("docs").map(spark.read.parquet(_)).getOrElse(table.df)
+        val uniq = list("unique").map(c =>
+          s"unique:$c" -> (count(lit(1)) - count_distinct(col(c))))
+        val nn = list("notNull").map(c =>
+          s"not_null:$c" -> sum(when(col(c).isNull, 1L).otherwise(0L)))
+        val dom = req.get("domain").collect { case m: Map[_, _] => m }
+          .getOrElse(Map.empty).toSeq.map { case (k, vs) =>
+            val allowed = vs match {
+              case xs: Seq[_] => xs.map(_.toString)
+              case other => Seq(other.toString)
+            }
+            s"domain:$k" -> sum(when(!col(k.toString).isin(allowed: _*), 1L)
+              .otherwise(0L))
+          }
+        val checks = (uniq ++ nn ++ dom).sortBy(_._1)
+        require(checks.nonEmpty,
+          "check needs at least one of unique/notNull/domain")
+        val agg = df.agg(checks.head._2.as("c0"),
+          checks.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
+        val stackArgs = checks.zipWithIndex
+          .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ")
+        agg.selectExpr(
+          s"stack(${checks.size}, $stackArgs) AS (rule, violations)")
+          .orderBy("rule")
       case "ewma" => // recursive per-series smoothing over a scan
         val alpha = req.get("alpha")
           .collect { case n: Number => n.doubleValue }.getOrElse(0.25)

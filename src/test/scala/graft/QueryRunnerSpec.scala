@@ -95,6 +95,22 @@ class QueryRunnerSpec extends SparkSpec {
     assert(a == Seq(1.0, 0.5 * 30.0 + 0.5 * 1.0, 0.5 * 5.0 + 0.5 * 15.5))
   }
 
+  test("check request evaluates declarative expectations in one pass") {
+    val path = mkTable()
+    val rows = QueryRunner.run(spark,
+      s"""{"op":"check","table":"$path","unique":["ts"],
+         |"notNull":["sym","v"],"domain":{"sym":["A","B"]}}""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map(
+      "unique:ts" -> 0L, "not_null:sym" -> 0L, "not_null:v" -> 0L,
+      "domain:sym" -> 0L))
+    // violations are counted, not just flagged
+    val bad = QueryRunner.run(spark,
+      s"""{"op":"check","table":"$path","domain":{"sym":["A"]}}""")
+      .head
+    assert((bad.getString(0), bad.getLong(1)) == (("domain:sym", 1L)))
+  }
+
   test("index build + search requests round-trip BM25 over the JSON surface") {
     val idx = Files.createTempDirectory("qr_inv_idx_").toString + "/idx"
     val built = QueryRunner.run(spark,
