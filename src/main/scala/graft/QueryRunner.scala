@@ -19,7 +19,7 @@ import graft.sources.ZTable
   *
   * Request:
   * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
-  *       |"index"|"search",
+  *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze",
   *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
   *  "index":"/path/idx", "buckets":256,                // index build
   *  "terms":["spark","merge"], "k":10,                 // search

@@ -288,8 +288,10 @@ object Ingest {
     * same O(1)-per-series state, arriving incrementally;
     * StreamingSpec gates batch/stream parity on a replayed stream.
     * Within-batch order is restored by a sort (grouped iterators carry
-    * no order guarantee); rows late across BATCH boundaries are dropped
-    * (strict-order ingest semantics, same as enforceOrder). */
+    * no order guarantee), so per-task memory is bounded by the hottest
+    * series' rate × the trigger interval — same bound as asofStream;
+    * rows late across BATCH boundaries are dropped (strict-order
+    * ingest semantics, same as enforceOrder). */
   def ewmaStream(ds: Dataset[Event], alpha: Double = 0.25): Dataset[(Long, Long, Double)] = {
     val spark = ds.sparkSession
     import spark.implicits._
