@@ -197,6 +197,47 @@ object Scalar {
       |    COUNT(*) FILTER (WHERE ts IS NULL) FROM events)
       |ORDER BY rule""".stripMargin
 
+  /** DQ2: distribution-drift detection — the quality-monitoring op a
+    * long-running ingest needs: value-decile histograms of the early
+    * vs late half of the time range, compared per bin with a
+    * chi-square-style term ((p−q)² / (p+q) over the half-normalized
+    * rates). Determinism by construction: bin counts are integers, each
+    * term is a fixed arithmetic expression of FOUR integers (no
+    * cross-bin float sum, no transcendental), so both engines produce
+    * identical doubles — the a13/t10 school, applied to drift. One
+    * scan + a bin-sized aggregate at any corpus size. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+    val c = Tables.events(spark, dir)
+      .select(floor(col("value") / 10).cast("long").as("bin"),
+        when(col("ts") < mid, 1L).otherwise(0L).as("h1"))
+      .groupBy("bin")
+      .agg(sum(col("h1")).as("n1"), (count(lit(1)) - sum(col("h1"))).as("n2"))
+    val t = c.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    c.crossJoin(t)
+      .select(col("bin"), col("n1"), col("n2"),
+        round(
+          ((col("n1") / col("t1") - col("n2") / col("t2")) *
+           (col("n1") / col("t1") - col("n2") / col("t2"))) /
+            (col("n1") / col("t1") + col("n2") / col("t2")), 6)
+          .as("drift_term"))
+      .orderBy("bin")
+  }
+
+  val driftSql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS h1
+      |  FROM events),
+      |c AS (SELECT bin, CAST(SUM(h1) AS BIGINT) AS n1,
+      |             CAST(COUNT(*) - SUM(h1) AS BIGINT) AS n2
+      |      FROM b GROUP BY bin),
+      |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c)
+      |SELECT bin, n1, n2,
+      |  round(((n1 / t.t1 - n2 / t.t2) * (n1 / t.t1 - n2 / t.t2))
+      |        / (n1 / t.t1 + n2 / t.t2), 6) AS drift_term
+      |FROM c, t ORDER BY bin""".stripMargin
+
   /** PROFILE1: one-pass data profile of the fact table (the dataset-card
     * step of a corpus build, and C3's describe extended from schema to
     * data): row count, per-column null counts, min/max, and exact
