@@ -190,13 +190,51 @@ object Similarity {
 
   /** Deterministic random-hyperplane sign bits: bucket = H-bit signature.
     * Planes are materialized once as array literals; signing a vector is
-    * H codegen'd dot products, fully inside whole-stage codegen. */
-  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int = 64): Column = {
+    * H codegen'd dot products, fully inside whole-stage codegen.
+    * `table` offsets the plane index so independent hash tables (the
+    * classic LSH amplification) reuse the same machinery. */
+  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int = 64, table: Int = 0): Column = {
     val bits = (0 until numPlanes).map { h =>
-      val plane = typedlit((0 until dim).map(planeComponent(h, _)).toArray)
+      val plane = typedlit((0 until dim).map(
+        planeComponent(table * numPlanes + h, _)).toArray)
       when(VectorOps.dot(vecCol, plane) > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** Multi-table LSH ANN pairs — the amplified construction: L
+    * independent numPlanes-bit tables; a pair is a candidate if it
+    * collides in ANY table (miss probability (1-p^H)^L for per-plane
+    * collision p), then candidates are verified with the exact cosine.
+    * Vectors are replicated L-fold map-side (a table column rides the
+    * shuffle key), pairs are distinct'd before verification so each
+    * candidate pays one dot product. At 100 TB this is the shape that
+    * holds: L×N bucket rows shuffle, never N² pairs; hot buckets are
+    * bounded by the signature width. */
+  def lshNeighborPairsMulti(emb: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, numTables: Int, threshold: Double): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bks", array((0 until numTables).map(t =>
+        lshBucket(col("v"), numPlanes, table = t)): _*))
+      .select(col("id"), col("v"), col("bks"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("ida"),
+      col("v").as("va"), col("bks").as("bksa"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("idb"),
+      col("v").as("vb"), col("bks").as("bksb"))
+    // first table index where the two signature arrays agree — spelled
+    // as least(CASE...) rather than a zip_with HOF so the filter stays
+    // inside whole-stage codegen (least skips the null WHENs)
+    val firstCollision = least((0 until numTables).map(i =>
+      when(element_at(col("bksa"), i + 1) === element_at(col("bksb"), i + 1),
+        lit(i))): _*)
+    a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
+      // dedupe without a distinct: keep the pair only in the FIRST table
+      // where its signatures collide (both full signature arrays ride
+      // the bucket rows — numTables longs, not the vectors twice)
+      .where(col("tbl") === firstCollision)
+      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer — the k vectors with
@@ -208,10 +246,12 @@ object Similarity {
     * rows just to take an argmax. Candidate pairs are searched within
     * cells only (one shuffle on cell id). The k-row centroid collect is
     * dimension-sized plan-time setup, same class as a broadcast dim.
-    * Recall < 1 by construction (cell-boundary neighbors are missed;
-    * increase k-probe to trade). */
+    * Recall < 1 by construction (cell-boundary neighbors are missed);
+    * `nProbe` > 1 is the standard multi-probe trade: each vector joins
+    * its top-nProbe cells (nProbe×N bucket rows, nProbe× the candidate
+    * mass, recall approaches 1 as nProbe→numCells). */
   def ivfNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, threshold: Double): DataFrame = {
+      numCells: Int, threshold: Double, nProbe: Int = 1): DataFrame = {
     val cents = emb
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(numCells)
@@ -229,20 +269,31 @@ object Similarity {
     val simCols = cents.map { case (_, cv, cnorm) =>
       VectorOps.dot(col("v"), typedlit(cv)) / (col("vnorm") * lit(cnorm))
     }
-    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
       .withColumn("sims", array(simCols.toIndexedSeq: _*))
-      .withColumn("cell",
-        element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
-      .select(col("id"), col("v"), col("vnorm"), col("cell"))
+    val assigned =
+      if (nProbe <= 1)
+        scored.withColumn("cell",
+          element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
+          .select(col("id"), col("v"), col("vnorm"), col("cell"))
+      else
+        // top-nProbe cells: sort (sim, cell) structs descending, slice,
+        // explode — nProbe bucket rows per vector, all map-side
+        scored.withColumn("probe",
+          explode(slice(reverse(array_sort(arrays_zip(col("sims"), cellIds.as("cid")))),
+            1, nProbe)))
+          .select(col("id"), col("v"), col("vnorm"), col("probe.cid").as("cell"))
     val a = assigned.select(col("id").as("ida"), col("v").as("va"),
       col("vnorm").as("norm_a"), col("cell"))
     val b = assigned.select(col("id").as("idb"), col("v").as("vb"),
       col("vnorm").as("norm_b"), col("cell"))
-    a.join(b, Seq("cell")).where(col("ida") < col("idb"))
+    val pairs = a.join(b, Seq("cell")).where(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= threshold)
+    // multi-probe can surface the same pair from several shared cells
+    if (nProbe <= 1) pairs else pairs.distinct()
   }
 
   /** Distributed Lloyd k-means over the embedding column.

@@ -145,11 +145,51 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** D3: SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
-    * xxhash64-based — not oracle-expressible; rows-only check. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-        Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"),
-        maxDist = 3)
-      .orderBy("ida", "idb")
+  /** D3: SimHash near-dup detection (hamming <= 3 on 64-bit signatures).
+    * xxhash64-based, so the signatures are not SQL-expressible; the
+    * oracle gate is two per-document TRUE flags instead:
+    *  - `sig_ok`: the single-pass SimHash64 expression bit-equals the
+    *    independent exploded bit-count formulation (Dedup.simhashViaAgg);
+    *  - `pairs_ok`: the banded (16-bit pigeonhole) candidate pairs equal
+    *    the brute-force all-pairs hamming result for this document —
+    *    i.e. band recall AND precision are both exactly 1, which the
+    *    pigeonhole argument guarantees for maxDist < 4.
+    * DuckDB asserts both as literal TRUE per doc_id, so the hash gate
+    * fails iff the expression, the banding, or the hamming filter ever
+    * diverge. (The brute-force side is a signature-table self-join —
+    * 64-bit rows, not documents — honest at this corpus; the banded
+    * path is the one that scales.) */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+    val sigOk = sig
+      .join(Dedup.simhashViaAgg(docs, "doc_id", "text")
+        .withColumnRenamed("simhash", "simhash_ref"), Seq("id"))
+      .select(col("id"), (col("simhash") === col("simhash_ref")).as("sig_ok"))
+    val banded = Dedup.simhashPairs(sig, maxDist = 3).select(col("ida"), col("idb"))
+    val brute = sig.select(col("id").as("ida"), col("simhash").as("sa"))
+      .join(sig.select(col("id").as("idb"), col("simhash").as("sb")),
+        col("ida") < col("idb"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("ida"), col("idb"))
+    def sym(p: DataFrame, flag: String): DataFrame =
+      p.select(col("ida").as("id"), col("idb").as("nb"))
+        .union(p.select(col("idb").as("id"), col("ida").as("nb")))
+        .withColumn(flag, lit(true))
+    val mismatch = sym(banded, "in_band")
+      .join(sym(brute, "in_brute"), Seq("id", "nb"), "full_outer")
+      .where(col("in_band").isNull || col("in_brute").isNull)
+      .select(col("id")).distinct().withColumn("bad", lit(true))
+    docs.select(col("doc_id"))
+      .join(sigOk.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(mismatch.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sig_ok"), lit(false)).as("sig_ok"),
+        col("bad").isNull.as("pairs_ok"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    """SELECT doc_id, TRUE AS sig_ok, TRUE AS pairs_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -430,15 +430,35 @@ object Relational {
     * shuffle-heavy exact expand with bounded memory. No DuckDB oracle
     * (sketch estimates are engine-specific); AggSpec bounds the relative
     * error against the exact counts instead. */
+  /** A11: HLL++ approximate distinct. The estimates are engine-specific,
+    * so the oracle gate (the t10 TRUE-flag trick) emits the EXACT
+    * distinct counts (SQL-derivable) plus per-group flags asserting the
+    * HLL estimate landed within 3x the configured rsd of the exact
+    * value — the hash gate fails iff the sketch ever violates its
+    * accuracy contract. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       // rsd 0.02: sketch cost scales ~1/rsd^2 (0.01 doubles the runtime
       // of the whole query for precision the use case doesn't need)
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asup"),
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.06))
+          .as("hll_parts_ok"),
+        (abs(col("asup") - col("n_supps")) <= col("n_supps") * lit(0.06))
+          .as("hll_supps_ok"))
       .orderBy("l_returnflag")
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  TRUE AS hll_parts_ok, TRUE AS hll_supps_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A13: MERGEABLE-SKETCH ROLLUP — per-day Datasketches-HLL sketches of
     * distinct users, unioned across days (hll_union_agg), vs the

@@ -50,8 +50,25 @@ object Scalar {
   def currencyQ(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderkey"),
-        Format.formatCurrencyCol(col("o_totalprice").cast("float"), 5).as("price_fmt"))
+        Format.formatCurrencyCol(col("o_totalprice").cast("float"), 5).as("price_fmt"),
+        col("o_totalprice").cast("float").cast("double").as("v"))
+      // Oracle gate (t10 TRUE-flag trick): the formatted string is
+      // implementation-specific, but two properties are not — it must
+      // match the reference's output SHAPE (plain decimal or bare-e
+      // scientific), and it must ROUND-TRIP back to the input within
+      // sig-fig precision (5 sig figs plain; sigFigs-4 = 1 mantissa
+      // decimal ~ 5.2% relative in the >=10^5 scientific branch).
+      // FormatSpec pins the exact golden strings; this gate makes the
+      // formatter's contract hash-checkable by DuckDB as literal TRUE.
+      .select(col("o_orderkey"),
+        (col("price_fmt").rlike("^[0-9]+(\\.[0-9]+)?(e[0-9]+)?$") &&
+          abs(col("price_fmt").cast("double") - col("v")) <=
+            when(col("v") >= 100000d, col("v") * lit(0.052)).otherwise(lit(0.06)))
+          .as("fmt_ok"))
       .orderBy("o_orderkey")
+
+  val currencySql: String =
+    "SELECT o_orderkey, TRUE AS fmt_ok FROM orders ORDER BY o_orderkey"
 
   /** F7: JSON extraction from the events props column. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -260,7 +277,7 @@ object Scalar {
     """SELECT COUNT(*) AS n_rows,
       |  COUNT(DISTINCT l_orderkey) AS d_orderkey,
       |  COUNT(DISTINCT l_returnflag) AS d_returnflag,
-      |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
       |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
       |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
       |FROM lineitem""".stripMargin

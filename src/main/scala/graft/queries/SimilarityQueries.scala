@@ -135,29 +135,99 @@ object SimilarityQueries {
   /** SIM7: distributed spherical k-means — farthest-point init, map-side
     * argmin assignment, VecCentroid updates (one scan per iteration,
     * driver holds k×dim doubles). Iterative + hash-seeded → not
-    * SQL-expressible; SimilaritySpec gates centroid parity against a
-    * driver-side reference implementation. */
+    * SQL-expressible; the oracle gate emits the SQL-derivable corpus
+    * size plus two TRUE flags:
+    *  - `parity_ok`: the distributed run's cell-size histogram equals
+    *    a sequential driver re-run (CrossCheck.kmeansRef) up to a
+    *    2-vector L1 slack (cross-partition double-sum order can flip
+    *    exactly-equidistant boundary points; nothing else may move);
+    *  - `sse_ok`: the Lloyd objective did not increase from the seed
+    *    centroids to the trained ones (monotone-improvement property).
+    * DuckDB asserts both as literal TRUE. */
   def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
+    val k = 8
     val cs = graft.operators.Similarity.kmeans(
-      emb, "vec_id", "embedding", k = 8, iters = 3)
-    graft.operators.Similarity.kmeansAssignments(emb, "vec_id", "embedding", cs)
+      emb, "vec_id", "embedding", k = k, iters = 3)
+    val sizes = graft.operators.Similarity
+      .kmeansAssignments(emb, "vec_id", "embedding", cs)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .select(col("cell").cast("long").as("cell"), col("n"))
-      .orderBy("cell")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = graft.functions.CrossCheck.collectVectors(emb, "vec_id", "embedding")
+    val (seeds, refCs, refAssign) = graft.functions.CrossCheck.kmeansRef(rows, k, 3)
+    val refSizes = refAssign.groupBy(identity).map { case (c, a) => (c + 1) -> a.length.toLong }
+    val l1 = (1 to k).map(c =>
+      math.abs(sizes.getOrElse(c, 0L) - refSizes.getOrElse(c, 0L))).sum
+    val parityOk = l1 <= 4 // <= 2 boundary vectors moving cells
+    val sseOk = graft.functions.CrossCheck.kmeansSse(rows, cs) <=
+      graft.functions.CrossCheck.kmeansSse(rows, seeds) * (1 + 1e-9)
+    Seq((rows.length.toLong, k.toLong, parityOk, sseOk))
+      .toDF("n_vecs", "k", "parity_ok", "sse_ok")
   }
 
-  /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1 by
-    * construction (bucket collisions only); rows-only check. */
-  def lshAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNeighborPairs(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", numPlanes = 6, threshold = 0.3)
-      .orderBy("ida", "idb")
+  val kmeansSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(8 AS BIGINT) AS k,
+      |  TRUE AS parity_ok, TRUE AS sse_ok
+      |FROM embeddings""".stripMargin
 
-  /** SIM3: IVF-cell ANN pairs — coarse-quantized scale path; rows-only. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNeighborPairs(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", numCells = 16, threshold = 0.3)
-      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_r"))
-      .orderBy("ida", "idb")
+  /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1
+    * by construction (bucket collisions only), so the oracle gate is a
+    * measured-recall bound: the exact pair count (SQL-derivable — the
+    * DuckDB side counts cosine pairs >= 0.3 directly) plus a TRUE flag
+    * asserting the bucketed path recovered at least RecallBound of the
+    * exact pairs. Precision is 1 by construction (candidates are
+    * verified with the exact cosine before emission). */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val banded = Similarity.lshNeighborPairsMulti(emb,
+        "vec_id", "embedding", numPlanes = 6, numTables = 16, threshold = 0.3)
+      .select(col("ida"), col("idb")).withColumn("hit", lit(true))
+    Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.3)
+      .select(col("ida"), col("idb"))
+      .join(banded, Seq("ida", "idb"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_true_pairs"),
+        (col("n_hit") >= col("n_true_pairs") * lit(LshRecallBound)).as("recall_ok"))
+  }
+
+  /** Measured recall of the 16-table/6-plane construction on the full
+    * >= 0.3 truth set: 0.547 (sf0.001) / 0.565 (sf0.01) / 0.580 (sf0.1).
+    * The truth pairs cluster near cos 0.3-0.5 where per-plane collision
+    * p = 1 - θ/π ≈ 0.6-0.67, so theory predicts 1-(1-p^6)^16 ≈ 0.53-0.77
+    * — the measurement sits in band. Gate below the floor so the flag
+    * tests "amplified LSH recall did not collapse", not run noise (the
+    * planes are deterministic, so at a fixed SF this is exact). */
+  private val LshRecallBound = 0.4
+
+  val lshAnnSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin
+
+  /** SIM3: IVF-cell ANN pairs — coarse-quantized scale path with
+    * multi-probe (top-4 of 16 cells per vector); same measured-recall
+    * oracle gate as sim2. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = Similarity.ivfNeighborPairs(emb,
+        "vec_id", "embedding", numCells = 16, threshold = 0.3, nProbe = 4)
+      .select(col("ida"), col("idb")).withColumn("hit", lit(true))
+    Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.3)
+      .select(col("ida"), col("idb"))
+      .join(cells, Seq("ida", "idb"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_true_pairs"),
+        (col("n_hit") >= col("n_true_pairs") * lit(IvfRecallBound)).as("recall_ok"))
+  }
+
+  /** Measured multi-probe (nProbe=4) recall on the >= 0.3 truth set:
+    * 0.912 (sf0.001) / 0.912 (sf0.01) / 0.910 (sf0.1). Gate below the
+    * floor; deterministic at a fixed SF (hash-seeded centroids). */
+  private val IvfRecallBound = 0.7
+
+  val ivfAnnSql: String = lshAnnSql
 }

@@ -84,15 +84,29 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** T6: winnowing rolling-hash fingerprints (xxhash64-based — not
-    * SQL-expressible; rows-only check, behavior covered by TextSpec). */
-  def winnow(spark: SparkSession, dir: String): DataFrame =
+  /** T6: winnowing rolling-hash fingerprints. The hashes themselves are
+    * not SQL-expressible, so the oracle gate is the t10 TRUE-flag trick:
+    * every document's single-pass expression result is compared against
+    * [[graft.functions.CrossCheck.winnowRef]] (an independent
+    * collections reimplementation) and the DuckDB side asserts the
+    * per-document parity flag as literal TRUE — the hash gate fails iff
+    * any document's fingerprints diverge. A structural bound (#fps <=
+    * #k-grams, which IS SQL-derivable) rides along as a second flag. */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val refUdf = udf((text: String) => graft.functions.CrossCheck.winnowRef(text, 3, 4))
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         Text.winnowFingerprints(col("text")).as("fps"))
-      .select(col("doc_id"), size(col("fps")).cast(LongType).as("n_fp"),
-        element_at(col("fps"), 1).as("min_fp"))
+      .select(col("doc_id"),
+        (col("fps") === refUdf(col("text"))).as("winnow_parity_ok"),
+        (size(col("fps")) <= greatest(
+          size(split(col("text"), " ", -1)) - lit(2), lit(0))).as("winnow_bound_ok"))
       .orderBy("doc_id")
+  }
+
+  val winnowSql: String =
+    """SELECT doc_id, TRUE AS winnow_parity_ok, TRUE AS winnow_bound_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** T7: duplicated word-3-gram repetition stats — the RefinedWeb/C4
     * repetition filter signal. One single-pass expression per row
@@ -153,21 +167,37 @@ object TextQueries {
   /** T9: full BPE tokenize — learn a 30-merge table from the corpus
     * word histogram (one distributed count + driver-side Sennrich loop,
     * graft.functions.Bpe), then apply it map-side per document. The
-    * per-doc invariant n_words <= n_bpe <= n_chars_nospace is part of
-    * the output so the rows-only gate still checks real structure;
-    * TextSpec gates the expression against the driver reference encode.
-    * Iterative + histogram-dependent -> not SQL-expressible. */
+    * learned segmentation is iterative + histogram-dependent, so not
+    * SQL-expressible; the oracle gate emits (a) the SQL-derivable word
+    * and non-space char counts, (b) `bpe_parity_ok`: the expression's
+    * count equals [[graft.functions.CrossCheck.bpeCountRef]] (an
+    * independently coded greedy encoder), and (c) `bpe_bounds_ok`: the
+    * structural invariant n_words <= n_bpe <= n_chars_nospace. DuckDB
+    * asserts both flags as literal TRUE. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merges = graft.functions.Bpe.learn(docs, "text", numMerges = 30)
-    docs.select(col("doc_id"),
+    val rank = merges.zipWithIndex.toMap
+    val refUdf = udf((text: String) => graft.functions.CrossCheck.bpeCountRef(text, rank))
+    docs.select(col("doc_id"), col("text"),
         graft.functions.Bpe.encodeCount(split(lower(col("text")), " "), merges)
-          .as("n_bpe_tokens"),
+          .as("n_bpe"),
         Text.nTokens(col("text")).cast(LongType).as("n_words"),
         length(regexp_replace(col("text"), " ", "")).cast(LongType)
           .as("n_chars_nospace"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_nospace"),
+        (col("n_bpe") === refUdf(col("text"))).as("bpe_parity_ok"),
+        (col("n_words") <= col("n_bpe") && col("n_bpe") <= col("n_chars_nospace"))
+          .as("bpe_bounds_ok"))
       .orderBy("doc_id")
   }
+
+  val bpeEncodeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+      |  TRUE AS bpe_parity_ok, TRUE AS bpe_bounds_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** T10: heavy hitters through a COUNT-MIN SKETCH — completes the
     * sketch family (HLL a11, MinHash d2, SimHash d3, Bloom d8, winnow

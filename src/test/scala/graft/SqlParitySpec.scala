@@ -38,7 +38,11 @@ class SqlParitySpec extends SparkSpec {
     "d8_bloom_decontaminate", "pipe5_pii_scrub",
     // g1: // integer division; pipe7 composes pipe1's list_transform sig;
     // ts2: DuckDB puts IGNORE NULLS inside the call parens, Spark outside
-    "g1_pagerank", "pipe7_end_to_end", "ts2_tick_rule")
+    "g1_pagerank", "pipe7_end_to_end", "ts2_tick_rule",
+    // round-3 gates: list_cosine_similarity/DOUBLE[] (sim2/sim3),
+    // len-of-regexp-list (t9); the other new TRUE-flag gates (a11, d3,
+    // t6, f4, sim7) are ANSI and stay in
+    "sim2_lsh_ann", "sim3_ivf_ann", "t9_bpe_encode")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)

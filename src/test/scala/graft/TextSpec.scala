@@ -86,23 +86,10 @@ class TextSpec extends SparkSpec {
   }
 
   test("winnow parity: expression matches an independent reference impl (sf0.001)") {
-    // Cross-implementation gate for the no-oracle t6 query: re-derive the
-    // winnowing pipeline from first principles (collections code, not the
-    // single-pass expression) and require equality on every document.
-    val primes = Array(1000003L, 8191L, 131L, 31L, 7L, 1L)
-    def fnv1a(s: String): Long = {
-      var h = 0xcbf29ce484222325L
-      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .foreach { b => h ^= b & 0xffL; h *= 0x100000001b3L }
-      h
-    }
-    def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
-      val wh = text.toLowerCase.split(" ", -1).map(fnv1a)
-      if (wh.length < k) return Nil
-      val kg = wh.sliding(k).map(g => g.zipWithIndex.map { case (h, d) => h * primes(d) }.sum).toArray
-      if (kg.length < w) return Nil
-      kg.sliding(w).map(_.min).toSeq.distinct.sorted
-    }
+    // Cross-implementation gate (shared with the t6 oracle gate): the
+    // independent collections reimplementation lives in CrossCheck.
+    def winnowRef(text: String, k: Int, w: Int): Seq[Long] =
+      graft.functions.CrossCheck.winnowRef(text, k, w)
     val rows = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text"), Text.winnowFingerprints(col("text")).as("f"))
       .collect()
