@@ -138,8 +138,15 @@ object QueryRunner {
           case (Some(f), Some(t)) => table.scan(f, t)
           case _ => table.df
         }
+        // TimeSeries.ewma needs a UNIQUE order for determinism;
+        // resolution-floored tables make ts ties likely, so the request
+        // may name a tiebreak column ("order"), defaulting to any
+        // column literally named "id" when the table has one.
+        val tiebreak = strOpt("order")
+          .orElse(scanned.columns.find(_ == "id"))
+          .filter(_ != table.spec.tsCol).toSeq
         graft.operators.TimeSeries.ewma(scanned,
-          keyCols = list("keys"), orderCols = Seq(table.spec.tsCol),
+          keyCols = list("keys"), orderCols = table.spec.tsCol +: tiebreak,
           valCol = str("value"), alpha = alpha)
       case other =>
         throw new IllegalArgumentException(s"unknown op '$other'")

@@ -124,9 +124,11 @@ object GraftNative {
     val fields = schema.fields.map(f => (f.name, typeOf(f.dataType)))
     df.rdd.mapPartitionsWithIndex { case (pid, rows) =>
       val block = Paths.get(dir, f"block-$tag$pid%05d")
-      Files.createDirectories(block)
       val data = rows.toArray
+      // empty partitions write NOTHING — an empty block dir (no .bin,
+      // no stats) would otherwise brick every later scan's eager reads
       if (data.nonEmpty) {
+        Files.createDirectories(block)
         fields.zipWithIndex.foreach { case ((name, typ), i) =>
           writeColumn(block, name, typ, data, i)
         }
@@ -165,21 +167,85 @@ object GraftNative {
   def compactBlocks(spark: org.apache.spark.sql.SparkSession, dir: String,
       numBlocks: Int): Int = {
     val tmp = dir + ".compacting"
-    if (Files.exists(Paths.get(tmp)))
-      listDir(Paths.get(tmp)).foreach { b =>
+    recoverCompaction(dir)
+    // SNAPSHOT the block list before planning the rewrite scan, read
+    // exactly that snapshot (the `blocks` option), and later delete only
+    // the snapshot: blocks appended concurrently by a streaming ingest
+    // are neither folded into the rewrite nor deleted — they simply
+    // survive next to the compacted ones.
+    val old = listDir(Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
+      .map(_.getFileName.toString).sorted
+    if (old.isEmpty) return 0
+    // fresh generation tag: rewritten block names can never equal a
+    // retired name, so roll-forward recovery can re-run from any point
+    // without mistaking a freshly-moved block for a to-retire one
+    val gen = old.flatMap(n =>
+      "block-g(\\d+)-.*".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .maxOption.getOrElse(-1) + 1
+    val df = spark.read.format("graft-native")
+      .option("blocks", old.mkString(","))
+      .load(dir).repartition(numBlocks)
+    writeMeta(df.schema, tmp)
+    appendBlocks(df, tmp, tag = s"g$gen-")
+    // COMMIT POINT: once the marker (listing the blocks to retire)
+    // exists, the rewrite is durable and recovery can always roll
+    // FORWARD; without it, recovery rolls back by discarding tmp.
+    Files.write(Paths.get(tmp, CommitFile),
+      old.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finishCompaction(dir)
+    old.size
+  }
+
+  private[sources] val CommitFile = "_commit"
+
+  /** Block dirs of a table (shared helper for compaction/replay cleanup). */
+  private[graft] def listBlockDirs(dir: String): Seq[Path] =
+    listDir(Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
+
+  /** Delete one block dir and its files. */
+  private[graft] def deleteBlockDir(b: Path): Unit = {
+    listDir(b).foreach(Files.delete); Files.delete(b)
+  }
+
+  /** Finish a committed compaction: retire the marker's old blocks,
+    * move the rewritten blocks in, drop the tmp dir. Idempotent — safe
+    * to re-run from any partial state after the commit point. */
+  private def finishCompaction(dir: String): Unit = {
+    val tmpP = Paths.get(dir + ".compacting")
+    val retire = new String(Files.readAllBytes(tmpP.resolve(CommitFile)),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    retire.map(Paths.get(dir, _)).filter(Files.exists(_)).foreach { b =>
+      listDir(b).foreach(Files.delete); Files.delete(b)
+    }
+    listDir(tmpP).filter(_.getFileName.toString.startsWith("block-")).foreach { b =>
+      val target = Paths.get(dir, b.getFileName.toString)
+      if (Files.exists(target)) { // crash mid-move: keep the moved copy
+        listDir(b).foreach(Files.delete); Files.delete(b)
+      } else Files.move(b, target)
+    }
+    if (Files.exists(tmpP.resolve(MetaFile))) Files.delete(tmpP.resolve(MetaFile))
+    Files.delete(tmpP.resolve(CommitFile))
+    Files.delete(tmpP)
+  }
+
+  /** Crash recovery for [[compactBlocks]], run on entry (and callable
+    * directly when opening a table after a crash): a tmp dir WITH the
+    * commit marker is rolled forward (the rewrite was complete); one
+    * without is rolled back by deleting it (the source blocks were
+    * never touched before the commit point, so no data is lost). */
+  def recoverCompaction(dir: String): Unit = {
+    val tmpP = Paths.get(dir + ".compacting")
+    if (!Files.exists(tmpP)) return
+    if (Files.exists(tmpP.resolve(CommitFile))) finishCompaction(dir)
+    else {
+      listDir(tmpP).foreach { b =>
         if (Files.isDirectory(b)) listDir(b).foreach(Files.delete)
         Files.delete(b)
       }
-    write(spark.read.format("graft-native").load(dir).repartition(numBlocks), tmp)
-    val old = listDir(Paths.get(dir))
-      .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
-    old.foreach { b => listDir(b).foreach(Files.delete); Files.delete(b) }
-    listDir(Paths.get(tmp))
-      .filter(_.getFileName.toString.startsWith("block-"))
-      .foreach(b => Files.move(b, Paths.get(dir, b.getFileName.toString)))
-    Files.delete(Paths.get(tmp, MetaFile))
-    Files.delete(Paths.get(tmp))
-    old.size
+      Files.delete(tmpP)
+    }
   }
 
   /** A block's symbol dictionary as a set, if the sidecar exists.
@@ -260,14 +326,19 @@ class GraftNativeTable(dir: String, schema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftNativeScanBuilder(dir, schema)
+    new GraftNativeScanBuilder(dir, schema,
+      // optional exact-block allowlist (comma-separated dir names) —
+      // lets compaction rewrite a SNAPSHOT of the block list so blocks
+      // appended concurrently are neither duplicated nor dropped
+      Option(options.get("blocks")).map(_.split(",").filter(_.nonEmpty).toSet))
 }
 
 /** One pushed aggregate: kind ∈ min|max|count, with the source column
   * (empty for count) and its data type. */
 case class GraftNativeAgg(kind: String, col: String, dt: DataType)
 
-class GraftNativeScanBuilder(dir: String, full: StructType)
+class GraftNativeScanBuilder(dir: String, full: StructType,
+    blocks: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -340,14 +411,15 @@ class GraftNativeScanBuilder(dir: String, full: StructType)
   }
   override def pushedFilters(): Array[Filter] = skippable
   override def build(): Scan =
-    GraftNativeScan(dir, required, skippable.toSeq, aggs)
+    GraftNativeScan(dir, required, skippable.toSeq, aggs, blocks)
 }
 
 case class GraftNativeBlock(block: String) extends InputPartition
 
 case class GraftNativeScan(dir: String, required: StructType,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    aggs: Option[Seq[GraftNativeAgg]] = None)
+    aggs: Option[Seq[GraftNativeAgg]] = None,
+    blocks: Option[Set[String]] = None)
     extends Scan with Batch with Serializable {
   import org.apache.spark.sql.sources._
   override def readSchema(): StructType = aggs match {
@@ -396,7 +468,13 @@ case class GraftNativeScan(dir: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     GraftNative.listDir(Paths.get(dir))
       .filter(p => p.getFileName.toString.startsWith("block-") &&
-        Files.isDirectory(p))
+        Files.isDirectory(p) &&
+        // defensive: a COMPLETELY empty block dir (left by a crashed
+        // writer) contributes no rows instead of a read error; dirs
+        // holding only a stats sidecar stay plannable (the aggregate
+        // pushdown path reads metadata alone)
+        GraftNative.listDir(p).nonEmpty)
+      .filter(p => blocks.forall(_.contains(p.getFileName.toString)))
       .sortBy(_.getFileName.toString)
       .filterNot(p => provablyEmpty(p.toString))
       .map(p => GraftNativeBlock(p.toString): InputPartition)

@@ -364,6 +364,19 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     val src = floorResolution(source).persist()
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val root = Paths.get(path)
+    // recover a crashed earlier merge: a committed staging dir
+    // (_SUCCESS present) whose target partition is gone rolls FORWARD
+    // (the crash hit between delete and move — the staging dir holds
+    // the complete new partition); anything else rolls back (the
+    // target is intact, the staging dir is a partial rewrite).
+    if (Files.exists(root))
+      ls(root).filter(_.getFileName.toString.endsWith(".merging")).foreach { tmp =>
+        val target = tmp.resolveSibling(
+          tmp.getFileName.toString.stripSuffix(".merging"))
+        if (!Files.exists(target) && Files.exists(tmp.resolve("_SUCCESS")))
+          Files.move(tmp, target)
+        else { ls(tmp).foreach(Files.delete); Files.delete(tmp) }
+      }
     val parts =
       if (!Files.exists(root)) Nil
       else ls(root).filter(d => Files.isDirectory(d) &&
@@ -382,24 +395,38 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = parts
-      .filter(d => hitsByPart.contains(
-        d.getFileName.toString.stripPrefix(partCol + "=")))
-      .map { dir => Future {
-        val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
-        val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
-        spark.read.parquet(dir.toString)
-          .join(srcKeys, keyCols, "left_anti")
-          .sortWithinPartitions(col(spec.tsCol))
-          .write.mode("overwrite").parquet(tmp.toString)
-        ls(dir).foreach(Files.delete)
-        Files.delete(dir)
-        Files.move(tmp, dir)
-        replaced.addAndGet(hits)
-      }}
+    // each affected partition's staging rewrite carries BOTH halves —
+    // surviving old rows (anti-join) AND this partition's source rows —
+    // so the delete+move swap is the only mutation and a crash at any
+    // point either leaves the old partition intact or the complete new
+    // one in staging (see the roll-forward sweep above). The insert
+    // pass below then only touches partitions with no matched key,
+    // where a plain additive append cannot lose anything.
+    val affected = parts.filter(d => hitsByPart.contains(
+      d.getFileName.toString.stripPrefix(partCol + "=")))
+    val affectedNames = affected.map(
+      _.getFileName.toString.stripPrefix(partCol + "=")).toSet
+    val jobs = affected.map { dir => Future {
+      val pval = dir.getFileName.toString.stripPrefix(partCol + "=")
+      val hits = hitsByPart(pval)
+      val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
+      spark.read.parquet(dir.toString)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(withPartCol(src)
+          .where(col(partCol).cast("string") === pval).drop(partCol))
+        .sortWithinPartitions(col(spec.tsCol))
+        .write.mode("overwrite").parquet(tmp.toString)
+      ls(dir).foreach(Files.delete)
+      Files.delete(dir)
+      Files.move(tmp, dir)
+      replaced.addAndGet(hits)
+    }}
     Await.result(Future.sequence(jobs), Duration.Inf)
     val written = src.count()
-    withPartCol(src)
+    val remainder = withPartCol(src)
+      .where(!col(partCol).cast("string").isInCollection(
+        if (affectedNames.isEmpty) Set("") else affectedNames))
+    remainder
       .repartition(col(partCol))
       .sortWithinPartitions(col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(path)

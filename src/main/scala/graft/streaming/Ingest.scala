@@ -133,6 +133,17 @@ object Ingest {
         java.nio.file.Files.readString(mark).trim.toLong
       else -1L
     if (batchId > last) {
+      // a crash can land between per-partition block writes and the
+      // high-water-mark write; a replay may also plan FEWER partitions
+      // than the failed attempt, which would orphan the higher-pid
+      // blocks next to the replay's. Clearing this batch's blocks first
+      // makes the replay fully supersede any partial attempt.
+      val prefix = f"block-b$batchId%06d-"
+      val dirP = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(dirP))
+        graft.sources.GraftNative.listBlockDirs(dir)
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .foreach(graft.sources.GraftNative.deleteBlockDir)
       val compat = df.schema.fields.foldLeft(df) { (d, f) =>
         f.dataType match {
           case org.apache.spark.sql.types.TimestampType =>

@@ -205,4 +205,73 @@ class GraftNativeSpec extends SparkSpec {
     val expect = src.orderBy("event_id").collect().toSeq
     assert(back == expect)
   }
+
+  private def blockNames(dir: String): Seq[String] = {
+    val s = Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("block-")).toVector.sorted
+    } finally s.close()
+  }
+
+  test("empty input partitions write no block dirs and scans stay readable") {
+    val dir = tmp()
+    // 3 rows over 8 partitions: 5 partitions are empty
+    GraftNative.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").repartition(8), dir)
+    assert(blockNames(dir).size <= 3)
+    assert(spark.read.format("graft-native").load(dir).count() == 3)
+    // over-partitioned compaction (numBlocks > rows) must not brick either
+    GraftNative.compactBlocks(spark, dir, numBlocks = 8)
+    assert(spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a stray empty block dir (crashed foreign writer) contributes 0 rows
+    Files.createDirectories(java.nio.file.Paths.get(dir, "block-stray"))
+    assert(spark.read.format("graft-native").load(dir).count() == 3)
+  }
+
+  test("compaction crash recovery: commit marker rolls forward, no marker rolls back") {
+    val dir = tmp()
+    val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(4)
+    GraftNative.write(df, dir)
+    val before = spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq
+    // simulate a crash right after the commit point: stage a full
+    // rewrite in dir+".compacting" with the _commit marker naming the
+    // current blocks, then 'crash' before any delete/move happened
+    val tmpDir = dir + ".compacting"
+    val oldBlocks = blockNames(dir)
+    GraftNative.write(spark.read.format("graft-native").load(dir)
+      .repartition(1), tmpDir)
+    // retag staged blocks so names can't collide with the old ones
+    blockNames(tmpDir).zipWithIndex.foreach { case (b, i) =>
+      Files.move(java.nio.file.Paths.get(tmpDir, b),
+        java.nio.file.Paths.get(tmpDir, f"block-g1-$i%05d"))
+    }
+    Files.write(java.nio.file.Paths.get(tmpDir, "_commit"),
+      oldBlocks.mkString("\n").getBytes("UTF-8"))
+    GraftNative.recoverCompaction(dir)
+    assert(!Files.exists(java.nio.file.Paths.get(tmpDir)))
+    assert(blockNames(dir) == Seq("block-g1-00000"))
+    assert(spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq == before)
+    // no-marker staging = incomplete rewrite: rolled back, table intact
+    GraftNative.write(df.limit(10), tmpDir)
+    GraftNative.recoverCompaction(dir)
+    assert(!Files.exists(java.nio.file.Paths.get(tmpDir)))
+    assert(spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq == before)
+  }
+
+  test("blocks option restricts the scan to the named block dirs") {
+    val dir = tmp()
+    GraftNative.write(Seq((1L, "a")).toDF("id", "s").repartition(1), dir)
+    GraftNative.append(Seq((2L, "b")).toDF("id", "s").repartition(1), dir, tag = "b1-")
+    val all = blockNames(dir)
+    assert(all.size == 2)
+    val only = spark.read.format("graft-native")
+      .option("blocks", all.head).load(dir)
+    assert(only.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }

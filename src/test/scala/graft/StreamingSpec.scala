@@ -202,6 +202,28 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
+    // PARTIAL-FAILURE replay: batch 9's first attempt wrote its blocks
+    // over many partitions but crashed before the high-water mark; the
+    // replay plans FEWER partitions. The replay must fully supersede
+    // the failed attempt (no orphan higher-pid blocks → no dup rows).
+    Ingest.appendNativeIdempotent(dir, spark.createDataFrame(Seq(
+        ev(4, "2024-01-04 10:00:04", "click", 4.0),
+        ev(5, "2024-01-04 10:00:05", "view", 5.0),
+        ev(6, "2024-01-04 10:00:06", "click", 6.0),
+        ev(7, "2024-01-04 10:00:07", "view", 7.0))).repartition(4),
+      batchId = 9L)
+    // simulate the crash: roll the mark back to before batch 9
+    Files.writeString(java.nio.file.Paths.get(dir, "_last_stream_batch"), "7")
+    Ingest.appendNativeIdempotent(dir, spark.createDataFrame(Seq(
+        ev(4, "2024-01-04 10:00:04", "click", 4.0),
+        ev(5, "2024-01-04 10:00:05", "view", 5.0),
+        ev(6, "2024-01-04 10:00:06", "click", 6.0),
+        ev(7, "2024-01-04 10:00:07", "view", 7.0))).repartition(1),
+      batchId = 9L)
+    val afterReplay = spark.read.format("graft-native").load(dir)
+    assert(afterReplay.count() == 7, "replay must supersede the failed attempt")
+    assert(afterReplay.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 7L))
   }
 
   test("streaming EWMA equals the batch fold when the stream replays in order") {

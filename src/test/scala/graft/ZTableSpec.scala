@@ -232,6 +232,40 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 5)
   }
 
+  test("merge crash recovery: committed staging rolls forward, partial rolls back") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), "B", 2.0)).toDF("id", "ts", "sym", "v"))
+    val before = t.df.orderBy("id").collect().toSeq
+    // roll-FORWARD case: crash landed between "delete old partition"
+    // and "move staging in" — the staging dir holds the complete new
+    // partition (with its _SUCCESS commit marker), the target is gone
+    val part = Paths.get(path, "p_date=2024-01-01")
+    val staged = Paths.get(path, "p_date=2024-01-01.merging")
+    Files.move(part, staged) // staged content == complete partition
+    // the real staging write (.write.parquet(tmp)) leaves _SUCCESS in
+    // the staging dir; a dynamic-partition append only marks the root,
+    // so recreate the marker for the simulation
+    if (!Files.exists(staged.resolve("_SUCCESS")))
+      Files.createFile(staged.resolve("_SUCCESS"))
+    t.merge(Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert(!Files.exists(staged) && Files.exists(part))
+    assert(t.df.orderBy("id").collect().toSeq == before)
+    // roll-BACK case: a partial staging dir (no _SUCCESS) next to an
+    // intact target is discarded
+    val junk = Paths.get(path, "p_date=2024-01-02.merging")
+    Files.createDirectories(junk)
+    Files.writeString(junk.resolve("part-junk.parquet"), "not parquet")
+    t.merge(Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert(!Files.exists(junk))
+    assert(t.df.orderBy("id").collect().toSeq == before)
+  }
+
   test("merge into an empty table inserts everything; empty delta is a no-op") {
     import org.apache.spark.sql.functions._
     val path = tmp()
