@@ -158,6 +158,62 @@ object Scalar {
       |  CAST(SUM(CAST(CAST(CAST(value AS FLOAT) AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** S6c: FULL-WIDTH native roundtrip — every storage width of the
+    * reference's type system in one table (ref src/schema.rs:4-20,
+    * src/table/read.rs:25-32): i8/u8/i16/u16/i32/u32/i64, a u64 column
+    * with values above 2^31, f32/f64, 1-byte (sym8) / 2-byte (sym16) /
+    * 4-byte (str) dictionary codes, and a 2-byte MINUTE-RESOLUTION
+    * compressed timestamp (ts2@60e9: unsigned minute deltas against the
+    * 8-byte per-block min — ref src/schema.rs:141-166,
+    * src/table/write.rs:114-120). Row-level hash gate: every value must
+    * survive the narrow encodings bitwise; DuckDB recomputes the same
+    * derivations from the raw events table. */
+  def nativeFullWidth(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fullw_q_")
+      .toString + "/t"
+    val minuteNs = 60000000000L
+    val src = Tables.eventsRawTs(spark, dir).select(
+      col("event_id"),
+      (expr(s"ts div ${minuteNs}L") * minuteNs).as("ts_m"),
+      (col("user_id") % 100).cast("byte").as("i8_v"),
+      (col("user_id") % 200).cast("short").as("u8_v"),
+      ((col("user_id") * 7) % 20000).cast("short").as("i16_v"),
+      (col("user_id") % 60000).cast("int").as("u16_v"),
+      col("user_id").cast("int").as("i32_v"),
+      ((col("user_id") * 1009L) % 4000000000L).as("u32_v"),
+      (col("user_id") * 2147483648L + col("event_id")).as("u64_v"),
+      col("value").cast("float").as("f32_v"),
+      col("value").as("f64_v"),
+      col("event_type").as("sym8_v"),
+      concat(col("event_type"), lit("-"),
+        (col("user_id") % 300).cast("string")).as("sym16_v"),
+      concat(col("event_type"), lit("#"),
+        (col("user_id") % 5000).cast("string")).as("str_v"))
+    graft.sources.GraftNative.write(src, tmp, Map(
+      "ts_m" -> s"ts2@$minuteNs",
+      "i8_v" -> "i8", "u8_v" -> "u8", "i16_v" -> "i16", "u16_v" -> "u16",
+      "u32_v" -> "u32", "u64_v" -> "u64",
+      "sym8_v" -> "sym8", "sym16_v" -> "sym16"))
+    spark.read.format("graft-native").load(tmp).orderBy("event_id")
+  }
+
+  val nativeFullWidthSql: String =
+    """SELECT event_id,
+      |  epoch_ns(date_trunc('minute', ts)) AS ts_m,
+      |  CAST(user_id % 100 AS TINYINT) AS i8_v,
+      |  CAST(user_id % 200 AS SMALLINT) AS u8_v,
+      |  CAST((user_id * 7) % 20000 AS SMALLINT) AS i16_v,
+      |  CAST(user_id % 60000 AS INTEGER) AS u16_v,
+      |  CAST(user_id AS INTEGER) AS i32_v,
+      |  CAST((user_id * 1009) % 4000000000 AS BIGINT) AS u32_v,
+      |  CAST(user_id * 2147483648 + event_id AS BIGINT) AS u64_v,
+      |  CAST(value AS FLOAT) AS f32_v,
+      |  value AS f64_v,
+      |  event_type AS sym8_v,
+      |  event_type || '-' || CAST(user_id % 300 AS VARCHAR) AS sym16_v,
+      |  event_type || '#' || CAST(user_id % 5000 AS VARCHAR) AS str_v
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** C2b: first/last-ts + row count answered from the graft-native
     * STATS SIDECARS alone — the reference's "meta answers first/last
     * ts" (ref src/table/meta.rs) made literal through DSv2 aggregate

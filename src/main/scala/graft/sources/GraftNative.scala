@@ -45,23 +45,75 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftNative {
   private[sources] val MetaFile = "_graft_meta.json"
 
+  /** Default native code for a Spark type (write path without an
+    * explicit native-type override). */
   private[sources] def typeOf(dt: DataType): String = dt match {
     case LongType => "i64"
     case DoubleType => "f64"
     case IntegerType => "i32"
     case FloatType => "f32"
+    case ShortType => "i16"
+    case ByteType => "i8"
     case StringType => "str"
     case other => throw new IllegalArgumentException(
-      s"graft-native supports i64/f64/i32/f32/str, got $other")
+      s"graft-native supports integral/float/string columns, got $other")
   }
 
-  /** Bytes per stored value — the reference's fixed-width files
-    * (4-byte i32/f32 mirror its I32/F32 storage widths, str is a
-    * 4-byte dictionary code). */
-  private[sources] def widthOf(dt: DataType): Int = dt match {
-    case LongType | DoubleType => 8
-    case IntegerType | FloatType | StringType => 4
-    case other => throw new IllegalStateException(s"unsupported $other")
+  /** The reference's FULL width set (ref `src/schema.rs:4-20` for
+    * I8..U64/F32/F64, `src/table/read.rs:25-32` for Symbol8/16/32,
+    * `src/schema.rs:141-166` + `src/table/write.rs:114-120` for
+    * resolution-compressed timestamps):
+    *
+    *  - `i8 u8 i16 u16 i32 u32 i64 u64` — fixed-width LE integers;
+    *    unsigned widths widen by one Spark type (u8→short, u16→int,
+    *    u32→long); u64 reads as long, values above 2^63-1 unsupported
+    *    (documented SURVEY §1.2 choice).
+    *  - `f32 f64` — IEEE floats.
+    *  - `sym8 sym16 str` — dictionary codes of 1/2/4 bytes + the
+    *    line-per-symbol `.dict` sidecar (`str` keeps its historical
+    *    name; it IS the reference's Symbol32).
+    *  - `ts<W>@<R>` — timestamp compressed to W∈{1,2,4,8}-byte UNSIGNED
+    *    deltas against an 8-byte little-endian per-block min header, at
+    *    resolution R nanos (the reference stores deltas vs the
+    *    partition min at the column resolution; our block is its
+    *    partition). Values must sit on the R grid — floor upstream
+    *    (ZTable.floorResolution is that knob). Reads as i64 nanos.
+    */
+  private val TsRe = "ts([1248])@([0-9]+)".r
+
+  private[sources] def sparkOf(native: String): DataType = native match {
+    case "i8" => ByteType
+    case "u8" | "i16" => ShortType
+    case "u16" | "i32" => IntegerType
+    case "u32" | "i64" | "u64" => LongType
+    case "f32" => FloatType
+    case "f64" => DoubleType
+    case "str" | "sym8" | "sym16" => StringType
+    case TsRe(_, _) => LongType
+    case other =>
+      throw new IllegalArgumentException(s"unknown graft-native type '$other'")
+  }
+
+  /** Bytes per stored value of a native code. */
+  private[sources] def widthOfNative(native: String): Int = native match {
+    case "i8" | "u8" | "sym8" => 1
+    case "i16" | "u16" | "sym16" => 2
+    case "i32" | "u32" | "f32" | "str" => 4
+    case "i64" | "u64" | "f64" => 8
+    case TsRe(w, _) => w.toInt
+    case other =>
+      throw new IllegalArgumentException(s"unknown graft-native type '$other'")
+  }
+
+  /** Column-file header bytes (ts compression stores the block min). */
+  private[sources] def headerOfNative(native: String): Int = native match {
+    case TsRe(_, _) => 8
+    case _ => 0
+  }
+
+  private[sources] def tsParams(native: String): (Int, Long) = native match {
+    case TsRe(w, r) => (w.toInt, r.toLong)
+    case other => throw new IllegalStateException(s"not a ts type: $other")
   }
 
   /** List a dir's entries, CLOSING the NIO stream (Files.list leaks a
@@ -72,28 +124,30 @@ object GraftNative {
     try s.iterator().asScala.toVector finally s.close()
   }
 
-  private[sources] def schemaOf(dir: String): StructType = {
+  /** (name, native code) pairs in meta order. */
+  private[sources] def nativesOf(dir: String): Array[(String, String)] = {
     val json = new String(Files.readAllBytes(Paths.get(dir, MetaFile)),
       StandardCharsets.UTF_8)
-    val fields = """\{"name":"([^"]+)","type":"(i64|f64|i32|f32|str)"\}""".r
-      .findAllMatchIn(json).map { m =>
-        val dt = m.group(2) match {
-          case "i64" => LongType
-          case "f64" => DoubleType
-          case "i32" => IntegerType
-          case "f32" => FloatType
-          case "str" => StringType
-        }
-        StructField(m.group(1), dt, nullable = false)
-      }.toArray
-    StructType(fields)
+    """\{"name":"([^"]+)","type":"([a-z0-9@]+)"\}""".r
+      .findAllMatchIn(json).map(m => (m.group(1), m.group(2))).toArray
   }
+
+  private[sources] def schemaOf(dir: String): StructType =
+    StructType(nativesOf(dir).map { case (name, native) =>
+      StructField(name, sparkOf(native), nullable = false)
+    })
 
   /** Distributed fixture/ingest writer: one `block-<partition>` dir per
     * input partition (executors share the filesystem on local[*]; on a
     * cluster this would target a DFS path via the Hadoop FS API). */
-  def write(df: DataFrame, dir: String): Unit = {
-    writeMeta(df.schema, dir)
+  def write(df: DataFrame, dir: String): Unit = write(df, dir, Map.empty)
+
+  /** Write with explicit native types for some columns (e.g.
+    * `"volume" -> "u64"`, `"sym" -> "sym8"`, `"ts" -> "ts2@60000000000"`);
+    * unlisted columns use the Spark-type default. Each override's
+    * widened Spark type must equal the DataFrame column's type. */
+  def write(df: DataFrame, dir: String, nativeTypes: Map[String, String]): Unit = {
+    writeMeta(df.schema, dir, nativeTypes)
     appendBlocks(df, dir, tag = "")
   }
 
@@ -110,18 +164,41 @@ object GraftNative {
     appendBlocks(df, dir, tag)
   }
 
-  private def writeMeta(schema: StructType, dir: String): Unit = {
-    schema.fields.foreach(f => typeOf(f.dataType)) // validate early
+  private def writeMeta(schema: StructType, dir: String,
+      nativeTypes: Map[String, String] = Map.empty): Unit = {
+    nativeTypes.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"native-type override for unknown column '$k'"))
+    val natives = schema.fields.map { f =>
+      val native = nativeTypes.getOrElse(f.name, typeOf(f.dataType))
+      require(sparkOf(native) == f.dataType,
+        s"column '${f.name}': native type $native widens to ${sparkOf(native)}, " +
+          s"but the DataFrame column is ${f.dataType}")
+      f.name -> native
+    }
     Files.createDirectories(Paths.get(dir))
-    val meta = schema.fields
-      .map(f => s"""{"name":"${f.name}","type":"${typeOf(f.dataType)}"}""")
+    val meta = natives
+      .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
       .mkString("""{"cols":[""", ",", "]}")
     Files.write(Paths.get(dir, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Integral (and compressed-ts) natives read back to a Long for
+    * stats; floats and symbols are handled separately. */
+  private def longGetter(native: String): Option[(Row, Int) => Long] = native match {
+    case "i8" => Some((r, i) => r.getByte(i).toLong)
+    case "u8" | "i16" => Some((r, i) => r.getShort(i).toLong)
+    case "u16" | "i32" => Some((r, i) => r.getInt(i).toLong)
+    case "u32" | "i64" | "u64" => Some((r, i) => r.getLong(i))
+    case TsRe(_, _) => Some((r, i) => r.getLong(i))
+    case _ => None
+  }
+
   private def appendBlocks(df: DataFrame, dir: String, tag: String): Unit = {
     val schema = df.schema
-    val fields = schema.fields.map(f => (f.name, typeOf(f.dataType)))
+    // encode per the TABLE's declared native types (meta order may use
+    // narrow widths the Spark schema can't express)
+    val nativeByName = nativesOf(dir).toMap
+    val fields = schema.fields.map(f => (f.name, nativeByName(f.name)))
     df.rdd.mapPartitionsWithIndex { case (pid, rows) =>
       val block = Paths.get(dir, f"block-$tag$pid%05d")
       val data = rows.toArray
@@ -133,20 +210,19 @@ object GraftNative {
           writeColumn(block, name, typ, data, i)
         }
         // per-block numeric min/max sidecar — the reference's partition
-        // metadata (ref src/table/meta.rs), used for block skipping
-        val stats = fields.zipWithIndex.collect {
-          case ((name, "i64"), i) =>
-            val vs = data.map(_.getLong(i))
-            s""""$name":[${vs.min},${vs.max}]"""
+        // metadata (ref src/table/meta.rs), used for block skipping;
+        // ts-compressed columns record their RECONSTRUCTED nanos bounds
+        val stats = fields.zipWithIndex.flatMap {
           case ((name, "f64"), i) =>
             val vs = data.map(_.getDouble(i))
-            s""""$name":[${vs.min},${vs.max}]"""
-          case ((name, "i32"), i) =>
-            val vs = data.map(_.getInt(i))
-            s""""$name":[${vs.min},${vs.max}]"""
+            Some(s""""$name":[${vs.min},${vs.max}]""")
           case ((name, "f32"), i) =>
             val vs = data.map(_.getFloat(i))
+            Some(s""""$name":[${vs.min},${vs.max}]""")
+          case ((name, native), i) => longGetter(native).map { g =>
+            val vs = data.map(g(_, i))
             s""""$name":[${vs.min},${vs.max}]"""
+          }
         }
         Files.write(block.resolve("_stats.json"),
           (stats :+ s""""__rows":[${data.length},${data.length}]""")
@@ -277,6 +353,15 @@ object GraftNative {
       val bb = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach(r => bb.putLong(r.getLong(i)))
       Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "u64" =>
+      val bb = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        val v = r.getLong(i)
+        require(v >= 0L, s"u64 column $name: value $v out of the " +
+          "supported [0, 2^63-1] range (SURVEY §1.2: u64 reads as long)")
+        bb.putLong(v)
+      }
+      Files.write(block.resolve(s"$name.bin"), bb.array())
     case "f64" =>
       val bb = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach(r => bb.putDouble(r.getDouble(i)))
@@ -285,22 +370,83 @@ object GraftNative {
       val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach(r => bb.putInt(r.getInt(i)))
       Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "u32" =>
+      val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        val v = r.getLong(i)
+        require(v >= 0L && v <= 0xFFFFFFFFL, s"u32 column $name: $v out of range")
+        bb.putInt(v.toInt)
+      }
+      Files.write(block.resolve(s"$name.bin"), bb.array())
     case "f32" =>
       val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach(r => bb.putFloat(r.getFloat(i)))
       Files.write(block.resolve(s"$name.bin"), bb.array())
-    case "str" =>
+    case "i16" =>
+      val bb = ByteBuffer.allocate(rows.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach(r => bb.putShort(r.getShort(i)))
+      Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "u16" =>
+      val bb = ByteBuffer.allocate(rows.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        val v = r.getInt(i)
+        require(v >= 0 && v <= 0xFFFF, s"u16 column $name: $v out of range")
+        bb.putShort(v.toShort)
+      }
+      Files.write(block.resolve(s"$name.bin"), bb.array())
+    case "i8" =>
+      Files.write(block.resolve(s"$name.bin"), rows.map(_.getByte(i)))
+    case "u8" =>
+      Files.write(block.resolve(s"$name.bin"), rows.map { r =>
+        val v = r.getShort(i)
+        require(v >= 0 && v <= 0xFF, s"u8 column $name: $v out of range")
+        v.toByte
+      })
+    case "str" | "sym8" | "sym16" =>
+      val width = widthOfNative(typ)
+      val maxSyms = 1L << (width * 8)
       val dict = mutable.LinkedHashMap.empty[String, Int]
-      val bb = ByteBuffer.allocate(rows.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(rows.length * width).order(ByteOrder.LITTLE_ENDIAN)
       rows.foreach { r =>
         val s = r.getString(i)
         require(s.indexOf('\n') < 0, // dict sidecar is line-per-symbol (ref scheme)
           s"graft-native str values must not contain newlines: column $name")
-        bb.putInt(dict.getOrElseUpdate(s, dict.size))
+        val code = dict.getOrElseUpdate(s, dict.size)
+        require(dict.size <= maxSyms,
+          s"$typ column $name: more than $maxSyms distinct symbols")
+        width match {
+          case 1 => bb.put(code.toByte)
+          case 2 => bb.putShort(code.toShort)
+          case _ => bb.putInt(code)
+        }
       }
       Files.write(block.resolve(s"$name.bin"), bb.array())
       Files.write(block.resolve(s"$name.dict"),
         dict.keys.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    case TsRe(_, _) =>
+      val (width, res) = tsParams(typ)
+      val vs = rows.map(_.getLong(i))
+      val min = vs.min
+      val bb = ByteBuffer.allocate(8 + rows.length * width)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(min)
+      val maxDelta = if (width == 8) Long.MaxValue else (1L << (width * 8)) - 1
+      vs.foreach { v =>
+        val off = v - min
+        require(off % res == 0, s"ts column $name: $v is off the " +
+          s"$res-nanos resolution grid relative to block min $min — " +
+          "floor timestamps to the resolution before writing")
+        val delta = off / res
+        require(delta >= 0 && delta <= maxDelta,
+          s"ts column $name: delta $delta exceeds $width-byte width")
+        width match {
+          case 1 => bb.put(delta.toByte)
+          case 2 => bb.putShort(delta.toShort)
+          case 4 => bb.putInt(delta.toInt)
+          case _ => bb.putLong(delta)
+        }
+      }
+      Files.write(block.resolve(s"$name.bin"), bb.array())
   }
 }
 
@@ -363,7 +509,8 @@ class GraftNativeScanBuilder(dir: String, full: StructType,
         case f: NamedReference if f.fieldNames.length == 1 =>
           full.fields.find(x => x.name == f.fieldNames.head &&
             (x.dataType == LongType || x.dataType == DoubleType ||
-             x.dataType == IntegerType || x.dataType == FloatType))
+             x.dataType == IntegerType || x.dataType == FloatType ||
+             x.dataType == ShortType || x.dataType == ByteType))
         case _ => None
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -509,6 +656,8 @@ class GraftNativeAggReaderFactory(specs: Seq[GraftNativeAgg])
               a.dt match {
                 case LongType => b.longValueExact(): Any
                 case IntegerType => b.intValueExact(): Any
+                case ShortType => b.shortValueExact(): Any
+                case ByteType => b.byteValueExact(): Any
                 case FloatType => b.floatValue(): Any
                 case _ => b.doubleValue(): Any
               }
@@ -565,6 +714,14 @@ class GraftNativeColumnarReader(block: String, required: StructType)
     def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
       vec.putFloats(0, n, vs, start)
   }
+  private final class ShortCol(vs: Array[Short]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putShorts(0, n, vs, start)
+  }
+  private final class ByteCol(vs: Array[Byte]) extends Col {
+    def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit =
+      vec.putBytes(0, n, vs, start)
+  }
   private final class DictCol(codes: Array[Int], dict: Array[Array[Byte]]) extends Col {
     def fill(vec: OnHeapColumnVector, start: Int, n: Int): Unit = {
       var i = 0
@@ -572,40 +729,74 @@ class GraftNativeColumnarReader(block: String, required: StructType)
     }
   }
 
+  private val natives: Map[String, String] =
+    GraftNative.nativesOf(Paths.get(block).getParent.toString).toMap
+
   private val cols: Array[Col] = required.fields.map { f =>
+    val native = natives(f.name)
     val bytes = Files.readAllBytes(Paths.get(block, s"${f.name}.bin"))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    f.dataType match {
-      case LongType =>
-        val vs = new Array[Long](bytes.length / 8)
+    def n = (bytes.length - GraftNative.headerOfNative(native)) /
+      GraftNative.widthOfNative(native)
+    native match {
+      case "i64" | "u64" =>
+        val vs = new Array[Long](n)
         bb.asLongBuffer().get(vs)
         new LongCol(vs)
-      case DoubleType =>
-        val vs = new Array[Double](bytes.length / 8)
+      case "f64" =>
+        val vs = new Array[Double](n)
         bb.asDoubleBuffer().get(vs)
         new DoubleCol(vs)
-      case IntegerType =>
-        val vs = new Array[Int](bytes.length / 4)
+      case "i32" =>
+        val vs = new Array[Int](n)
         bb.asIntBuffer().get(vs)
         new IntCol(vs)
-      case FloatType =>
-        val vs = new Array[Float](bytes.length / 4)
+      case "u32" =>
+        new LongCol(Array.tabulate(n)(i => bb.getInt(i * 4) & 0xFFFFFFFFL))
+      case "f32" =>
+        val vs = new Array[Float](n)
         bb.asFloatBuffer().get(vs)
         new FloatCol(vs)
-      case StringType =>
-        val codes = new Array[Int](bytes.length / 4)
-        bb.asIntBuffer().get(codes)
+      case "i16" =>
+        val vs = new Array[Short](n)
+        bb.asShortBuffer().get(vs)
+        new ShortCol(vs)
+      case "u16" =>
+        new IntCol(Array.tabulate(n)(i => bb.getShort(i * 2) & 0xFFFF))
+      case "i8" => new ByteCol(bytes)
+      case "u8" =>
+        new ShortCol(Array.tabulate(n)(i => (bytes(i) & 0xFF).toShort))
+      case "str" | "sym8" | "sym16" =>
+        val codes = GraftNative.widthOfNative(native) match {
+          case 1 => Array.tabulate(n)(i => bytes(i) & 0xFF)
+          case 2 => Array.tabulate(n)(i => bb.getShort(i * 2) & 0xFFFF)
+          case _ =>
+            val cs = new Array[Int](n)
+            bb.asIntBuffer().get(cs)
+            cs
+        }
         val dict = new String(Files.readAllBytes(Paths.get(block, s"${f.name}.dict")),
           StandardCharsets.UTF_8).split("\n", -1)
           .map(_.getBytes(StandardCharsets.UTF_8))
         new DictCol(codes, dict)
-      case other => throw new IllegalStateException(s"unsupported $other")
+      case ts =>
+        val (width, res) = GraftNative.tsParams(ts)
+        val min = bb.getLong(0)
+        def delta(i: Int): Long = width match {
+          case 1 => bytes(8 + i) & 0xFFL
+          case 2 => (bb.getShort(8 + i * 2) & 0xFFFF).toLong
+          case 4 => bb.getInt(8 + i * 4) & 0xFFFFFFFFL
+          case _ => bb.getLong(8 + i * 8)
+        }
+        new LongCol(Array.tabulate(n)(i => min + delta(i) * res))
     }
   }
   private val nRows: Int = {
     val f = required.fields.head
-    (Files.size(Paths.get(block, s"${f.name}.bin")) /
-      GraftNative.widthOf(f.dataType)).toInt
+    val native = natives(f.name)
+    ((Files.size(Paths.get(block, s"${f.name}.bin")) -
+      GraftNative.headerOfNative(native)) /
+      GraftNative.widthOfNative(native)).toInt
   }
   private val vecs: Array[OnHeapColumnVector] =
     required.fields.map(f => new OnHeapColumnVector(BatchRows, f.dataType))
@@ -634,41 +825,51 @@ class GraftNativeColumnarReader(block: String, required: StructType)
   * pruning is literal (untouched columns cost zero I/O). */
 class GraftNativeReader(block: String, required: StructType)
     extends PartitionReader[InternalRow] {
+  private val natives: Map[String, String] =
+    GraftNative.nativesOf(Paths.get(block).getParent.toString).toMap
+
   private val cols: Array[Int => Any] = required.fields.map { f =>
-    f.dataType match {
-      case LongType =>
-        val bb = ByteBuffer.wrap(Files.readAllBytes(
-          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
-        (i: Int) => bb.getLong(i * 8)
-      case DoubleType =>
-        val bb = ByteBuffer.wrap(Files.readAllBytes(
-          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
-        (i: Int) => bb.getDouble(i * 8)
-      case IntegerType =>
-        val bb = ByteBuffer.wrap(Files.readAllBytes(
-          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
-        (i: Int) => bb.getInt(i * 4)
-      case FloatType =>
-        val bb = ByteBuffer.wrap(Files.readAllBytes(
-          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
-        (i: Int) => bb.getFloat(i * 4)
-      case StringType =>
-        val bb = ByteBuffer.wrap(Files.readAllBytes(
-          Paths.get(block, s"${f.name}.bin"))).order(ByteOrder.LITTLE_ENDIAN)
+    val native = natives(f.name)
+    val bytes = Files.readAllBytes(Paths.get(block, s"${f.name}.bin"))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    native match {
+      case "i64" | "u64" => (i: Int) => bb.getLong(i * 8)
+      case "f64" => (i: Int) => bb.getDouble(i * 8)
+      case "i32" => (i: Int) => bb.getInt(i * 4)
+      case "u32" => (i: Int) => bb.getInt(i * 4) & 0xFFFFFFFFL
+      case "f32" => (i: Int) => bb.getFloat(i * 4)
+      case "i16" => (i: Int) => bb.getShort(i * 2)
+      case "u16" => (i: Int) => bb.getShort(i * 2) & 0xFFFF
+      case "i8" => (i: Int) => bytes(i)
+      case "u8" => (i: Int) => (bytes(i) & 0xFF).toShort
+      case "str" | "sym8" | "sym16" =>
         val dict = new String(Files.readAllBytes(Paths.get(block, s"${f.name}.dict")),
           StandardCharsets.UTF_8).split("\n", -1).map(UTF8String.fromString)
-        (i: Int) => dict(bb.getInt(i * 4))
-      case other => throw new IllegalStateException(s"unsupported $other")
+        GraftNative.widthOfNative(native) match {
+          case 1 => (i: Int) => dict(bytes(i) & 0xFF)
+          case 2 => (i: Int) => dict(bb.getShort(i * 2) & 0xFFFF)
+          case _ => (i: Int) => dict(bb.getInt(i * 4))
+        }
+      case ts =>
+        val (width, res) = GraftNative.tsParams(ts)
+        val min = bb.getLong(0)
+        width match {
+          case 1 => (i: Int) => min + (bytes(8 + i) & 0xFFL) * res
+          case 2 => (i: Int) => min + (bb.getShort(8 + i * 2) & 0xFFFF).toLong * res
+          case 4 => (i: Int) => min + (bb.getInt(8 + i * 4) & 0xFFFFFFFFL) * res
+          case _ => (i: Int) => min + bb.getLong(8 + i * 8) * res
+        }
     }
   }
   private val nRows: Long = {
     // row count from any present column file's width; a pruned-to-zero
     // projection (count(*)) falls back to the first meta column
-    val fields =
-      if (required.fields.nonEmpty) required.fields
-      else GraftNative.schemaOf(Paths.get(block).getParent.toString).fields.take(1)
-    val f = fields.head
-    Files.size(Paths.get(block, s"${f.name}.bin")) / GraftNative.widthOf(f.dataType)
+    val name =
+      if (required.fields.nonEmpty) required.fields.head.name
+      else GraftNative.nativesOf(Paths.get(block).getParent.toString).head._1
+    val native = natives(name)
+    (Files.size(Paths.get(block, s"$name.bin")) -
+      GraftNative.headerOfNative(native)) / GraftNative.widthOfNative(native)
   }
   private var row = -1
   override def next(): Boolean = { row += 1; row < nRows }

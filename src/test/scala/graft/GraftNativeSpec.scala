@@ -264,6 +264,53 @@ class GraftNativeSpec extends SparkSpec {
       .orderBy("id").collect().toSeq == before)
   }
 
+  test("full reference width set roundtrips bitwise (i8..u64, sym8/16, ts2)") {
+    val dir = tmp()
+    val minuteNs = 60000000000L
+    val rows = Seq(
+      (1L, 0L * minuteNs, 127.toByte, 255.toShort, (-30000).toShort, 65535, -5, 4294967295L, (1L << 40) + 7L, 1.5f, 2.5, "A", "AB", "ABC"),
+      (2L, 43199L * minuteNs, (-128).toByte, 0.toShort, 30000.toShort, 0, 5, 0L, 0L, -1.5f, -2.5, "B", "CD", "DEF"),
+      (3L, 7L * minuteNs, 0.toByte, 128.toShort, 0.toShort, 32768, 0, 2147483648L, Long.MaxValue, 0f, 0.0, "A", "AB", "GHI"))
+      .toDF("id", "ts", "i8v", "u8v", "i16v", "u16v", "i32v", "u32v", "u64v",
+        "f32v", "f64v", "s8", "s16", "s32")
+    GraftNative.write(rows.repartition(2), dir, Map(
+      "ts" -> s"ts2@$minuteNs", "i8v" -> "i8", "u8v" -> "u8",
+      "i16v" -> "i16", "u16v" -> "u16", "u32v" -> "u32", "u64v" -> "u64",
+      "s8" -> "sym8", "s16" -> "sym16"))
+    val back = spark.read.format("graft-native").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      ("id", "bigint"), ("ts", "bigint"), ("i8v", "tinyint"),
+      ("u8v", "smallint"), ("i16v", "smallint"), ("u16v", "int"),
+      ("i32v", "int"), ("u32v", "bigint"), ("u64v", "bigint"),
+      ("f32v", "float"), ("f64v", "double"), ("s8", "string"),
+      ("s16", "string"), ("s32", "string")))
+    assert(back.orderBy("id").collect().toSeq ==
+      rows.orderBy("id").collect().toSeq)
+    // narrow files really are narrow: 3 rows over 2 blocks, i8 = 1 B/row
+    val binBytes = blockNames(dir).map(b =>
+      Files.size(java.nio.file.Paths.get(dir, b, "i8v.bin"))).sum
+    assert(binBytes == 3)
+    // ts2: 8-byte min header + 2 bytes per row
+    val tsBytes = blockNames(dir).map(b =>
+      Files.size(java.nio.file.Paths.get(dir, b, "ts.bin"))).sum
+    assert(tsBytes == 2 * 8 + 3 * 2)
+    // block skipping still works through the widened types
+    val skinny = spark.read.format("graft-native").load(dir)
+      .where(col("u64v") > (1L << 41)).select("id")
+    assert(skinny.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // out-of-range and off-grid writes are rejected loudly
+    intercept[org.apache.spark.SparkException] {
+      GraftNative.write(Seq((1L, 300.toShort)).toDF("id", "u8v"),
+        tmp(), Map("u8v" -> "u8"))
+    }
+    intercept[org.apache.spark.SparkException] {
+      // off the minute grid RELATIVE to the block min (0)
+      GraftNative.write(
+        Seq((1L, 0L), (2L, minuteNs + 1L)).toDF("id", "ts").repartition(1),
+        tmp(), Map("ts" -> s"ts2@$minuteNs"))
+    }
+  }
+
   test("blocks option restricts the scan to the named block dirs") {
     val dir = tmp()
     GraftNative.write(Seq((1L, "a")).toDF("id", "s").repartition(1), dir)

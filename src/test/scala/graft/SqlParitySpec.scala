@@ -42,7 +42,9 @@ class SqlParitySpec extends SparkSpec {
     // round-3 gates: list_cosine_similarity/DOUBLE[] (sim2/sim3),
     // len-of-regexp-list (t9); the other new TRUE-flag gates (a11, d3,
     // t6, f4, sim7) are ANSI and stay in
-    "sim2_lsh_ann", "sim3_ivf_ann", "t9_bpe_encode")
+    "sim2_lsh_ann", "sim3_ivf_ann", "t9_bpe_encode",
+    // s6c: epoch_ns + TINYINT literals
+    "s6c_native_fullwidth")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
