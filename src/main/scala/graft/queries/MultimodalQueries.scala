@@ -2,18 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.sources.Multimodal
 
-/** Multimodal-column queries (north star), oracle-gated end to end. The
-  * payloads are deterministic fakes (utf-8 text bytes — this container
-  * has no codecs; see Multimodal's scaladoc), which is exactly what
-  * makes a DuckDB oracle possible: every Spark mechanic in the path is
-  * real — binary columns, struct metadata, typed Datasets, per-partition
-  * mapPartitions feature extraction — while the "decode" is derivable
-  * from the source text in SQL.
+/** Multimodal-column queries (north star), oracle-gated end to end.
+  * m1/m3 run on deterministic text-byte payloads (binary-column
+  * mechanics: fingerprints, dedup — no codec involved); m2 runs REAL
+  * codecs (JDK PNG/BMP/WAV) over generated media whose pixel/sample
+  * values follow closed forms the DuckDB oracle recomputes symbolically
+  * — see Multimodal's scaladoc for the two tiers.
   */
 object MultimodalQueries {
 
@@ -44,18 +42,16 @@ object MultimodalQueries {
       |  n_chars * 10 AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** M2: the per-partition feature-extraction path (mapPartitions,
-    * decoder-per-partition shape). f0 = first byte-histogram bin. The
-    * docs corpus is pure ASCII (byte == codepoint), so the oracle can
-    * recompute the bin by counting chars with ord % 16 == 0 — among
-    * the printable ASCII set those are exactly [ 0@P`p]. Both sides
-    * divide in FLOAT (REAL cast in DuckDB), so the quotient is
-    * bit-identical with no rounding at all. */
+  /** M2: REAL decode through the per-partition pipeline — PNG and BMP
+    * payloads decoded with javax.imageio, WAV PCM with
+    * javax.sound.sampled. The generated pixels/samples follow closed
+    * forms (Multimodal.realMediaFromDocs), so DuckDB recomputes the
+    * decoded-value sums symbolically: the hash gate fails iff the
+    * encode→bytes→decode loop corrupts a single pixel or sample. All
+    * sums are exact integers — no float tolerance anywhere. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-        Multimodal.fakeMediaFromDocs(Tables.documents(spark, dir))).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        element_at(col("features"), 1).cast(DoubleType).as("f0"))
+    Multimodal.decodeFeatures(
+        Multimodal.realMediaFromDocs(Tables.documents(spark, dir))).toDF()
       .orderBy("media_id")
 
   /** M3: exact payload dedup — the binary-column twin of d1: identical
@@ -76,10 +72,17 @@ object MultimodalQueries {
 
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-      |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(CAST(len(regexp_extract_all(text, '[ 0@P`p]')) AS REAL)
-      |       / CAST(length(text) AS REAL) AS DOUBLE) AS f0
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+      |       WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+      |  CASE WHEN doc_id % 3 = 2 THEN 200 + doc_id % 100
+      |       ELSE (8 + doc_id % 16) * (8 + doc_id % 8) END AS n_units,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN
+      |    (SELECT SUM((doc_id*131 + 11*i.range) % 65536 - 32768)
+      |     FROM range(400) i WHERE i.range < 200 + doc_id % 100)
+      |  ELSE
+      |    (SELECT SUM((doc_id*31 + 7*i.range) % 256)
+      |     FROM range(400) i
+      |     WHERE i.range < (8 + doc_id % 16) * (8 + doc_id % 8))
+      |  END AS BIGINT) AS unit_sum
       |FROM documents ORDER BY media_id""".stripMargin
 }

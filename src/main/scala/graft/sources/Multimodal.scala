@@ -17,19 +17,26 @@ case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
     features: Array[Float])
 
+/** Real-decode output: unit = pixel (images) or sample (audio). */
+case class MediaDecoded(media_id: Long, kind: String, n_units: Long,
+    unit_sum: Long)
+
 /** Multimodal-column plumbing (north star): image/audio/video handled as
   * opaque `binary` columns with typed metadata, features extracted by
   * per-partition batch processing.
   *
-  * The decode step is a STUB — this container has no image/audio codecs,
-  * so `fakeDecode` derives a deterministic 16-dim byte-histogram feature
-  * instead of running a real decoder. Everything around it is the real
-  * Spark mechanics a production pipeline needs: schema shape, binary
-  * payload handling, `mapPartitions` batch iteration (one JVM-side
-  * decoder instance per partition, the same pattern a JNI/FFmpeg/JPEG
-  * decoder would use), and partition-count preservation. At 100 TB the
-  * binary column rides in Parquet as-is; decode parallelism == partition
-  * count; no shuffle is introduced.
+  * Two decode tiers live here:
+  *  - REAL decoders for the formats the JDK itself can handle —
+  *    PNG/BMP via javax.imageio and 16-bit PCM WAV via
+  *    javax.sound.sampled ([[realMediaFromDocs]]/[[decodeFeatures]],
+  *    the m2 oracle path);
+  *  - a STUB byte-histogram (`fakeDecode`) standing in for codecs the
+  *    container lacks (JPEG/video) — it keeps the exact production
+  *    shape: schema, binary payload handling, `mapPartitions` batch
+  *    iteration (one decoder instance per partition, the pattern a
+  *    JNI/FFmpeg decoder would use), partition-count preservation.
+  * At 100 TB the binary column rides in Parquet as-is; decode
+  * parallelism == partition count; no shuffle is introduced.
   */
 object Multimodal {
 
@@ -76,6 +83,107 @@ object Multimodal {
           fakeDecode(r.bytes, dim))
       }
       // and close it here (wrap iterator if the codec held resources)
+    }
+  }
+
+  // ---- REAL media: deterministic generation + real decoders ----------
+  //
+  // The container has no native codecs, but the JDK itself ships two:
+  // javax.imageio (PNG/BMP) and javax.sound.sampled (WAV PCM). Payloads
+  // are generated with CLOSED-FORM pixel/sample values — gray(i) =
+  // (id*31 + 7i) mod 256, sample(i) = (id*131 + 11i) mod 65536 - 32768 —
+  // so the DuckDB oracle can recompute the decoded-value sums from the
+  // formulas alone: the m2 hash gate fails iff the PNG/BMP/WAV encode or
+  // decode path corrupts a single pixel or sample.
+
+  /** Deterministic REAL media from doc ids: PNG and BMP images (gray
+    * ramp pixels) and 16-bit mono PCM WAV clips. */
+  def realMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 2 =>
+          val n = (200 + id % 100).toInt
+          val bytes = new Array[Byte](44 + n * 2)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          // canonical 44-byte PCM WAV header, mono 16 kHz s16le
+          bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+          bb.putInt(36 + n * 2)
+          bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+          bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+          bb.putInt(16); bb.putShort(1); bb.putShort(1)
+          bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+          bb.put("data".getBytes(StandardCharsets.US_ASCII))
+          bb.putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            bb.putShort((((id * 131 + 11L * i) % 65536) - 32768).toShort)
+            i += 1
+          }
+          MediaRow(id, "wav", bytes, MediaMeta("wav", 0, 0, 16000, n * 1000L / 16000))
+        case k =>
+          val fmt = if (k == 0) "png" else "bmp"
+          val w = (8 + id % 16).toInt
+          val h = (8 + id % 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            val g = ((id * 31 + 7L * i) % 256).toInt
+            img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          MediaRow(id, fmt, bos.toByteArray, MediaMeta(fmt, w, h, 0, 0))
+      }
+    }
+  }
+
+  /** Real decode (one decoder context per partition, streaming): images
+    * through javax.imageio, WAV through javax.sound.sampled. Emits the
+    * unit count (pixels|samples) and the EXACT integer sum of decoded
+    * values — the closed forms above make both oracle-checkable. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        r.kind match {
+          case "png" | "bmp" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.bytes))
+            require(img != null, s"media ${r.media_id}: undecodable ${r.kind}")
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xFF // gray: B == G == R
+                x += 1
+              }
+              y += 1
+            }
+            MediaDecoded(r.media_id, r.kind,
+              img.getWidth.toLong * img.getHeight, sum)
+          case "wav" =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.bytes))
+            val data = ais.readAllBytes()
+            ais.close()
+            val bb = java.nio.ByteBuffer.wrap(data)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum = 0L
+            var i = 0
+            val n = data.length / 2
+            while (i < n) { sum += bb.getShort(i * 2); i += 1 }
+            MediaDecoded(r.media_id, r.kind, n.toLong, sum)
+          case other =>
+            throw new IllegalArgumentException(s"no decoder for kind '$other'")
+        }
+      }
     }
   }
 

@@ -7,6 +7,37 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.fakeMediaFromDocs(
     Tables.documents(spark, sf001))
 
+  test("real media: PNG/BMP/WAV payloads decode back to the closed-form sums") {
+    val decoded = Multimodal.decodeFeatures(
+        Multimodal.realMediaFromDocs(Tables.documents(spark, sf001)))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(decoded.nonEmpty)
+    decoded.values.foreach { d =>
+      val id = d.media_id
+      val (n, expect) = (id % 3) match {
+        case 2 =>
+          val n = 200 + id % 100
+          (n, (0L until n).map(i => (id * 131 + 11 * i) % 65536 - 32768).sum)
+        case _ =>
+          val n = (8 + id % 16) * (8 + id % 8)
+          (n, (0L until n).map(i => (id * 31 + 7 * i) % 256).sum)
+      }
+      assert(d.n_units == n, s"media $id units")
+      assert(d.unit_sum == expect, s"media $id sum (${d.kind})")
+    }
+    // the payloads really are the binary formats they claim to be
+    val rows = Multimodal.realMediaFromDocs(Tables.documents(spark, sf001))
+      .limit(9).collect()
+    rows.foreach { r =>
+      val magicOk = r.kind match {
+        case "png" => r.bytes.take(4).sameElements(Array(0x89, 'P', 'N', 'G').map(_.toByte))
+        case "bmp" => r.bytes.take(2).sameElements("BM".getBytes)
+        case "wav" => r.bytes.take(4).sameElements("RIFF".getBytes)
+      }
+      assert(magicOk, s"media ${r.media_id} ${r.kind} magic bytes")
+    }
+  }
+
   test("fake media table has binary payloads and typed metadata") {
     val rows = media.limit(5).collect()
     assert(rows.forall(_.bytes.nonEmpty))
