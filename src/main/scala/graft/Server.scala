@@ -1,0 +1,122 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+/** S9 completed: the reference's HTTP surface (ref `src/main.rs:16-49`,
+  * `src/server/mod.rs:40-154`) as a thin JDK-httpserver shim over
+  * [[QueryRunner.run]]:
+  *
+  *   - `POST /q` — JSON request body, any QueryRunner op
+  *   - `GET /symbols/{table}/{column}` — plain JSON array of symbols
+  *     (the reference serializes the dictionary directly,
+  *     `src/server/mod.rs:111`)
+  *   - `GET /ohlcv/{table}/{from}/{to}?symbols=A,B&col=sym&price=v&...`
+  *     (`src/server/ohlcv.rs:47-65` path scheme incl. the
+  *     symbols query param)
+  *   - `GET /` — liveness hello
+  *
+  * Table names resolve against a root directory (the reference's
+  * ZDB_HOME). The shim is deliberately thin: every route lowers to one
+  * QueryRunner JSON op, so HTTP adds no second query path — and the
+  * Spark session behind it is the same long-lived one the reference's
+  * process model implies. Errors map to 400 with a JSON message, like
+  * the reference's error writes.
+  */
+class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ct: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("content-type", ct)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def runToJson(json: String): String =
+    QueryRunner.run(spark, json).toJSON.collect().mkString("[", ",", "]")
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
+  server.createContext("/", (ex: HttpExchange) =>
+    try {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("POST", "/q") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          respond(ex, 200, runToJson(body))
+        case ("GET", "/") =>
+          respond(ex, 200, "graft", "text/plain")
+        case ("GET", p) if p.startsWith("/symbols/") =>
+          p.stripPrefix("/symbols/").split("/") match {
+            case Array(tbl, column) =>
+              val df = QueryRunner.run(spark, mapper.writeValueAsString(Map(
+                "op" -> "symbols", "table" -> s"$root/$tbl", "col" -> column)))
+              respond(ex, 200,
+                df.collect().map(r => jstr(r.get(0).toString)).mkString("[", ",", "]"))
+            case _ => respond(ex, 400,
+              """{"error":"url must be in format /symbols/{table}/{column}"}""")
+          }
+        case ("GET", p) if p.startsWith("/ohlcv/") =>
+          p.stripPrefix("/ohlcv/").split("/") match {
+            case Array(tbl, from, to) =>
+              val q = queryParams(ex)
+              val req = Map("op" -> "ohlcv", "table" -> s"$root/$tbl",
+                  "from" -> from, "to" -> to) ++
+                q.get("symbols").map(s =>
+                  "symbols" -> s.split(",").map(_.trim).toSeq) ++
+                Seq("col", "price", "size", "seq", "width")
+                  .flatMap(k => q.get(k).map(k -> _))
+              respond(ex, 200, runToJson(mapper.writeValueAsString(req)))
+            case _ => respond(ex, 400,
+              """{"error":"url must be in format /ohlcv/{table}/{from}/{to}"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"Not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+    })
+
+  /** Start listening; returns the bound port (ephemeral when port=0). */
+  def start(): Int = {
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}
+
+/** CLI: `runMain graft.GraftServer <rootDir> [port]`. */
+object GraftServer {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(".")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val spark = SparkSession.builder()
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val bound = new GraftServer(spark, root, port).start()
+    println(s"graft server listening on 127.0.0.1:$bound (root=$root)")
+    Thread.currentThread.join()
+  }
+}

@@ -163,4 +163,50 @@ class QueryRunnerSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("missing string field"))
   }
+
+  test("HTTP shim serves the reference's routes over a real socket (S9)") {
+    val path = mkTable()
+    val root = java.nio.file.Paths.get(path).getParent.toString
+    val name = java.nio.file.Paths.get(path).getFileName.toString
+    val server = new GraftServer(spark, root)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode, resp.body)
+      }
+      def post(p: String, body: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port$p"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode, resp.body)
+      }
+      // liveness
+      assert(get("/")._1 == 200)
+      // GET /symbols/{table}/{column} — plain symbol array, ref scheme
+      val (sc, sb) = get(s"/symbols/$name/sym")
+      assert(sc == 200 && sb == """["A","B"]""", sb)
+      // GET /ohlcv/{table}/{from}/{to}?symbols=... (ref ohlcv.rs:47-65)
+      val (oc, ob) = get(s"/ohlcv/$name/2024-01-01%2000:00:00/" +
+        "2024-01-01%2023:59:59?symbols=A&col=sym&price=v&size=v&width=1%20hour")
+      assert(oc == 200 && ob.contains(""""open":1.0""") &&
+        ob.contains(""""close":3.0"""), ob)
+      // POST /q — full QueryRunner surface
+      val (qc, qb) = post("/q",
+        s"""{"op":"scan","table":"$path","from":"2024-01-01 10:00:00",
+           |"to":"2024-01-01 23:00:00","cols":["ts","v"]}""".stripMargin)
+      assert(qc == 200 && qb.startsWith("[{") && qb.count(_ == '{') == 3, qb)
+      // errors surface as 400 + JSON message, not dropped connections
+      val (ec, eb) = post("/q", s"""{"op":"nope","table":"$path"}""")
+      assert(ec == 400 && eb.contains("unknown op"), s"$ec $eb")
+      assert(get("/symbols/onlytable")._1 == 400)
+      assert(get("/nope")._1 == 404)
+    } finally server.stop()
+  }
 }
