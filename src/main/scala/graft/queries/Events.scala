@@ -427,4 +427,76 @@ object Events {
       |  FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
       |SELECT user_id, event_id, round(ewma, 6) AS ewma_r
       |FROM e ORDER BY user_id, rn""".stripMargin
+
+  /** SKEW3: ts1's recursive EWMA fold with every even user collapsed to
+    * user 0 — one series owns ~half the rows. The fold is O(n) state
+    * O(1) per key, so a hot series costs one long sequential chain in
+    * one task; the bench row next to ts1 keeps that visible. */
+  def ewmaValueHot(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewma(
+      Tables.events(spark, dir)
+        .where(col("user_id") < 40)
+        .withColumn("user_id",
+          when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      valCol = "value", alpha = 0.25)
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma_r"))
+      .orderBy("user_id", "ts", "event_id")
+
+  val ewmaValueHotSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+      |    event_id, value,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END
+      |      ORDER BY ts, event_id) AS BIGINT) AS rn
+      |  FROM events WHERE user_id < 40),
+      |e AS (
+      |  SELECT user_id, event_id, value, rn, value AS ewma FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.event_id, s.value, s.rn,
+      |         0.25 * s.value + 0.75 * e.ewma
+      |  FROM s JOIN e ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+      |SELECT user_id, event_id, round(ewma, 6) AS ewma_r
+      |FROM e ORDER BY user_id, rn""".stripMargin
+
+  /** SKEW4: funnel1's three-stage min-ts funnel with the same hot-user
+    * collapse — the groupBys and joins all key on the skewed id. */
+  def funnelHot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("user_id",
+        when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+      .select("user_id", "event_type", "ts")
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.where(col("event_type") === "click").join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  val funnelHotSql: String =
+    """WITH h AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+      |    event_type, ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM h
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM h e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM h e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
 }

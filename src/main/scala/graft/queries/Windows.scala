@@ -229,4 +229,42 @@ object Windows {
       |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
       |) cb ON TRUE
       |ORDER BY p.event_id""".stripMargin
+
+  /** SKEW2: j6's as-of join under a PATHOLOGICALLY HOT KEY — every even
+    * user collapses to user 0, so one key owns ~50% of both sides (the
+    * null-ish-default-symbol scenario at 100 TB). Same operator, same
+    * oracle shape; the bench row sits next to j6's so a skew-induced
+    * blowup is immediately visible round over round. As-of cost per key
+    * is O(n log n) sort + linear merge, so the hot key bounds the
+    * stage at ~half the table sorted in one task — tolerable here and
+    * the reason SkewSpec also gates wall-time vs the uniform run. */
+  def asofJoinHot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("user_id",
+        when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    AsOfJoin.asof(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("value"), rightTiebreak = "event_id", prefix = "click_")
+      .orderBy("event_id")
+  }
+
+  val asofJoinHotSql: String =
+    """WITH h AS (SELECT event_id, ts,
+      |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+      |    value, event_type FROM events),
+      |  p AS (SELECT event_id, ts, user_id, value FROM h WHERE event_type = 'purchase'),
+      |  c AS (SELECT event_id, ts, user_id, value FROM h WHERE event_type = 'click')
+      |SELECT p.event_id, p.ts, p.user_id, p.value,
+      |       cb.click_ts, cb.click_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.ts AS click_ts, c.value AS click_value
+      |  FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      |) cb ON TRUE
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -28,4 +28,59 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(nSalts == 8)
   }
+
+  test("hot-key fixtures: composed and native as-of agree; results differ from uniform") {
+    // skew2's hot remap halves the key space — the composed (window)
+    // and native (merge-exec) as-of implementations must still agree
+    // bit-for-bit on the skewed distribution
+    val composed = graft.queries.Windows.asofJoinHot(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val e = Tables.events(spark, sf001)
+      .withColumn("user_id",
+        when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"), col("value").as("click_value"))
+    val native = graft.plans.AsOfJoinNative.asof(purchases, clicks,
+        leftKey = "user_id", rightKey = "click_user",
+        leftTs = "ts", rightTs = "click_ts", rightTie = "click_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("click_ts"), col("click_value"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(composed == native)
+    // sanity: the hot key really does own about half of each side
+    val total = e.count().toDouble
+    val hot = e.where(col("user_id") === 0L).count().toDouble
+    assert(hot / total > 0.4 && hot / total < 0.6, s"hot share ${hot / total}")
+  }
+
+  test("hot-key wall time stays within ~2x of the uniform-key run") {
+    // warm both paths once, then compare min-of-2 wall times with a
+    // generous absolute floor (suite runs in parallel on a shared box;
+    // the per-round bench rows skew2-4 are the precise signal)
+    def time2(f: => Unit): Double = {
+      f // warm
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val uniform = time2(graft.queries.Windows.asofJoin(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    val hot = time2(graft.queries.Windows.asofJoinHot(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    assert(hot <= uniform * 2 + 1.5, s"hot $hot s vs uniform $uniform s")
+    val uniformEwma = time2(graft.queries.Events.ewmaValue(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    val hotEwma = time2(graft.queries.Events.ewmaValueHot(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    assert(hotEwma <= uniformEwma * 2 + 1.5, s"hot $hotEwma s vs uniform $uniformEwma s")
+    val uniformFunnel = time2(graft.queries.Events.funnel(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    val hotFunnel = time2(graft.queries.Events.funnelHot(spark, sf001)
+      .write.format("noop").mode("overwrite").save())
+    assert(hotFunnel <= uniformFunnel * 2 + 1.5,
+      s"hot $hotFunnel s vs uniform $uniformFunnel s")
+  }
 }

@@ -226,6 +226,56 @@ class StreamingSpec extends SparkSpec {
       (1L to 7L))
   }
 
+  test("END-TO-END lifecycle: stream-ingest -> HTTP query -> compact -> re-query") {
+    // the composed story the pieces individually spec: a file stream
+    // replays events into a ZTable, the HTTP surface serves scans /
+    // symbols / ohlcv from it, compaction runs through the runner, and
+    // the post-compaction scan returns the identical row count
+    val root = Files.createTempDirectory("lifecycle_root_")
+    val name = "events_t"
+    val path = s"$root/$name"
+    graft.sources.ZTable.create(spark, path, ZTableSpec())
+    val srcDir = Files.createTempDirectory("lifecycle_src_")
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val ckpt = Files.createTempDirectory("lifecycle_ckpt_").toString
+    val q = Ingest.ingestStream(stream, path, ckpt)
+    q.awaitTermination(120000)
+    val nBatch = Tables.events(spark, sf001).count()
+    val server = new GraftServer(spark, root.toString)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(p: String): String = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body
+      def post(body: String): String = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/q"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body
+      def scanCount(): Int = "\"event_id\"".r.findAllIn(post(
+        s"""{"op":"scan","table":"$path","from":"2024-01-01 00:00:00",
+           |"to":"2024-12-31 00:00:00","cols":["event_id","ts","value"]}"""
+          .stripMargin)).length
+      assert(scanCount() == nBatch, "streamed rows must be queryable over HTTP")
+      val syms = get(s"/symbols/$name/event_type")
+      assert(syms.split(",").length == 5, syms)
+      val bars = get(s"/ohlcv/$name/2024-01-01%2000:00:00/2024-12-31%2000:00:00" +
+        "?col=event_type&price=value&size=value&width=1%20hour")
+      assert(bars.contains("\"open\""), bars.take(200))
+      val compacted = post(s"""{"op":"compact","table":"$path"}""")
+      assert(compacted.contains("partitions_rewritten"), compacted)
+      assert(scanCount() == nBatch, "compaction must preserve every row")
+    } finally server.stop()
+  }
+
   test("streaming EWMA equals the batch fold when the stream replays in order") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
