@@ -257,6 +257,63 @@ object Dedup {
     comp
   }
 
+  /** Connected components by ALTERNATING SMALL-STAR / LARGE-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-diameter variant [[components]]' scaladoc points to: the
+    * path-graph worst case converges in O(log n) alternations instead
+    * of O(diameter) label rounds, with the same one-hash-shuffle-per-
+    * round join shape.
+    *
+    *  - large-star: every node u links each LARGER neighbor to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node u links its SMALLER neighbors (and
+    *    itself) to that minimum.
+    * The edge multiset stabilizes to stars rooted at component minima;
+    * the fixpoint is detected by an (edge-count, endpoint-sum)
+    * signature, one tiny aggregate per alternation like
+    * [[components]]' label-sum trick. Returns (id, comp). */
+  def componentsStar(edges: DataFrame): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = bothDirs(e)
+      val m = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val linked = nbrs.join(m, Seq("u"))
+        .where(if (large) col("v") > col("u") else col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = if (large) linked
+        else linked.union(m.select(col("u"), col("m").as("v")))
+      self.where(col("u") =!= col("v")).distinct()
+    }
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // each alternation composes two joins+distinct over the previous
+    // round's FULL plan — persist alone caches data but the logical
+    // plan still nests geometrically and analysis OOMs after ~6 rounds.
+    // localCheckpoint truncates lineage to the materialized RDD (on a
+    // cluster with failure tolerance needs, use reliable checkpoint).
+    var e = edges.select(col("ida").as("u"), col("idb").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = sig(e)
+    var converged = false
+    while (!converged) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val s = sig(next)
+      e = next
+      converged = s == prev
+      prev = s
+    }
+    // stars point leaves at roots; a root's own min neighbor is larger,
+    // so least(u, min v) labels roots with themselves
+    bothDirs(e).groupBy(col("u"))
+      .agg(least(first(col("u")), min(col("v"))).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+  }
+
   /** 64-bit SimHash per document from xxhash64 token hashes — computed
     * MAP-SIDE by the single-pass SimHash64 expression (zero shuffle; the
     * exploded 64-way bit-count aggregation it replaces shuffled every

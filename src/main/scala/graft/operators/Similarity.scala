@@ -153,10 +153,26 @@ object Similarity {
     * broadcast, no nested loop, no driver materialization.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numBlocks: Int = 8): DataFrame =
+    cosinePairsFrom(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(VectorOps.normSq(col(vecCol))).as("nrm")),
+      threshold, numBlocks)
+
+  /** Augment an embedding table with its precomputed L2 norm — the
+    * "norm is a stored column" move the scaladoc above describes: write
+    * this once (`withNorm(...).write...` or a ZTable append) and every
+    * later pair-mining pass skips the N sqrt+dot prologue entirely. */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String,
+      normCol: String = "vnorm"): DataFrame =
+    emb.withColumn(normCol, sqrt(VectorOps.normSq(col(vecCol))))
+
+  /** [[cosinePairs]] over a table that already carries (id, v, nrm) —
+    * e.g. one persisted by [[withNorm]]. */
+  def cosinePairsFrom(prepped: DataFrame,
       threshold: Double, numBlocks: Int = 8): DataFrame = {
-    val rep = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        sqrt(VectorOps.normSq(col(vecCol))).as("nrm"),
-        pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk"))
+    val rep = prepped.select(col("id"), col("v"), col("nrm"),
+        pmod(xxhash64(col("id")), lit(numBlocks)).cast("int").as("blk"))
       .select(col("id"), col("v"), col("nrm"), col("blk"),
         explode(sequence(lit(0), lit(numBlocks - 1))).as("q"))
       .select(col("id"), col("v"), col("nrm"), col("blk"),

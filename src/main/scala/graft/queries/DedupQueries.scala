@@ -145,6 +145,18 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** D9: d7's dedup clusters resolved by the ALTERNATING STAR variant
+    * (Dedup.componentsStar) instead of min-label propagation — the
+    * deep-diameter scale path, sharing d7's recursive-CTE oracle: both
+    * algorithms must produce the identical (member, root) labeling. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsStar(
+        Dedup.jaccardPairs(
+          Dedup.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+          thrNum = 4, thrDen = 5, maxDocFreq = 500))
+      .select(col("id").as("member"), col("comp").as("root"))
+      .orderBy("member")
+
   /** D3: SimHash near-dup detection (hamming <= 3 on 64-bit signatures).
     * xxhash64-based, so the signatures are not SQL-expressible; the
     * oracle gate is two per-document TRUE flags instead:

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
       40L -> 40L, 50L -> 40L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("componentsStar matches components, including a deep path graph") {
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L),
+      (1L, 2L), (2L, 3L), (1L, 3L)).toDF("ida", "idb")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(asMap(Dedup.componentsStar(edges)) == asMap(Dedup.components(edges)))
+    // the deep-diameter case the star variant exists for: a 60-node
+    // path (min-label needs ~60 rounds; alternating stars ~log)
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val star = asMap(Dedup.componentsStar(path))
+    assert(star.size == 60 && star.values.forall(_ == 1L), star.toSeq.sorted.take(5))
+    // shuffled ids: roots are component minima regardless of edge order
+    val scrambled = Seq((7L, 3L), (3L, 11L), (11L, 2L), (100L, 90L))
+      .toDF("ida", "idb")
+    assert(asMap(Dedup.componentsStar(scrambled)) ==
+      Map(7L -> 2L, 3L -> 2L, 11L -> 2L, 2L -> 2L, 100L -> 90L, 90L -> 90L))
+  }
+
   test("hot-shingle cap drops stop-shingle pairs, keeps genuine near-dups") {
     // six docs whose ONLY shingle is shared boilerplate (df=6), plus a
     // twin pair sharing rare shingles (df=2)

@@ -79,6 +79,44 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.20, s"IVF recall $ivfRecall")
   }
 
+  test("cosinePairsFrom over a persisted-norm table equals cosinePairs") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val direct = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(_.toSeq).toSet
+    // persist the norm column (parquet roundtrip — the stored-column
+    // shape), then mine pairs without recomputing a single sqrt
+    val normed = Similarity.withNorm(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("normed_").toString
+    normed.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("v"),
+        org.apache.spark.sql.functions.col("vnorm").as("nrm"))
+    val fromStored = Similarity.cosinePairsFrom(stored, 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(fromStored == direct)
+  }
+
+  test("multi-table LSH amplifies single-table recall; multi-probe IVF likewise") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("ida", "idb").collect()
+        .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    val exact = pairSet(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3))
+    val one = pairSet(Similarity.lshNeighborPairs(emb, "vec_id", "embedding", 6, 0.3))
+    val multi = pairSet(Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding", 6, 16, 0.3))
+    assert(multi.subsetOf(exact), "amplified LSH emitted false pairs")
+    assert(multi.size > one.size, s"amplification ${one.size} -> ${multi.size}")
+    // measured 0.547 at sf0.001 (the sim2 gate bound is 0.4)
+    assert(multi.size.toDouble / exact.size >= 0.4)
+    val probe1 = pairSet(Similarity.ivfNeighborPairs(emb, "vec_id", "embedding", 16, 0.3))
+    val probe4 = pairSet(Similarity.ivfNeighborPairs(emb, "vec_id", "embedding", 16, 0.3, nProbe = 4))
+    assert(probe4.subsetOf(exact), "multi-probe IVF emitted false pairs")
+    assert(probe4.size > probe1.size)
+    // measured 0.912 at sf0.001 (the sim3 gate bound is 0.7)
+    assert(probe4.size.toDouble / exact.size >= 0.7)
+  }
+
   test("LSH buckets: identical vectors collide; pairs found at threshold") {
     val pairs = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding", 6, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet

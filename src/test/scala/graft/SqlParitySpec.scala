@@ -26,8 +26,9 @@ class SqlParitySpec extends SparkSpec {
     "d6_decontaminate",
     // sim6/sim8 share sim1's list_cosine_similarity oracle
     "sim6_ivf_index", "sim8_rp_topk",
-    // pipe4/t8/d7: UNNEST(range) lateral, string_split, recursive CTE
-    "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters",
+    // pipe4/t8/d7 (+d9, sharing d7's SQL): UNNEST(range) lateral,
+    // string_split, recursive CTE
+    "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters", "d9_clusters_star",
     // round-2 tail: string_split/list_filter (search1, lm1, d8 shares
     // d6's SQL), 4-arg regexp_replace + len() (pipe5),
     // generate_series+unnest grid (a12); unnest vocab (t10, f8)
