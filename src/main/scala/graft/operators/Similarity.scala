@@ -229,27 +229,40 @@ object Similarity {
     * bounded by the signature width. */
   def lshNeighborPairsMulti(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, numTables: Int, threshold: Double): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+      sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
+    val bucketed = vecs
       .withColumn("bks", array((0 until numTables).map(t =>
         lshBucket(col("v"), numPlanes, table = t)): _*))
-      .select(col("id"), col("v"), col("bks"),
+      .select(col("id"), col("bks"),
         posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("ida"),
-      col("v").as("va"), col("bks").as("bksa"))
+      col("bks").as("bksa"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("idb"),
-      col("v").as("vb"), col("bks").as("bksb"))
+      col("bks").as("bksb"))
     // first table index where the two signature arrays agree — spelled
     // as least(CASE...) rather than a zip_with HOF so the filter stays
     // inside whole-stage codegen (least skips the null WHENs)
     val firstCollision = least((0 until numTables).map(i =>
       when(element_at(col("bksa"), i + 1) === element_at(col("bksb"), i + 1),
         lit(i))): _*)
-    a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
-      // dedupe without a distinct: keep the pair only in the FIRST table
-      // where its signatures collide (both full signature arrays ride
-      // the bucket rows — numTables longs, not the vectors twice)
+    // CANDIDATES, then VERIFY: the L-fold replicated self-join carries
+    // only ids + L-long signatures (pairs deduped without a distinct —
+    // each pair survives only in the FIRST table where its signatures
+    // collide); the dim-sized vectors join in once per side afterwards,
+    // so the collision mass never shuffles dim-width payloads. At
+    // dim=64/L=16 the bucket rows are ~8× narrower than carrying the
+    // vectors through the join — the gap that matters at 100 TB.
+    val cands = a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
       .where(col("tbl") === firstCollision)
-      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("ida"), col("idb"))
+    cands
+      .join(vecs.select(col("id").as("ida"), col("v").as("va"),
+        col("nrm").as("nrm_a")), Seq("ida"))
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nrm_b")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -300,16 +313,25 @@ object Similarity {
           explode(slice(reverse(array_sort(arrays_zip(col("sims"), cellIds.as("cid")))),
             1, nProbe)))
           .select(col("id"), col("v"), col("vnorm"), col("probe.cid").as("cell"))
-    val a = assigned.select(col("id").as("ida"), col("v").as("va"),
-      col("vnorm").as("norm_a"), col("cell"))
-    val b = assigned.select(col("id").as("idb"), col("v").as("vb"),
-      col("vnorm").as("norm_b"), col("cell"))
-    val pairs = a.join(b, Seq("cell")).where(col("ida") < col("idb"))
+    // CANDIDATES, then VERIFY (same shape as lshNeighborPairsMulti):
+    // the cell self-join carries only ids; multi-probe duplicates are
+    // distinct'd while the rows are still two longs — BEFORE the dot
+    // products — then the vectors join in once per side for the one
+    // exact verification each candidate pays.
+    val a = assigned.select(col("id").as("ida"), col("cell"))
+    val b = assigned.select(col("id").as("idb"), col("cell"))
+    val cands0 = a.join(b, Seq("cell")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
+    val cands = if (nProbe <= 1) cands0 else cands0.distinct()
+    val vecs = scored.select(col("id"), col("v"), col("vnorm"))
+    cands
+      .join(vecs.select(col("id").as("ida"), col("v").as("va"),
+        col("vnorm").as("norm_a")), Seq("ida"))
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
+        col("vnorm").as("norm_b")), Seq("idb"))
       .select(col("ida"), col("idb"),
         (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= threshold)
-    // multi-probe can surface the same pair from several shared cells
-    if (nProbe <= 1) pairs else pairs.distinct()
   }
 
   /** Distributed Lloyd k-means over the embedding column.
@@ -329,9 +351,17 @@ object Similarity {
     * normalized up front, centroids renormalized each iteration, so
     * argmin-euclidean == argmax-cosine. Embedding clusters are
     * directional (cosine) structures; plain euclidean k-means splits
-    * them on norm differences. */
+    * them on norm differences.
+    *
+    * `init`: `"farthest"` (default) is deterministic farthest-point —
+    * best separation, but k−1 SEQUENTIAL driver rounds, so it is a
+    * small-k tool; `"hash"` seeds from the k smallest-xxhash64 ids in
+    * ONE TakeOrdered job — the init that survives large k at 100 TB
+    * (the k-means|| oversampling refinement would slot in here), at
+    * the cost of occasionally co-seeding one cluster. */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, spherical: Boolean = true): Array[Array[Double]] = {
+      k: Int, iters: Int, spherical: Boolean = true,
+      init: String = "farthest"): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     def unit(c: Array[Double]): Array[Double] = {
@@ -355,23 +385,30 @@ object Similarity {
       c.foreach(x => cn += x * x)
       col("vnormsq") - lit(2.0) * VectorOps.dot(col("vf"), typedlit(c)) + lit(cn)
     }
-    val seed = base.orderBy(xxhash64(col("id")), col("id"))
-      .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
-    val cents = scala.collection.mutable.ArrayBuffer(seed)
-    while (cents.size < k) {
-      val minD = cents.map(dist2).reduce(least(_, _))
-      val next = base.orderBy(minD.desc, col("id"))
-        .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
-      cents += next
+    var cs: Array[Array[Double]] = init match {
+      case "hash" =>
+        base.orderBy(xxhash64(col("id")), col("id")).limit(k)
+          .select(col("vf")).collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      case _ =>
+        val seed = base.orderBy(xxhash64(col("id")), col("id"))
+          .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
+        val cents = scala.collection.mutable.ArrayBuffer(seed)
+        while (cents.size < k) {
+          val minD = cents.map(dist2).reduce(least(_, _))
+          val next = base.orderBy(minD.desc, col("id"))
+            .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)
+          cents += next
+        }
+        cents.toArray
     }
-    var cs = cents.toArray
     for (_ <- 1 to iters) {
       val byCell = kmeansAssign(base.drop("id"), "vf", cs)
         .select(col("cell"), col("vf")).as[(Int, Array[Float])]
         .groupByKey(_._1)
         .agg(graft.functions.VecCentroid.toColumn.name("c"))
         .collect().toMap
-      cs = Array.tabulate(k)(i => byCell.get(i + 1).map(_.values).getOrElse(cs(i)))
+      cs = Array.tabulate(cs.length)(i => byCell.get(i + 1).map(_.values).getOrElse(cs(i)))
       if (spherical) cs = cs.map(unit)
     }
     base.unpersist()
@@ -400,6 +437,67 @@ object Similarity {
         VectorOps.normSq(col(vecCol)).as("vnormsq")),
       "vf", cs)
       .select(col("id"), col("cell"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication at corpus scale — spherical k-means coarse
+    * clustering, then EXACT cosine pruning only WITHIN each cell, so the
+    * quadratic never spans the corpus: total work is Σ m_c² ≈ N²/k for
+    * balanced cells, and each cell's greedy runs in one task with
+    * m_c·dim doubles of state (choose k so cells fit a task — at 100 TB
+    * that is k in the tens of thousands, exactly the paper's regime).
+    *
+    * Within a cell, members are ordered by (cosine-to-centroid ASC, id)
+    * — the paper keeps the LOW-centroid-similarity outliers and drops
+    * the prototypical near-dups around them — and greedily kept unless
+    * some already-kept member is within `threshold`. Deterministic
+    * given the (hash-seeded) centroids.
+    *
+    * Returns (id, cell, kept, witness): `witness` is the kept near-dup
+    * that evicted a dropped row (null on kept rows), so every drop is
+    * independently checkable with one exact cosine.
+    *
+    * Known recall loss (measured, gated loosely in d10's oracle): near-
+    * dup pairs split across cells are both kept — the cross-cell leak
+    * the paper accepts in exchange for killing the corpus-wide O(N²). */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      init: String = "farthest"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cs = kmeans(emb, idCol, vecCol, k, iters, init = init) // spherical → unit centroids
+    val bc = spark.sparkContext.broadcast(cs)
+    kmeansAssign(
+        emb.select(col(idCol).as("id"), col(vecCol).as("vf"),
+          VectorOps.normSq(col(vecCol)).as("vnormsq")), "vf", cs)
+      .select(col("cell"), col("id"), col("vf"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val c = bc.value(cell - 1)
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val members = it.map { case (_, id, vf) =>
+          val u = new Array[Double](vf.length)
+          var n = 0.0
+          var i = 0
+          while (i < vf.length) { val x = vf(i).toDouble; u(i) = x; n += x * x; i += 1 }
+          val s = math.sqrt(n)
+          if (s > 0) { i = 0; while (i < u.length) { u(i) /= s; i += 1 } }
+          (id, u, dot(u, c))
+        }.toArray.sortBy { case (id, _, cc) => (cc, id) }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        members.map { case (id, u, _) =>
+          kept.find { case (_, ku) => dot(u, ku) >= threshold } match {
+            case Some((wid, _)) => (id, cell, false, Some(wid))
+            case None => kept += ((id, u)); (id, cell, true, Option.empty[Long])
+          }
+        }.toIndexedSeq
+      }
+      .toDF("id", "cell", "kept", "witness")
+  }
 
   /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
     * candidate pairs only within buckets. Recall < 1 by construction;

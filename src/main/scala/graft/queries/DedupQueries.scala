@@ -204,4 +204,70 @@ object DedupQueries {
   val simhashSql: String =
     """SELECT doc_id, TRUE AS sig_ok, TRUE AS pairs_ok
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** D10: SemDeDup — semantic dedup by spherical-k-means cells + exact
+    * within-cell greedy pruning (Similarity.semDeDup; Abbas et al.
+    * 2023). Cell assignment is kmeans-derived → not SQL-expressible;
+    * the oracle gate emits two SQL-derivable counts plus three TRUE
+    * flags the Spark side proves with EXACT cosines:
+    *  - `witness_ok`: every dropped doc's witness is kept, shares its
+    *    cell, and really is within the threshold;
+    *  - `independent_ok`: no two kept docs of one cell are within the
+    *    threshold (the greedy's maximal-independent-set property);
+    *  - `leak_ok`: cross-cell leak — true pairs >= τ with BOTH ends
+    *    kept, SemDeDup's accepted recall loss — stays under
+    *    [[SemDedupLeakBound]] of the exact pair set. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // hash init: one TakeOrdered job instead of k−1 sequential farthest-
+    // point scans — the large-k regime SemDeDup actually runs in
+    val res = graft.operators.Similarity.semDeDup(emb, "vec_id", "embedding",
+      k = 16, iters = 3, threshold = SemDedupThreshold, init = "hash").persist()
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val witnessViolations = res.where(!col("kept"))
+      .join(res.select(col("id").as("witness"), col("kept").as("w_kept"),
+        col("cell").as("w_cell")), Seq("witness"))
+      .join(vecs, Seq("id"))
+      .join(vecs.select(col("id").as("witness"), col("v").as("wv")), Seq("witness"))
+      .where(!col("w_kept") || col("w_cell") =!= col("cell") ||
+        graft.operators.Similarity.cosine(col("v"), col("wv")) < SemDedupThreshold)
+      .count()
+    val pairAgg = graft.operators.Similarity
+      .cosinePairs(emb, "vec_id", "embedding", SemDedupThreshold)
+      .select(col("ida"), col("idb"))
+      .join(res.select(col("id").as("ida"), col("kept").as("ka"),
+        col("cell").as("ca")), Seq("ida"))
+      .join(res.select(col("id").as("idb"), col("kept").as("kb"),
+        col("cell").as("cb")), Seq("idb"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("ka") && col("kb") &&
+          col("ca") === col("cb"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("ka") && col("kb"), 1L).otherwise(0L)), lit(0L)))
+      .head
+    res.unpersist()
+    val (nPairs, sameCellKept, bothKept) =
+      (pairAgg.getLong(0), pairAgg.getLong(1), pairAgg.getLong(2))
+    Seq((emb.count(), nPairs, witnessViolations == 0L, sameCellKept == 0L,
+        bothKept <= nPairs * SemDedupLeakBound))
+      .toDF("n_vecs", "n_true_pairs", "witness_ok", "independent_ok", "leak_ok")
+  }
+
+  private val SemDedupThreshold = 0.3
+
+  /** Measured cross-cell leak (both-kept fraction of the exact >= 0.3
+    * pair set, k=16): see DedupSpec's gate test for the per-SF numbers;
+    * bounded loosely so the flag tests "clustering routes near-dup
+    * pairs into shared cells", not centroid float noise. */
+  private val SemDedupLeakBound = 0.75
+
+  val semDedupSql: String =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+      |  CAST((SELECT COUNT(*)
+      |        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])) >= 0.3)
+      |       AS BIGINT) AS n_true_pairs,
+      |  TRUE AS witness_ok, TRUE AS independent_ok, TRUE AS leak_ok""".stripMargin
 }

@@ -117,6 +117,41 @@ class SimilaritySpec extends SparkSpec {
     assert(probe4.size.toDouble / exact.size >= 0.7)
   }
 
+  test("semDeDup: one keeper per near-dup group, witnesses check out, outliers survive") {
+    // two tight direction groups + a diagonal outlier; k=2 spherical
+    // cells separate the groups, τ=0.95 prunes within them
+    val emb = Seq(
+      (1L, Array(1.0f, 0.00f, 0f)), (2L, Array(0.99f, 0.01f, 0f)),
+      (3L, Array(0.98f, 0.02f, 0f)),
+      (10L, Array(0.0f, 1.00f, 0f)), (11L, Array(0.01f, 0.99f, 0f)),
+      (20L, Array(0.7f, 0.7f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.semDeDup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("kept"), Option(r.getAs[java.lang.Long]("witness")).map(_.longValue),
+          r.getAs[Int]("cell")))).toMap
+    assert(res.size == 6)
+    val groupA = Seq(1L, 2L, 3L).map(res)
+    val groupB = Seq(10L, 11L).map(res)
+    assert(groupA.count(_._1) == 1, s"group A kept: $groupA")
+    assert(groupB.count(_._1) == 1, s"group B kept: $groupB")
+    assert(res(20L)._1, "the diagonal outlier must survive")
+    // every dropped row's witness is the kept member of ITS OWN group
+    res.values.filter(!_._1).foreach { case (_, wit, cell) =>
+      val w = res(wit.get)
+      assert(w._1 && w._3 == cell)
+    }
+  }
+
+  test("semDeDup gate flags hold on sf0.001 (witness/independent/leak)") {
+    val row = graft.queries.DedupQueries.semDedup(spark, sf001).head
+    assert(row.getAs[Boolean]("witness_ok"))
+    assert(row.getAs[Boolean]("independent_ok"))
+    assert(row.getAs[Boolean]("leak_ok"))
+    assert(row.getAs[Long]("n_true_pairs") > 0L)
+  }
+
   test("LSH buckets: identical vectors collide; pairs found at threshold") {
     val pairs = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding", 6, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
