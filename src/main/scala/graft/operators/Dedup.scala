@@ -78,6 +78,54 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
+  /** Exact duplicated-SUBSTRING spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their ExactSubstr dedup), re-expressed relationally instead of via
+    * a corpus-wide suffix array: hash every K-token window; a window is
+    * a duplicate span iff its gram occurs in >= `minDocs` DISTINCT
+    * documents; per document, report the window count and the token
+    * mass of the span UNION (overlapping windows merged by counting
+    * distinct covered token positions — no interval-merge state).
+    *
+    * Everything is LINEAR in corpus token count — unlike pair-mining
+    * (jaccardPairs) there is no inverted-index self-join: the gram
+    * table aggregates to a duplicate-gram set (map-side-combinable
+    * count_distinct), joins back once to flag windows, and a hot
+    * boilerplate gram costs its row count, never a quadratic fan-out.
+    * Suffix-array ExactSubstr finds arbitrary-length duplicates; the
+    * fixed-K window formulation finds exactly the spans of length >= K
+    * (any such span is a union of overlapping K-windows), which is the
+    * semantics the paper actually thresholds at (their K = 50 BPE
+    * tokens).
+    *
+    * Returns (id, n_tokens, n_dup_windows, dup_token_mass). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    val toks = df.select(col(idCol).as("id"), w.as("w"),
+      size(w).cast(LongType).as("n_tokens"))
+    val wins = toks.where(size(col("w")) >= k)
+      .withColumn("s", explode(sequence(lit(1), size(col("w")) - (k - 1))))
+      .select(col("id"), col("s"),
+        xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(col("w"), col("s") + j)): _*)).as("gh"))
+    val dupGrams = wins.groupBy(col("gh"))
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("gh"))
+    val perDoc = wins.join(dupGrams, Seq("gh"))
+      .select(col("id"), col("s"),
+        explode(sequence(col("s"), col("s") + (k - 1))).as("t"))
+      .groupBy(col("id"))
+      .agg(count_distinct(col("s")).as("n_dup_windows"),
+        count_distinct(col("t")).as("dup_token_mass"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_token_mass"), lit(0L)).as("dup_token_mass"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * thrNum/thrDen of their word n-grams with ANY benchmark document
     * (the GPT-3/FLAN-style n-gram overlap check; long n-grams — default

@@ -261,6 +261,30 @@ object DedupQueries {
     * pairs into shared cells", not centroid float noise. */
   private val SemDedupLeakBound = 0.75
 
+  /** D11: exact duplicated-substring spans (Dedup.dupSpans, K=8 word
+    * tokens, >= 2 docs) — the ExactSubstr dedup of Lee et al. 2021.
+    * Fully SQL-expressible (the oracle joins raw gram STRINGS where
+    * Spark shuffles xxhash64 keys), so the gate is exact: window
+    * counts and merged-span token masses must agree to the row. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val dupSpansSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |wins AS (SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS g
+      |         FROM tok, UNNEST(range(1, len(w) - 6)) AS u(i)),
+      |dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dw AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (g)),
+      |mass AS (SELECT doc_id, COUNT(DISTINCT s) AS n_dup_windows,
+      |                COUNT(DISTINCT t.idx) AS dup_token_mass
+      |         FROM dw, UNNEST(range(s, s + 8)) AS t(idx) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(m.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(COALESCE(m.dup_token_mass, 0) AS BIGINT) AS dup_token_mass
+      |FROM tok t LEFT JOIN mass m USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val semDedupSql: String =
     """SELECT
       |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
@@ -88,6 +90,31 @@ class DedupSpec extends SparkSpec {
       .toDF("ida", "idb")
     assert(asMap(Dedup.componentsStar(scrambled)) ==
       Map(7L -> 2L, 3L -> 2L, 11L -> 2L, 2L -> 2L, 100L -> 90L, 90L -> 90L))
+  }
+
+  test("dupSpans finds shared 8-token runs and merges overlapping windows") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // shares a..h with doc 2
+      (2L, "x a b c d e f g h z"),
+      (3L, "p q r s t u v w y k"),            // unrelated
+      (4L, "m n o pp qq rr ss tt uu vv"),     // identical to doc 5:
+      (5L, "m n o pp qq rr ss tt uu vv"))     // 3 windows, union = all 10
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("dup_token_mass")))).toMap
+    assert(out(1L) == ((10L, 1L, 8L)))
+    assert(out(2L) == ((10L, 1L, 8L)))
+    assert(out(3L) == ((10L, 0L, 0L)))
+    assert(out(4L) == ((10L, 3L, 10L)))
+    assert(out(5L) == ((10L, 3L, 10L)))
+    // a doc shorter than K has no windows but still reports its tokens
+    val short = Dedup.dupSpans(docs.union(Seq((6L, "only three tokens"))
+      .toDF("doc_id", "text")), "doc_id", "text", k = 8)
+      .where(col("id") === 6L).head
+    assert(short.getAs[Long]("n_tokens") == 3L &&
+      short.getAs[Long]("n_dup_windows") == 0L)
   }
 
   test("hot-shingle cap drops stop-shingle pairs, keeps genuine near-dups") {
