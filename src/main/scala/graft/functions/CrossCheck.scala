@@ -183,4 +183,42 @@ object CrossCheck {
     emb.select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  /** Sequential Newton/IRLS logistic regression — the driver-side
+    * reference the ml1 gate compares the distributed
+    * Classifier.trainLogRegNewton against (same math, same iteration
+    * count; differs only in float summation order). */
+  def logregNewtonRef(rows: Array[(Array[Float], Int)], iters: Int,
+      ridge: Double): Array[Double] = {
+    val d = rows.head._1.length
+    var w = new Array[Double](d)
+    for (_ <- 1 to iters) {
+      val g = new Array[Double](d)
+      val h = Array.ofDim[Double](d, d)
+      rows.foreach { case (x, y) =>
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += w(i) * x(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-dot))
+        val r = p - y
+        val q = p * (1.0 - p)
+        i = 0
+        while (i < d) {
+          val xi = x(i).toDouble
+          g(i) += r * xi
+          var j = i
+          while (j < d) { h(i)(j) += q * xi * x(j); j += 1 }
+          i += 1
+        }
+      }
+      val n = rows.length.toDouble
+      for (i <- 0 until d; j <- i until d) {
+        h(i)(j) /= n; h(j)(i) = h(i)(j)
+      }
+      for (i <- 0 until d) h(i)(i) += ridge
+      val delta = graft.operators.Classifier.solveSpd(h, g.map(_ / n))
+      w = Array.tabulate(d)(i => w(i) - delta(i))
+    }
+    w
+  }
 }

@@ -50,3 +50,62 @@ object VecCentroid extends Aggregator[(Int, Array[Float]), VecBuf, Centroid] {
   def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
   def outputEncoder: Encoder[Centroid] = Encoders.product[Centroid]
 }
+
+/** Partial buffer for one Newton/IRLS logreg step: gradient sum (d),
+  * upper-triangular Hessian sum (d(d+1)/2), row count. */
+case class LogRegBuf(g: Array[Double], h: Array[Double], n: Long)
+
+/** One-scan Newton-step statistics at current weights `w`. */
+case class LogRegStats(g: Array[Double], h: Array[Double], n: Long)
+
+/** Typed Aggregator computing Σ(σ(w·x)−y)·x and Σσ(1−σ)·xxᵀ (upper
+  * triangle) in a single pass — the map-side-combined statistics of one
+  * Newton / IRLS iteration of logistic regression
+  * (graft.operators.Classifier.trainLogRegNewton). The shuffle carries
+  * one O(d²) buffer per partition; rows never leave their partition. */
+case class LogRegStep(w: Array[Double])
+    extends Aggregator[(Array[Float], Int), LogRegBuf, LogRegStats] {
+
+  def zero: LogRegBuf = LogRegBuf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0L)
+
+  def reduce(b: LogRegBuf, row: (Array[Float], Int)): LogRegBuf = {
+    val (x, y) = row
+    val d = x.length
+    val g = if (b.g.isEmpty) new Array[Double](d) else b.g
+    val h = if (b.h.isEmpty) new Array[Double](d * (d + 1) / 2) else b.h
+    var dot = 0.0
+    var i = 0
+    while (i < d) { dot += w(i) * x(i); i += 1 }
+    val p = 1.0 / (1.0 + math.exp(-dot))
+    val r = p - y
+    val q = p * (1.0 - p)
+    var idx = 0
+    i = 0
+    while (i < d) {
+      val xi = x(i).toDouble
+      g(i) += r * xi
+      val qi = q * xi
+      var j = i
+      while (j < d) { h(idx) += qi * x(j); idx += 1; j += 1 }
+      i += 1
+    }
+    LogRegBuf(g, h, b.n + 1)
+  }
+
+  def merge(a: LogRegBuf, b: LogRegBuf): LogRegBuf =
+    if (a.g.isEmpty) b
+    else if (b.g.isEmpty) a
+    else {
+      val g = a.g.clone(); val h = a.h.clone()
+      var i = 0
+      while (i < g.length) { g(i) += b.g(i); i += 1 }
+      i = 0
+      while (i < h.length) { h(i) += b.h(i); i += 1 }
+      LogRegBuf(g, h, a.n + b.n)
+    }
+
+  def finish(r: LogRegBuf): LogRegStats = LogRegStats(r.g, r.h, r.n)
+
+  def bufferEncoder: Encoder[LogRegBuf] = Encoders.product[LogRegBuf]
+  def outputEncoder: Encoder[LogRegStats] = Encoders.product[LogRegStats]
+}

@@ -259,6 +259,56 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
   }
 
+  /** Band-bucket signature rows for the streaming/batch near-dup
+    * FILTER: one (id, sig, band, bhash) row per band per doc, both
+    * arrays computed by the single-pass scan-stage expressions. Docs
+    * shorter than the shingle width produce no rows (they have no
+    * signature and can never be near-dups). */
+  private[graft] def bandRows(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    docs.select(col(idCol).as("id"),
+        graft.plans.TextOps.minhashSig(words, shingleN, numHashes).as("sig"),
+        graft.plans.TextOps.minhashBands(words, shingleN, bands,
+          numHashes / bands).as("bsig"))
+      .where(col("bsig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(col("bsig")).as(Seq("band", "bhash")))
+  }
+
+  /** Signature-estimated Jaccard >= tauNum/tauDen — the unbiased
+    * MinHash estimator (fraction of equal components), thresholded in
+    * INTEGER arithmetic so no float boundary can flake a gate. */
+  private[graft] def estJaccardOk(a: Column, b: Column, numHashes: Int,
+      tauNum: Int, tauDen: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v) * tauDen >= lit(numHashes * tauNum)
+
+  /** Greedy near-dup FILTER on the signature estimate: a doc is `dup`
+    * iff some LSH band pairs it with a SMALLER-ID doc whose estimated
+    * Jaccard reaches the threshold — no text re-verify, so the rule
+    * streams (state = signatures only, not shingle sets;
+    * [[graft.streaming.Ingest.nearDupStream]] is the incremental twin
+    * and matches this batch face exactly on id-ordered arrival).
+    * [[minhashLsh]] is the exact-verified variant when the full corpus
+    * text is at hand. Returns (id, dup). */
+  def minhashFilter(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tauNum: Int = 7, tauDen: Int = 10): DataFrame = {
+    val br = bandRows(docs, idCol, textCol, shingleN, numHashes, bands)
+    val dup = br.select(col("band"), col("bhash"), col("id").as("idb"),
+        col("sig").as("sigb"))
+      .join(br.select(col("band"), col("bhash"), col("id").as("ida"),
+        col("sig").as("siga")), Seq("band", "bhash"))
+      .where(col("ida") < col("idb") &&
+        estJaccardOk(col("siga"), col("sigb"), numHashes, tauNum, tauDen))
+      .select(col("idb").as("id")).distinct()
+    docs.select(col(idCol).as("id"))
+      .join(dup.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   /** Connected components over an undirected near-dup edge list
     * (`ida < idb`): the cluster-resolution step that turns pairwise
     * matches into dedup groups (root = smallest doc id in the component

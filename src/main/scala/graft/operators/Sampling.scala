@@ -63,4 +63,29 @@ object Sampling {
       .where(col("rk") <= k)
       .drop("__pri")
   }
+
+  /** Leakage-free train/val/test split: each document is assigned by
+    * the md5 of its near-dup CLUSTER root (`comp`: (id, comp) from
+    * [[Dedup.components]] / [[Dedup.componentsStar]]), not of its own
+    * id — so a near-duplicate pair can never straddle train and test,
+    * the contamination path a doc-level hash split leaves open (the
+    * eval-leakage failure mode Lee et al. 2021 §6 measure). Docs
+    * without a cluster row are their own root. Seedless and
+    * deterministic like [[topKPerGroup]]'s md5 ordering; fractions are
+    * fixed 13/1/2 sixteenths (~81/6/13%) of hex space by the first
+    * md5 hex digit, identical arithmetic in any engine.
+    *
+    * One broadcast-or-shuffle join against the cluster map (cluster
+    * rows only exist for docs WITH near-dups — a tiny fraction of the
+    * corpus) and a map-side hash: nothing here is corpus-quadratic. */
+  def clusterSplit(docs: DataFrame, idCol: String, comp: DataFrame): DataFrame = {
+    val rooted = docs.select(col(idCol).as("id"))
+      .join(comp.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("root"))
+    val h = substring(md5(col("root").cast("string").cast("binary")), 1, 1)
+    rooted.withColumn("split",
+      when(h < lit("d"), lit("train"))
+        .when(h === lit("d"), lit("val"))
+        .otherwise(lit("test")))
+  }
 }

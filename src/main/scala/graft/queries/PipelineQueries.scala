@@ -268,4 +268,51 @@ object PipelineQueries {
       |SELECT source, doc_id, n_tokens,
       |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
       |FROM c ORDER BY source, doc_id""".stripMargin
+
+  /** PIPE8: leakage-free train/val/test split — documents are hashed
+    * by their near-dup CLUSTER root (d7's components over the d4 exact
+    * pair graph), so near-duplicates land in the same split and the
+    * train→test contamination a doc-level hash split allows is
+    * structurally impossible. Fully SQL-oracle-able: DuckDB rebuilds
+    * the clusters with d7's recursive CTE and applies the identical
+    * first-hex-digit md5 rule. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables.documents(spark, dir)
+    val comp = Dedup.components(
+      Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3),
+        thrNum = 4, thrDen = 5, maxDocFreq = 500))
+    Sampling.clusterSplit(docs, "doc_id", comp)
+      .select(col("id").as("doc_id"), col("root"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val leakageSplitSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT ida, idb FROM ov
+      |      JOIN sizes na ON ida = na.doc_id JOIN sizes nb ON idb = nb.doc_id
+      |      WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4),
+      |e AS (SELECT ida AS src, idb AS dst FROM p
+      |      UNION ALL SELECT idb, ida FROM p),
+      |reach(member, root) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.member),
+      |c AS (SELECT member, MIN(root) AS root FROM reach GROUP BY member)
+      |SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root,
+      |  CASE WHEN substr(md5(CAST(COALESCE(c.root, d.doc_id) AS VARCHAR)), 1, 1) < 'd'
+      |         THEN 'train'
+      |       WHEN substr(md5(CAST(COALESCE(c.root, d.doc_id) AS VARCHAR)), 1, 1) = 'd'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents d LEFT JOIN c ON c.member = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

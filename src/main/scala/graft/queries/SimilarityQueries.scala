@@ -230,4 +230,57 @@ object SimilarityQueries {
   private val IvfRecallBound = 0.7
 
   val ivfAnnSql: String = lshAnnSql
+
+  /** ML1: distributed Newton/IRLS logistic regression
+    * (Classifier.trainLogRegNewton) — the trainable-scorer stage of a
+    * curation pipeline — probed on a KNOWN separable target: y =
+    * (v·embedding >= 0) for the deterministic JL plane v
+    * (Similarity.rpPlanes), features = embedding ⊕ bias. A linear probe
+    * with planted linear structure is the honest operator demo on this
+    * corpus (the synthetic embeddings' `label` column is random — no
+    * learnable signal; real quality labels plug into the identical
+    * call). Training is iterative float math → not SQL-expressible;
+    * the gate emits the SQL-derivable corpus size plus three flags:
+    *  - `loss_ok`: trained log-loss beats the w=0 loss (ln 2) by >30%;
+    *  - `acc_ok`: training accuracy >= [[LogRegAccBound]] on the
+    *    separable target (measured 0.97-0.98 across SFs);
+    *  - `parity_ok`: distributed weights match CrossCheck's sequential
+    *    same-math Newton run to 1e-3 max-abs (they differ only in
+    *    float sum order — the distributed gradient/Hessian mechanics
+    *    are what this pins). */
+  def logreg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = graft.operators.Similarity.rpPlanes(64, 1)(0)
+    val emb = Tables.embeddings(spark, dir)
+      .select(concat(col("embedding"), array(lit(1.0f))).as("x"),
+        (graft.plans.VectorOps.dot(col("embedding"), typedlit(v)) >= 0)
+          .cast("int").as("y"))
+      .persist()
+    val iters = 4
+    val w = graft.operators.Classifier.trainLogRegNewton(emb, "x", "y", iters)
+    val acc = emb.select(avg(
+        ((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
+          === col("y")).cast("int")))
+      .head.getDouble(0)
+    val lossT = graft.operators.Classifier.logLoss(emb, "x", "y", w)
+    val loss0 = graft.operators.Classifier.logLoss(emb, "x", "y",
+      new Array[Double](w.length))
+    val rows = emb.as[(Array[Float], Int)].collect()
+    val wRef = graft.functions.CrossCheck.logregNewtonRef(rows, iters, 1e-8)
+    val parityOk = w.zip(wRef).map { case (a, b) => math.abs(a - b) }.max <= 1e-3
+    val n = emb.count()
+    emb.unpersist()
+    Seq((n, lossT <= loss0 * 0.7, acc >= LogRegAccBound, parityOk))
+      .toDF("n_rows", "loss_ok", "acc_ok", "parity_ok")
+  }
+
+  /** Measured Newton training accuracy on the planted-hyperplane
+    * target: see SimilaritySpec; gated below the floor so the flag
+    * tests "training converged", not boundary-row float noise. */
+  private val LogRegAccBound = 0.9
+
+  val logregSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS loss_ok, TRUE AS acc_ok, TRUE AS parity_ok
+      |FROM embeddings""".stripMargin
 }

@@ -392,4 +392,69 @@ object Ingest {
       .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality_r"),
         regexp_replace(col("text"), "[0-9]+", "[NUM]").as("text_clean"))
   }
+
+  /** One micro-batch of the cross-batch STREAMING near-dup filter — the
+    * incremental twin of [[graft.operators.Dedup.minhashFilter]]. A doc
+    * is dropped iff some LSH band pairs it with an EARLIER doc (any
+    * previous batch, or a smaller id within this batch) whose
+    * signature-estimated Jaccard reaches tauNum/tauDen.
+    *
+    * State lives in a PARQUET TABLE of band rows, not the executor
+    * state store: at 100 TB the corpus's signatures don't fit
+    * stateful-operator memory, and a (band, bhash)-hashed table gives
+    * the same join locality with spill-free scans (bucket it by bhash
+    * on a real cluster). Order of operations matters and is the
+    * correctness core: kept docs are WRITTEN (materialized against the
+    * pre-batch state) BEFORE this batch's band rows append, so a doc
+    * never dups against itself. Replays of a failed batch re-append
+    * band rows — duplicate state rows only re-flag the same dups
+    * (dedup decisions are distinct'd), so output stays correct; clear
+    * per-batch staging as in [[appendNativeIdempotent]] if exact state
+    * size matters. */
+  def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
+      stateDir: String, outDir: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      tauNum: Int = 7, tauDen: Int = 10): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val br = Dedup.bandRows(batch, idCol, textCol, shingleN, numHashes, bands)
+      .persist()
+    val intraDup = br.select(col("band"), col("bhash"), col("id").as("idb"),
+        col("sig").as("sigb"))
+      .join(br.select(col("band"), col("bhash"), col("id").as("ida"),
+        col("sig").as("siga")), Seq("band", "bhash"))
+      .where(col("ida") < col("idb") &&
+        Dedup.estJaccardOk(col("siga"), col("sigb"), numHashes, tauNum, tauDen))
+      .select(col("idb").as("id"))
+    val dup =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))) {
+        val seen = spark.read.parquet(stateDir)
+        val crossDup = br.select(col("band"), col("bhash"), col("id"), col("sig"))
+          .join(seen.select(col("band"), col("bhash"), col("sig").as("siga")),
+            Seq("band", "bhash"))
+          .where(Dedup.estJaccardOk(col("siga"), col("sig"),
+            numHashes, tauNum, tauDen))
+          .select(col("id"))
+        intraDup.union(crossDup)
+      } else intraDup
+    val dupIds = dup.distinct()
+    val kept = batch.join(dupIds, batch(idCol) === dupIds("id"), "left_anti")
+    kept.write.mode("append").parquet(outDir) // materializes vs OLD state
+    br.write.mode("append").parquet(stateDir)
+    br.unpersist()
+  }
+
+  /** Streaming wrapper: every micro-batch flows through
+    * [[nearDupBatch]]; kept docs append to `outDir`, signatures to the
+    * `stateDir` state table. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      stateDir: String, outDir: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        nearDupBatch(b, idCol, textCol, stateDir, outDir)
+      }
+      .start()
 }

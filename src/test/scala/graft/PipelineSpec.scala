@@ -4,6 +4,38 @@ import graft.queries.PipelineQueries
 
 /** Curation-surface invariants (pipe1-3) beyond the DuckDB hash gate. */
 class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterSplit: near-dup clusters never straddle splits; singletons hash on own id") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq.tabulate(200)(i => Tuple1(i.toLong)).toDF("doc_id")
+    // clusters {0,1,2} and {10,11}; everything else singleton
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val out = graft.operators.Sampling.clusterSplit(docs, "doc_id", comp)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("root"), r.getAs[String]("split")))).toMap
+    assert(out.size == 200)
+    assert(Seq(0L, 1L, 2L).map(out(_)).distinct.size == 1)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    assert(out(50L)._1 == 50L)
+    // all three splits appear and train dominates (13/16 of hex space)
+    val bySplit = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit)
+    assert(bySplit("train") > bySplit("val") + bySplit("test"), bySplit)
+  }
+
+  test("pipe8 on sf0.001: every d4 near-dup pair shares a split") {
+    import org.apache.spark.sql.functions.col
+    val split = PipelineQueries.leakageSplit(spark, sf001)
+    val pairs = graft.queries.DedupQueries.ngramJaccard(spark, sf001)
+      .select("ida", "idb")
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("ida"), col("split").as("sa")), Seq("ida"))
+      .join(split.select(col("doc_id").as("idb"), col("split").as("sb")), Seq("idb"))
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L)
+  }
 
   test("quality filter keeps a nonempty strict subset meeting every gate") {
     val kept = PipelineQueries.qualityFilter(spark, sf001).collect()

@@ -152,6 +152,32 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Long]("n_true_pairs") > 0L)
   }
 
+  test("logreg: separates a toy set exactly; sf0.001 gate flags hold") {
+    import graft.operators.Classifier
+    val toy = Seq.tabulate(40) { i =>
+      val y = i % 2
+      val x = if (y == 1) Array(1.0f + (i % 5) * 0.1f, 0.5f, 1f)
+              else Array(-1.0f - (i % 5) * 0.1f, -0.5f, 1f)
+      (x, y)
+    }.toDF("x", "y")
+    val w = Classifier.trainLogReg(toy, "x", "y", epochs = 30, lr = 1.0)
+    val acc = toy.select(avg(
+        ((Classifier.score(col("x"), w) >= 0.5).cast("int") === col("y")).cast("int")))
+      .head.getDouble(0)
+    assert(acc == 1.0, s"toy accuracy $acc, w=${w.toSeq}")
+    assert(Classifier.logLoss(toy, "x", "y", w) <
+      Classifier.logLoss(toy, "x", "y", new Array[Double](3)))
+    // Newton reaches the same optimum in 4 scans where GD used 30
+    val wN = Classifier.trainLogRegNewton(toy, "x", "y", iters = 4)
+    val accN = toy.select(avg(
+        ((Classifier.score(col("x"), wN) >= 0.5).cast("int") === col("y")).cast("int")))
+      .head.getDouble(0)
+    assert(accN == 1.0)
+    val row = graft.queries.SimilarityQueries.logreg(spark, sf001).head
+    assert(row.getAs[Boolean]("loss_ok") && row.getAs[Boolean]("acc_ok") &&
+      row.getAs[Boolean]("parity_ok"))
+  }
+
   test("LSH buckets: identical vectors collide; pairs found at threshold") {
     val pairs = Similarity.lshNeighborPairs(vecs, "vec_id", "embedding", 6, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet

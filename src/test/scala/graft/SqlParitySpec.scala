@@ -32,6 +32,8 @@ class SqlParitySpec extends SparkSpec {
     "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters", "d9_clusters_star",
     // d11: string_split + w[i:i+7] slice + UNNEST(range) lateral
     "d11_dup_spans",
+    // pipe8: recursive CTE + string_split (d7's cluster rebuild)
+    "pipe8_leakage_split",
     // round-2 tail: string_split/list_filter (search1, lm1, d8 shares
     // d6's SQL), 4-arg regexp_replace + len() (pipe5),
     // generate_series+unnest grid (a12); unnest vocab (t10, f8)

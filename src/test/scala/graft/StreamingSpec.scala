@@ -407,6 +407,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("cross-batch near-dup filter equals the batch minhashFilter on id-ordered batches") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf001)
+    val all = docs.selectExpr("doc_id", "text").as[StreamDoc]
+      .collect().sortBy(_.doc_id)
+    val stateDir = Files.createTempDirectory("neardup_state_").toString + "/st"
+    val outDir = Files.createTempDirectory("neardup_out_").toString + "/out"
+    // three id-ordered micro-batches through the incremental path
+    all.grouped((all.length + 2) / 3).foreach { chunk =>
+      Ingest.nearDupBatch(chunk.toIndexedSeq.toDF(), "doc_id", "text",
+        stateDir, outDir)
+    }
+    val streamedKept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchFlags = graft.operators.Dedup
+      .minhashFilter(docs, "doc_id", "text")
+    val batchKept = batchFlags.where(!col("dup"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    val nDup = batchFlags.where(col("dup")).count()
+    assert(nDup > 0, "fixture must contain near-dups")
+    assert(streamedKept == batchKept)
+    // the writeStream wrapper produces the same result end to end
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    mem.addData(all.toIndexedSeq)
+    val st2 = Files.createTempDirectory("neardup_state2_").toString + "/st"
+    val out2 = Files.createTempDirectory("neardup_out2_").toString + "/out"
+    val ck2 = Files.createTempDirectory("neardup_ck2_").toString
+    val q = Ingest.nearDupStream(mem.toDF(), "doc_id", "text", st2, out2, ck2)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept)
+  }
+
   test("streaming rollup sink maintains the aggregate; replays are no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
