@@ -48,6 +48,16 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private def runToJson(json: String): String =
     QueryRunner.run(spark, json).toJSON.collect().mkString("[", ",", "]")
 
+  /** Path-segment table names must stay INSIDE the root dir — reject
+    * dot-segments and separators so `/symbols/../x` cannot escape it
+    * (the reference reads table names from its fixed data dir too). */
+  private def safeName(tbl: String): String = {
+    require(tbl.nonEmpty && tbl != "." && tbl != ".." &&
+      !tbl.contains('/') && !tbl.contains('\\'),
+      s"invalid table name '$tbl'")
+    tbl
+  }
+
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("")
       .split("&").filter(_.contains("=")).map { kv =>
@@ -67,7 +77,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           p.stripPrefix("/symbols/").split("/") match {
             case Array(tbl, column) =>
               val df = QueryRunner.run(spark, mapper.writeValueAsString(Map(
-                "op" -> "symbols", "table" -> s"$root/$tbl", "col" -> column)))
+                "op" -> "symbols", "table" -> s"$root/${safeName(tbl)}",
+                "col" -> column)))
               respond(ex, 200,
                 df.collect().map(r => jstr(r.get(0).toString)).mkString("[", ",", "]"))
             case _ => respond(ex, 400,
@@ -77,7 +88,7 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
           p.stripPrefix("/ohlcv/").split("/") match {
             case Array(tbl, from, to) =>
               val q = queryParams(ex)
-              val req = Map("op" -> "ohlcv", "table" -> s"$root/$tbl",
+              val req = Map("op" -> "ohlcv", "table" -> s"$root/${safeName(tbl)}",
                   "from" -> from, "to" -> to) ++
                 q.get("symbols").map(s =>
                   "symbols" -> s.split(",").map(_.trim).toSeq) ++

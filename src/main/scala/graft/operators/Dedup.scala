@@ -384,11 +384,13 @@ object Dedup {
         else linked.union(m.select(col("u"), col("m").as("v")))
       self.where(col("u") =!= col("v")).distinct()
     }
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)"))).head
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // SOUND fixpoint test: exact set equality (|A| = |B| = |A ∪ B|,
+    // both sides already distinct). A count/endpoint-sum signature is
+    // cheaper but can collide mid-convergence — unlike [[components]]'
+    // label-sum (monotone: labels only decrease), star rounds REWRITE
+    // edges, so nothing makes a hash signature monotone here.
+    def sameEdges(a: DataFrame, b: DataFrame, na: Long): Boolean =
+      b.count() == na && a.union(b).distinct().count() == na
     // each alternation composes two joins+distinct over the previous
     // round's FULL plan — persist alone caches data but the logical
     // plan still nests geometrically and analysis OOMs after ~6 rounds.
@@ -396,14 +398,11 @@ object Dedup {
     // cluster with failure tolerance needs, use reliable checkpoint).
     var e = edges.select(col("ida").as("u"), col("idb").as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var prev = sig(e)
     var converged = false
     while (!converged) {
       val next = star(star(e, large = true), large = false).localCheckpoint()
-      val s = sig(next)
+      converged = sameEdges(e, next, e.count())
       e = next
-      converged = s == prev
-      prev = s
     }
     // stars point leaves at roots; a root's own min neighbor is larger,
     // so least(u, min v) labels roots with themselves

@@ -262,7 +262,13 @@ object GraftNative {
     val df = spark.read.format("graft-native")
       .option("blocks", old.mkString(","))
       .load(dir).repartition(numBlocks)
-    writeMeta(df.schema, tmp)
+    // the rewrite must encode with the TABLE's declared native types
+    // (narrow widths, dict codes, compressed ts) — copy the original
+    // meta rather than re-deriving defaults from the widened Spark
+    // schema, or the compacted blocks decode with the wrong widths
+    Files.createDirectories(Paths.get(tmp))
+    Files.copy(Paths.get(dir, MetaFile), Paths.get(tmp, MetaFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     appendBlocks(df, tmp, tag = s"g$gen-")
     // COMMIT POINT: once the marker (listing the blocks to retire)
     // exists, the rewrite is durable and recovery can always roll

@@ -359,24 +359,41 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       val s = Files.list(d)
       try s.iterator.asScala.toList finally s.close()
     }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) ls(p).foreach(rmTree)
+      Files.delete(p)
+    }
     // one source materialization: the delta is re-read for the probe,
     // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val root = Paths.get(path)
-    // recover a crashed earlier merge: a committed staging dir
-    // (_SUCCESS present) whose target partition is gone rolls FORWARD
-    // (the crash hit between delete and move — the staging dir holds
-    // the complete new partition); anything else rolls back (the
-    // target is intact, the staging dir is a partial rewrite).
-    if (Files.exists(root))
+    // recover a crashed earlier merge. The swap is two atomic dir
+    // RENAMES (partition -> .retiring, staging -> partition) — never a
+    // file-by-file delete of live data — so every crash point leaves a
+    // complete copy under exactly one name:
+    //  - staging (.merging) committed (_SUCCESS) and target gone: the
+    //    crash hit between the renames — roll FORWARD;
+    //  - staging present otherwise: partial rewrite — roll back
+    //    (recursive delete: a crashed parquet job leaves _temporary
+    //    trees a flat delete would choke on);
+    //  - .retiring beside a live target: swap completed — drop it;
+    //  - .retiring with NO live target: the forward roll above already
+    //    ran or staging never committed — restore the original.
+    if (Files.exists(root)) {
       ls(root).filter(_.getFileName.toString.endsWith(".merging")).foreach { tmp =>
         val target = tmp.resolveSibling(
           tmp.getFileName.toString.stripSuffix(".merging"))
         if (!Files.exists(target) && Files.exists(tmp.resolve("_SUCCESS")))
           Files.move(tmp, target)
-        else { ls(tmp).foreach(Files.delete); Files.delete(tmp) }
+        else rmTree(tmp)
       }
+      ls(root).filter(_.getFileName.toString.endsWith(".retiring")).foreach { r =>
+        val target = r.resolveSibling(
+          r.getFileName.toString.stripSuffix(".retiring"))
+        if (Files.exists(target)) rmTree(r) else Files.move(r, target)
+      }
+    }
     val parts =
       if (!Files.exists(root)) Nil
       else ls(root).filter(d => Files.isDirectory(d) &&
@@ -397,11 +414,11 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     implicit val ec: ExecutionContext = ExecutionContext.global
     // each affected partition's staging rewrite carries BOTH halves —
     // surviving old rows (anti-join) AND this partition's source rows —
-    // so the delete+move swap is the only mutation and a crash at any
-    // point either leaves the old partition intact or the complete new
-    // one in staging (see the roll-forward sweep above). The insert
-    // pass below then only touches partitions with no matched key,
-    // where a plain additive append cannot lose anything.
+    // so the two-rename swap is the only mutation and a crash at any
+    // point leaves a complete copy under exactly one name (see the
+    // recovery sweep above). The insert pass below then only touches
+    // partitions with no matched key, where a plain additive append
+    // cannot lose anything.
     val affected = parts.filter(d => hitsByPart.contains(
       d.getFileName.toString.stripPrefix(partCol + "=")))
     val affectedNames = affected.map(
@@ -416,9 +433,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .where(col(partCol).cast("string") === pval).drop(partCol))
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("overwrite").parquet(tmp.toString)
-      ls(dir).foreach(Files.delete)
-      Files.delete(dir)
+      val retired = dir.resolveSibling(dir.getFileName.toString + ".retiring")
+      Files.move(dir, retired)
       Files.move(tmp, dir)
+      rmTree(retired)
       replaced.addAndGet(hits)
     }}
     Await.result(Future.sequence(jobs), Duration.Inf)

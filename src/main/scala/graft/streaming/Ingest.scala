@@ -405,15 +405,15 @@ object Ingest {
     * the same join locality with spill-free scans (bucket it by bhash
     * on a real cluster). Order of operations matters and is the
     * correctness core: kept docs are WRITTEN (materialized against the
-    * pre-batch state) BEFORE this batch's band rows append, so a doc
-    * never dups against itself. Replays of a failed batch re-append
-    * band rows — duplicate state rows only re-flag the same dups
-    * (dedup decisions are distinct'd), so output stays correct; clear
-    * per-batch staging as in [[appendNativeIdempotent]] if exact state
-    * size matters. */
+    * pre-batch state) BEFORE this batch's band rows land, so a doc
+    * never dups against itself. Output and state are PER-BATCH dirs
+    * written with overwrite semantics, so a replay of a failed batch
+    * fully supersedes the earlier attempt — no duplicated kept rows,
+    * no double-counted state (the [[appendNativeIdempotent]]
+    * discipline). */
   def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
-      stateDir: String, outDir: String, shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16,
+      stateDir: String, outDir: String, batchId: Long = 0L,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tauNum: Int = 7, tauDen: Int = 10): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
@@ -426,9 +426,27 @@ object Ingest {
       .where(col("ida") < col("idb") &&
         Dedup.estJaccardOk(col("siga"), col("sigb"), numHashes, tauNum, tauDen))
       .select(col("idb").as("id"))
+    // PRIOR batches only: a replayed batch must not see the failed
+    // attempt's own band rows (estJ(sig, sig) = 1 — every doc would dup
+    // against itself), so the current batchId's subdir is excluded from
+    // the read rather than relying on write order
+    val priorState: List[String] = {
+      val stateP = java.nio.file.Paths.get(stateDir)
+      if (!java.nio.file.Files.exists(stateP)) Nil
+      else {
+        val s = java.nio.file.Files.list(stateP)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString != s"b$batchId")
+            .map(_.toString).toList
+        } finally s.close()
+      }
+    }
     val dup =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))) {
-        val seen = spark.read.parquet(stateDir)
+      if (priorState.nonEmpty) {
+        val seen = spark.read.parquet(priorState: _*)
         val crossDup = br.select(col("band"), col("bhash"), col("id"), col("sig"))
           .join(seen.select(col("band"), col("bhash"), col("sig").as("siga")),
             Seq("band", "bhash"))
@@ -439,8 +457,8 @@ object Ingest {
       } else intraDup
     val dupIds = dup.distinct()
     val kept = batch.join(dupIds, batch(idCol) === dupIds("id"), "left_anti")
-    kept.write.mode("append").parquet(outDir) // materializes vs OLD state
-    br.write.mode("append").parquet(stateDir)
+    kept.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    br.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
     br.unpersist()
   }
 
@@ -453,8 +471,8 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        nearDupBatch(b, idCol, textCol, stateDir, outDir)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        nearDupBatch(b, idCol, textCol, stateDir, outDir, batchId)
       }
       .start()
 }

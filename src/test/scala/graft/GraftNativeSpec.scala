@@ -311,6 +311,29 @@ class GraftNativeSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves native-type overrides (narrow widths survive the rewrite)") {
+    val dir = tmp()
+    val minuteNs = 60000000000L
+    val overrides = Map("ts" -> s"ts2@$minuteNs", "i8v" -> "i8",
+      "u64v" -> "u64", "s8" -> "sym8")
+    val rows = Seq(
+      (1L, 0L * minuteNs, 7.toByte, (1L << 40) + 7L, "A"),
+      (2L, 5L * minuteNs, (-7).toByte, 0L, "B"),
+      (3L, 9L * minuteNs, 0.toByte, Long.MaxValue, "A"))
+      .toDF("id", "ts", "i8v", "u64v", "s8")
+    GraftNative.write(rows.repartition(3), dir, overrides)
+    assert(blockNames(dir).size == 3)
+    GraftNative.compactBlocks(spark, dir, 1)
+    assert(blockNames(dir).size == 1)
+    // values intact AND the files are still the declared narrow widths
+    val back = spark.read.format("graft-native").load(dir)
+    assert(back.orderBy("id").collect().toSeq ==
+      rows.orderBy("id").collect().toSeq)
+    val b = blockNames(dir).head
+    assert(Files.size(java.nio.file.Paths.get(dir, b, "i8v.bin")) == 3)
+    assert(Files.size(java.nio.file.Paths.get(dir, b, "ts.bin")) == 8 + 3 * 2)
+  }
+
   test("blocks option restricts the scan to the named block dirs") {
     val dir = tmp()
     GraftNative.write(Seq((1L, "a")).toDF("id", "s").repartition(1), dir)

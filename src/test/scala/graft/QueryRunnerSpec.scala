@@ -207,6 +207,9 @@ class QueryRunnerSpec extends SparkSpec {
       assert(ec == 400 && eb.contains("unknown op"), s"$ec $eb")
       assert(get("/symbols/onlytable")._1 == 400)
       assert(get("/nope")._1 == 404)
+      // dot-segment table names must not escape the root dir
+      val (tc, tb) = get("/symbols/%2e%2e/sym")
+      assert(tc == 400 && tb.contains("invalid table name"), s"$tc $tb")
     } finally server.stop()
   }
 }

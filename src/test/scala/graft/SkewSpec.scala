@@ -56,31 +56,34 @@ class SkewSpec extends SparkSpec {
     assert(hot / total > 0.4 && hot / total < 0.6, s"hot share ${hot / total}")
   }
 
-  test("hot-key wall time stays within ~2x of the uniform-key run") {
-    // warm both paths once, then compare min-of-2 wall times with a
-    // generous absolute floor (suite runs in parallel on a shared box;
-    // the per-round bench rows skew2-4 are the precise signal)
-    def time2(f: => Unit): Double = {
+  test("hot-key wall time stays within ~3x of the uniform-key run") {
+    // warm both paths once, then compare min-of-3 wall times with a
+    // generous multiplier + absolute floor: this is an ORDER-OF-
+    // MAGNITUDE straggler tripwire (an unmitigated 50% hot key makes
+    // the skewed side many times slower, not 2-3x), loose enough that
+    // GC pauses / parallel suites on a shared box don't flake it —
+    // the per-round bench rows skew2-4 are the precise signal
+    def timeN(f: => Unit): Double = {
       f // warm
-      (1 to 2).map { _ =>
+      (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val uniform = time2(graft.queries.Windows.asofJoin(spark, sf001)
+    val uniform = timeN(graft.queries.Windows.asofJoin(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    val hot = time2(graft.queries.Windows.asofJoinHot(spark, sf001)
+    val hot = timeN(graft.queries.Windows.asofJoinHot(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    assert(hot <= uniform * 2 + 1.5, s"hot $hot s vs uniform $uniform s")
-    val uniformEwma = time2(graft.queries.Events.ewmaValue(spark, sf001)
+    assert(hot <= uniform * 3 + 3.0, s"hot $hot s vs uniform $uniform s")
+    val uniformEwma = timeN(graft.queries.Events.ewmaValue(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    val hotEwma = time2(graft.queries.Events.ewmaValueHot(spark, sf001)
+    val hotEwma = timeN(graft.queries.Events.ewmaValueHot(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    assert(hotEwma <= uniformEwma * 2 + 1.5, s"hot $hotEwma s vs uniform $uniformEwma s")
-    val uniformFunnel = time2(graft.queries.Events.funnel(spark, sf001)
+    assert(hotEwma <= uniformEwma * 3 + 3.0, s"hot $hotEwma s vs uniform $uniformEwma s")
+    val uniformFunnel = timeN(graft.queries.Events.funnel(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    val hotFunnel = time2(graft.queries.Events.funnelHot(spark, sf001)
+    val hotFunnel = timeN(graft.queries.Events.funnelHot(spark, sf001)
       .write.format("noop").mode("overwrite").save())
-    assert(hotFunnel <= uniformFunnel * 2 + 1.5,
+    assert(hotFunnel <= uniformFunnel * 3 + 3.0,
       s"hot $hotFunnel s vs uniform $uniformFunnel s")
   }
 }

@@ -415,12 +415,14 @@ class StreamingSpec extends SparkSpec {
     val stateDir = Files.createTempDirectory("neardup_state_").toString + "/st"
     val outDir = Files.createTempDirectory("neardup_out_").toString + "/out"
     // three id-ordered micro-batches through the incremental path
-    all.grouped((all.length + 2) / 3).foreach { chunk =>
+    all.grouped((all.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
       Ingest.nearDupBatch(chunk.toIndexedSeq.toDF(), "doc_id", "text",
-        stateDir, outDir)
+        stateDir, outDir, batchId = i.toLong)
     }
-    val streamedKept = spark.read.parquet(outDir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def keptIds(dir: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val streamedKept = keptIds(outDir)
     val batchFlags = graft.operators.Dedup
       .minhashFilter(docs, "doc_id", "text")
     val batchKept = batchFlags.where(!col("dup"))
@@ -437,8 +439,16 @@ class StreamingSpec extends SparkSpec {
     val ck2 = Files.createTempDirectory("neardup_ck2_").toString
     val q = Ingest.nearDupStream(mem.toDF(), "doc_id", "text", st2, out2, ck2)
     q.awaitTermination(60000)
-    assert(spark.read.parquet(out2)
-      .select("doc_id").collect().map(_.getLong(0)).toSet == batchKept)
+    assert(keptIds(out2) == batchKept)
+    // a replayed batch id fully supersedes its earlier attempt: same
+    // final id set, no duplicated kept rows
+    Ingest.nearDupBatch(all.toIndexedSeq.toDF(), "doc_id", "text",
+      st2, out2, batchId = 0L)
+    assert(keptIds(out2) == batchKept)
+    val dupRows = spark.read.option("recursiveFileLookup", "true").parquet(out2)
+      .groupBy("doc_id").count()
+      .where(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dupRows == 0L, "replay must not duplicate kept rows")
   }
 
   test("streaming rollup sink maintains the aggregate; replays are no-ops") {

@@ -264,6 +264,31 @@ class ZTableSpec extends SparkSpec {
       .toDF("id", "ts", "sym", "v"), Seq("id"))
     assert(!Files.exists(junk))
     assert(t.df.orderBy("id").collect().toSeq == before)
+    // rollback handles the NESTED _temporary tree a crashed parquet
+    // job leaves behind (a flat delete would throw DirectoryNotEmpty)
+    val junk2 = Paths.get(path, "p_date=2024-01-02.merging")
+    Files.createDirectories(junk2.resolve("_temporary").resolve("0"))
+    Files.writeString(junk2.resolve("_temporary").resolve("0")
+      .resolve("part-x.parquet"), "x")
+    t.merge(Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert(!Files.exists(junk2))
+    // .retiring beside a live target (crash after swap, before cleanup)
+    // is dropped; .retiring with NO live target (crash between the two
+    // renames, staging uncommitted) is restored
+    val retiring = Paths.get(path, "p_date=2024-01-02.retiring")
+    Files.createDirectories(retiring)
+    Files.writeString(retiring.resolve("part-old.parquet"), "old")
+    t.merge(Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert(!Files.exists(retiring) && Files.exists(Paths.get(path, "p_date=2024-01-02")))
+    val part1 = Paths.get(path, "p_date=2024-01-01")
+    val retired1 = Paths.get(path, "p_date=2024-01-01.retiring")
+    Files.move(part1, retired1)
+    t.merge(Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert(Files.exists(part1) && !Files.exists(retired1))
+    assert(t.df.orderBy("id").collect().toSeq == before)
   }
 
   test("merge into an empty table inserts everything; empty delta is a no-op") {
