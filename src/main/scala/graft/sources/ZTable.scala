@@ -50,6 +50,56 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
 
   val partCol = "p_date"
 
+  private def lsDir(d: java.nio.file.Path): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    try s.iterator.asScala.toList finally s.close()
+  }
+
+  /** Recursive delete — crashed parquet jobs leave nested `_temporary`
+    * trees a flat delete would choke on. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) lsDir(p).foreach(rmTree)
+    Files.delete(p)
+  }
+
+  /** Two-RENAME partition swap shared by every copy-on-write rewrite
+    * (compact / deleteWhere / merge): target -> .retiring, fully-written
+    * staging -> target, then drop the retired copy. Never a file-by-file
+    * delete of live data, so with [[recoverSwaps]] every crash point
+    * leaves a complete copy under exactly one name. */
+  private def swapIn(dir: java.nio.file.Path, tmp: java.nio.file.Path): Unit = {
+    val retired = dir.resolveSibling(dir.getFileName.toString + ".retiring")
+    Files.move(dir, retired)
+    Files.move(tmp, dir)
+    rmTree(retired)
+  }
+
+  /** Crash recovery for the copy-on-write rewrites, run on entry to
+    * each mutating op (any op recovers any earlier op's crash):
+    *  - a staging dir whose parquet write committed (_SUCCESS) and
+    *    whose target is gone rolls FORWARD (crash between the renames);
+    *  - any other staging dir is a partial rewrite — rolled back;
+    *  - a .retiring dir beside a live target is post-swap debris —
+    *    dropped; with no live target the swap never happened — the
+    *    original is restored. */
+  private def recoverSwaps(): Unit = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return
+    Seq(".compacting", ".deleting", ".merging").foreach { suf =>
+      lsDir(root).filter(_.getFileName.toString.endsWith(suf)).foreach { tmp =>
+        val target = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(suf))
+        if (!Files.exists(target) && Files.exists(tmp.resolve("_SUCCESS")))
+          Files.move(tmp, target)
+        else rmTree(tmp)
+      }
+    }
+    lsDir(root).filter(_.getFileName.toString.endsWith(".retiring")).foreach { r =>
+      val target = r.resolveSibling(r.getFileName.toString.stripSuffix(".retiring"))
+      if (Files.exists(target)) rmTree(r) else Files.move(r, target)
+    }
+  }
+
   private def withPartCol(df: DataFrame): DataFrame = spec.partitionBy.fmt match {
     case Some(f) => df.withColumn(partCol, date_format(col(spec.tsCol), f))
     case None    => df.withColumn(partCol, lit("all"))
@@ -200,14 +250,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * not just to merge small files). */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Int = {
-    import scala.jdk.CollectionConverters._
-    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(d)
-      try s.iterator.asScala.toList finally s.close()
-    }
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0
-    val parts = ls(root).filter(d => Files.isDirectory(d) &&
+    recoverSwaps()
+    val parts = lsDir(root).filter(d => Files.isDirectory(d) &&
       d.getFileName.toString.startsWith(partCol + "="))
     // Z-order stats: ONE grouped job covers every partition's min/max
     // (grouped rows = #partitions × #keys — stats-sized), instead of one
@@ -241,7 +287,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = parts.map { dir => Future {
-      val dataFiles = ls(dir).filter { f =>
+      val dataFiles = lsDir(dir).filter { f =>
         val n = f.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
@@ -274,10 +320,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
               .drop("z__")
           }
         laid.write.mode("overwrite").parquet(tmp.toString)
-        // swap: tmp is fully written before the old dir disappears
-        ls(dir).foreach(Files.delete)
-        Files.delete(dir)
-        Files.move(tmp, dir)
+        swapIn(dir, tmp) // staging fully written before any rename
         rewritten.incrementAndGet()
       }
     }}
@@ -296,14 +339,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * the scan layout. Partition probes/rewrites dispatch concurrently
     * like compact. Returns the number of rows deleted. */
   def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
-    import scala.jdk.CollectionConverters._
-    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(d)
-      try s.iterator.asScala.toList finally s.close()
-    }
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0L
-    val parts = ls(root).filter(d => Files.isDirectory(d) &&
+    recoverSwaps()
+    val parts = lsDir(root).filter(d => Files.isDirectory(d) &&
       d.getFileName.toString.startsWith(partCol + "="))
     if (parts.isEmpty) return 0L
     // ONE probe job over the whole table (pred pushdown + row-group
@@ -327,9 +366,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .where(!coalesce(pred, lit(false)))
           .sortWithinPartitions(col(spec.tsCol))
           .write.mode("overwrite").parquet(tmp.toString)
-        ls(dir).foreach(Files.delete)
-        Files.delete(dir)
-        Files.move(tmp, dir)
+        swapIn(dir, tmp)
         deleted.addAndGet(hits)
       }}
     Await.result(Future.sequence(jobs), Duration.Inf)
@@ -354,49 +391,17 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * nature, same class as [[compact]]/[[deleteWhere]] maintenance.
     * Returns (replacedRows, writtenRows). */
   def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
-    import scala.jdk.CollectionConverters._
-    def ls(d: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(d)
-      try s.iterator.asScala.toList finally s.close()
-    }
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) ls(p).foreach(rmTree)
-      Files.delete(p)
-    }
     // one source materialization: the delta is re-read for the probe,
     // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val root = Paths.get(path)
-    // recover a crashed earlier merge. The swap is two atomic dir
-    // RENAMES (partition -> .retiring, staging -> partition) — never a
-    // file-by-file delete of live data — so every crash point leaves a
-    // complete copy under exactly one name:
-    //  - staging (.merging) committed (_SUCCESS) and target gone: the
-    //    crash hit between the renames — roll FORWARD;
-    //  - staging present otherwise: partial rewrite — roll back
-    //    (recursive delete: a crashed parquet job leaves _temporary
-    //    trees a flat delete would choke on);
-    //  - .retiring beside a live target: swap completed — drop it;
-    //  - .retiring with NO live target: the forward roll above already
-    //    ran or staging never committed — restore the original.
-    if (Files.exists(root)) {
-      ls(root).filter(_.getFileName.toString.endsWith(".merging")).foreach { tmp =>
-        val target = tmp.resolveSibling(
-          tmp.getFileName.toString.stripSuffix(".merging"))
-        if (!Files.exists(target) && Files.exists(tmp.resolve("_SUCCESS")))
-          Files.move(tmp, target)
-        else rmTree(tmp)
-      }
-      ls(root).filter(_.getFileName.toString.endsWith(".retiring")).foreach { r =>
-        val target = r.resolveSibling(
-          r.getFileName.toString.stripSuffix(".retiring"))
-        if (Files.exists(target)) rmTree(r) else Files.move(r, target)
-      }
-    }
+    // recover any crashed earlier rewrite (see [[recoverSwaps]]); the
+    // swap below is the shared two-rename [[swapIn]] protocol
+    recoverSwaps()
     val parts =
       if (!Files.exists(root)) Nil
-      else ls(root).filter(d => Files.isDirectory(d) &&
+      else lsDir(root).filter(d => Files.isDirectory(d) &&
         d.getFileName.toString.startsWith(partCol + "="))
     // ONE probe job over the whole table finds every affected partition
     // and its hit count (a per-directory probe would launch
@@ -433,10 +438,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .where(col(partCol).cast("string") === pval).drop(partCol))
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("overwrite").parquet(tmp.toString)
-      val retired = dir.resolveSibling(dir.getFileName.toString + ".retiring")
-      Files.move(dir, retired)
-      Files.move(tmp, dir)
-      rmTree(retired)
+      swapIn(dir, tmp)
       replaced.addAndGet(hits)
     }}
     Await.result(Future.sequence(jobs), Duration.Inf)

@@ -291,6 +291,34 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.orderBy("id").collect().toSeq == before)
   }
 
+  test("any mutating op recovers any earlier op's crashed swap (.deleting/.compacting)") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), "B", 2.0)).toDF("id", "ts", "sym", "v"))
+    val before = t.df.orderBy("id").collect().toSeq
+    // crashed deleteWhere: committed .deleting staging, target gone —
+    // a later COMPACT (different op) must roll it forward
+    val part = Paths.get(path, "p_date=2024-01-01")
+    val staged = Paths.get(path, "p_date=2024-01-01.deleting")
+    Files.move(part, staged)
+    if (!Files.exists(staged.resolve("_SUCCESS")))
+      Files.createFile(staged.resolve("_SUCCESS"))
+    t.compact()
+    assert(!Files.exists(staged) && Files.exists(part))
+    assert(t.df.orderBy("id").collect().toSeq == before)
+    // crashed compact: partial .compacting staging (no _SUCCESS) with a
+    // nested tree — a later deleteWhere rolls it back recursively
+    val junk = Paths.get(path, "p_date=2024-01-02.compacting")
+    Files.createDirectories(junk.resolve("_temporary"))
+    Files.writeString(junk.resolve("_temporary").resolve("p.parquet"), "x")
+    t.deleteWhere(col("id") === -999L)
+    assert(!Files.exists(junk))
+    assert(t.df.orderBy("id").collect().toSeq == before)
+  }
+
   test("merge into an empty table inserts everything; empty delta is a no-op") {
     import org.apache.spark.sql.functions._
     val path = tmp()
