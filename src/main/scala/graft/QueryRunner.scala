@@ -19,7 +19,8 @@ import graft.sources.ZTable
   *
   * Request:
   * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
-  *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze",
+  *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze"
+  *       |"dup_spans"|"split",
   *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
   *  "index":"/path/idx", "buckets":256,                // index build
   *  "terms":["spark","merge"], "k":10,                 // search
@@ -71,6 +72,21 @@ object QueryRunner {
         graft.operators.InvertedIndex.search(spark, str("index"),
           list("terms"),
           k = req.get("k").collect { case n: Number => n.intValue }.getOrElse(10))
+      case "dup_spans" => // ExactSubstr span dedup over a document table
+        graft.operators.Dedup.dupSpans(
+          spark.read.parquet(str("docs")),
+          strOpt("id").getOrElse("doc_id"), strOpt("text").getOrElse("text"),
+          k = req.get("k").collect { case n: Number => n.intValue }.getOrElse(8))
+          .orderBy("id")
+      case "split" => // leakage-free train/val/test split (pipe8)
+        val docs = spark.read.parquet(str("docs"))
+        val idc = strOpt("id").getOrElse("doc_id")
+        val txt = strOpt("text").getOrElse("text")
+        val comp = graft.operators.Dedup.components(
+          graft.operators.Dedup.jaccardPairs(
+            graft.operators.Dedup.shingles(docs, idc, txt, 3),
+            thrNum = 4, thrDen = 5, maxDocFreq = 500))
+        graft.operators.Sampling.clusterSplit(docs, idc, comp).orderBy("id")
       case "scan" =>
         table.scan(str("from"), str("to"), list("cols"))
       case "symbols" =>

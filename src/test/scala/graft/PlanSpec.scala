@@ -137,6 +137,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("aggregate("), plan)
   }
 
+  test("d11: span dedup is linear — partial-agg gram counting, no self-join blowup") {
+    val p = executed(graft.queries.DedupQueries.dupSpans(spark, sf001))
+    val plan = p.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // dup-gram detection is a map-side-combined count_distinct, so a
+    // partial aggregate must sit BELOW the gram exchange
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("ANN candidate joins carry ids+signatures, never the dim-width vectors") {
+    // the replicated LSH bucket self-join must not ship the 64-double
+    // vector arrays through its exchange — candidates join the vectors
+    // back afterwards (candidates-then-verify)
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val lsh = executed(graft.operators.Similarity.lshNeighborPairsMulti(
+      emb, "vec_id", "embedding", numPlanes = 6, numTables = 16, threshold = 0.3)) match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // unwrap AQE: collect() does not cross its boundary
+      case p => p
+    }
+    val joins = lsh.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val bucketJoins = joins.filter(_.leftKeys.length == 2) // (tbl, bucket)
+    assert(bucketJoins.nonEmpty, lsh.toString)
+    bucketJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+      assert(!carried.exists(n => n == "v" || n.startsWith("va") || n.startsWith("vb")),
+        s"bucket join carries vectors: $carried")
+    }
+  }
+
   test("ohlcv resample shuffles exactly once") {
     val p = executed(Events.ohlcvResample(spark, sf001))
     // partial agg -> single exchange on (window, type) -> final agg + sort

@@ -123,6 +123,21 @@ class QueryRunnerSpec extends SparkSpec {
     assert(hits == direct)
   }
 
+  test("dup_spans and split requests run the curation ops over raw parquet") {
+    val spans = QueryRunner.run(spark,
+      s"""{"op":"dup_spans","docs":"$sf001/documents.parquet","k":8}""")
+    assert(spans.columns.toSeq ==
+      Seq("id", "n_tokens", "n_dup_windows", "dup_token_mass"))
+    assert(spans.count() == 500)
+    assert(spans.where(org.apache.spark.sql.functions.col("n_dup_windows") > 0)
+      .count() > 0, "planted near-dups must surface duplicate windows")
+    val split = QueryRunner.run(spark,
+      s"""{"op":"split","docs":"$sf001/documents.parquet"}""")
+    assert(split.columns.toSeq == Seq("id", "root", "split"))
+    assert(split.count() == 500)
+    assert(split.select("split").distinct().count() == 3)
+  }
+
   test("analyze request profiles every column in one pass") {
     val path = mkTable()
     val prof = QueryRunner.run(spark, s"""{"op":"analyze","table":"$path"}""")
