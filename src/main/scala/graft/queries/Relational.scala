@@ -492,4 +492,59 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS exact_users,
       |  CAST(TRUE AS BOOLEAN) AS hll_ok
       |FROM events""".stripMargin
+
+  /** A14: mergeable QUANTILE sketch rollup — the quantile face of a13
+    * (HLL : distinct :: bottom-k : quantiles). Day-grain
+    * [[graft.functions.BottomKSketch]] sketches (k smallest
+    * (md5(event_id), event_id) rows — a seedless deterministic sample)
+    * are exploded and re-aggregated through the SAME aggregator: the
+    * union-merge is lossless by construction, so any date range's
+    * quantiles come from day sketches without rescanning raw data.
+    * Because the sample is deterministic, the ESTIMATES themselves are
+    * exactly SQL-derivable — the oracle recomputes the identical
+    * bottom-512 sample and nearest-rank values and hash-gates them (no
+    * error-bound flag needed); `merge_ok` additionally pins that the
+    * rolled-up sketch bit-equals the single-pass sketch. */
+  def quantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sk = graft.functions.BottomKSketch(512)
+    val typed = Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        md5(col("event_id").cast("string").cast("binary")).as("pri"),
+        col("event_id"), col("value"))
+      .as[(String, String, Long, Double)]
+    val day = typed.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(sk.toColumn.name("sk"))
+      .toDF("day", "sk")
+    val nDays = day.count()
+    val merged = day
+      .select(explode(arrays_zip(col("sk.pri").as("pri"),
+        col("sk.id").as("id"), col("sk.v").as("v"))).as("e"))
+      .select(col("e.pri"), col("e.id"), col("e.v"))
+      .as[(String, Long, Double)]
+      .select(sk.toColumn).head
+    val direct = typed.map(t => (t._2, t._3, t._4)).select(sk.toColumn).head
+    val mergeOk = merged.pri.sameElements(direct.pri) &&
+      merged.id.sameElements(direct.id) && merged.v.sameElements(direct.v)
+    Seq((nDays, merged.pri.length.toLong,
+        graft.functions.BottomKSketch.quantile(merged, 0.5),
+        graft.functions.BottomKSketch.quantile(merged, 0.9), mergeOk))
+      .toDF("n_days", "n_sample", "q50_est", "q90_est", "merge_ok")
+  }
+
+  val quantileRollupSql: String =
+    """WITH bk AS (
+      |  SELECT value FROM (
+      |    SELECT value, md5(CAST(event_id AS VARCHAR)) AS pri, event_id
+      |    FROM events ORDER BY pri, event_id LIMIT 512)),
+      |o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+      |             COUNT(*) OVER () AS n
+      |      FROM bk)
+      |SELECT
+      |  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events) AS n_days,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_sample,
+      |  (SELECT value FROM o WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))) AS q50_est,
+      |  (SELECT value FROM o WHERE rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))) AS q90_est,
+      |  TRUE AS merge_ok""".stripMargin
 }

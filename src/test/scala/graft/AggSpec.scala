@@ -9,6 +9,34 @@ import graft.queries.Relational
   * configured relative error of the exact distinct counts. */
 class AggSpec extends SparkSpec {
 
+  test("bottom-k quantile sketch: lossless merge on any split, exact at n <= k") {
+    import graft.functions.BottomKSketch
+    val sk = BottomKSketch(8)
+    val rows = (1L to 30L).map(i => (f"${(i * 7) % 30}%02d-$i", i, i * 1.5))
+    val whole = sk.finish(rows.foldLeft(sk.zero)(sk.reduce))
+    for (cut <- Seq(1, 11, 29)) {
+      val (a, b) = rows.splitAt(cut)
+      val merged = sk.finish(sk.merge(
+        a.foldLeft(sk.zero)(sk.reduce), b.foldLeft(sk.zero)(sk.reduce)))
+      assert(merged.pri.toSeq == whole.pri.toSeq &&
+        merged.id.toSeq == whole.id.toSeq && merged.v.toSeq == whole.v.toSeq,
+        s"merge at $cut diverged")
+    }
+    // n <= k: the sketch IS the data, nearest-rank quantiles are exact
+    val wide = BottomKSketch(100)
+    val all = sk.finish(rows.take(10).foldLeft(wide.zero)(wide.reduce))
+    assert(BottomKSketch.quantile(all, 0.5) == rows.take(10).map(_._3).sorted.apply(4))
+    assert(BottomKSketch.quantile(all, 1.0) == rows.take(10).map(_._3).max)
+    assert(BottomKSketch.quantile(all, 0.01) == rows.take(10).map(_._3).min)
+  }
+
+  test("a14 rollup: merged day sketches equal the single-pass sketch (sf0.001)") {
+    val r = Relational.quantileRollup(spark, sf001).head
+    assert(r.getAs[Boolean]("merge_ok"))
+    assert(r.getAs[Long]("n_sample") == 512L)
+    assert(r.getAs[Double]("q50_est") <= r.getAs[Double]("q90_est"))
+  }
+
   test("session_window matches an independent gaps-and-islands formulation (sf0.001)") {
     // Cross-formulation gate for st5: the session_window operator vs a
     // lag + cumulative-sum island assignment over the same events.

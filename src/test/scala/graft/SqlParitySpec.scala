@@ -34,6 +34,8 @@ class SqlParitySpec extends SparkSpec {
     "d11_dup_spans",
     // pipe8: recursive CTE + string_split (d7's cluster rebuild)
     "pipe8_leakage_split",
+    // a14: bare VARCHAR cast + DuckDB md5-over-string
+    "a14_quantile_sketch",
     // round-2 tail: string_split/list_filter (search1, lm1, d8 shares
     // d6's SQL), 4-arg regexp_replace + len() (pipe5),
     // generate_series+unnest grid (a12); unnest vocab (t10, f8)
