@@ -25,7 +25,9 @@ case class QSketchBuf(pri: Array[String], id: Array[Long], v: Array[Double])
   *
   * Map-side partials fold before the exchange; the shuffle carries one
   * <= k-row buffer per (group, partition) — never the data. Buffers
-  * append lazily and compact at 2k, so per-row cost is O(1) amortized.
+  * append lazily and compact at 2k; the immutable-array append makes
+  * per-row cost O(k) amortized (bounded by the sketch size, not the
+  * data) — swap the buffer for a mutable reservoir if k grows large.
   */
 case class BottomKSketch(k: Int)
     extends Aggregator[(String, Long, Double), QSketchBuf, QSketchBuf] {

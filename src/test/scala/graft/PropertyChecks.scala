@@ -235,6 +235,38 @@ object PropertyChecks extends Properties("graft") {
         got == want
     }
 
+  property("BottomKSketch merge is lossless for any split and merge order") =
+    Prop.forAll(for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        pri <- Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+        id <- Gen.choose(0L, 999L)
+        v <- Gen.choose(-1000, 1000).map(_ / 10.0)
+      } yield (pri, id, v))
+      k <- Gen.choose(1, 8)
+      parts <- Gen.choose(1, 6)
+      leftFold <- Gen.oneOf(true, false)
+      // real use has pri = md5(id): (pri, id) keys are unique
+    } yield (rows.distinctBy(r => (r._1, r._2)), k, parts, leftFold)) {
+        case (rows, k, parts, leftFold) =>
+      val agg = graft.functions.BottomKSketch(k)
+      val buffers = rows.zipWithIndex
+        .groupBy(_._2 % parts).values.toList
+        .map(part => part.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(
+        if (leftFold) buffers.foldLeft(agg.zero)(agg.merge)
+        else buffers.foldRight(agg.zero)((b, acc) => agg.merge(acc, b)))
+      // oracle: the global bottom-k by (pri, id) of a single pass
+      val single = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+      val expected = rows.sortBy(r => (r._1, r._2)).take(k)
+      merged.pri.toSeq == single.pri.toSeq &&
+        merged.id.toSeq == single.id.toSeq &&
+        merged.v.toSeq == single.v.toSeq &&
+        merged.pri.toSeq == expected.map(_._1) &&
+        merged.id.toSeq == expected.map(_._2) &&
+        merged.v.toSeq == expected.map(_._3)
+    }
+
   property("BPE encode: expression == driver encode; word <= tokens <= chars") =
     Prop.forAll(Gen.nonEmptyListOf(word), mergeTable) { (words, merges) =>
       val rank = merges.zipWithIndex.toMap
