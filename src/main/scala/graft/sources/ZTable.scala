@@ -63,6 +63,32 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     Files.delete(p)
   }
 
+  /** Per-table mutation lock (JVM-wide, keyed by normalized path).
+    * Serializes append/compact/deleteWhere/merge with each other and
+    * with read-side crash recovery: the [[recoverSwaps]] sweep would
+    * otherwise delete a LIVE op's staging dirs or resurrect its
+    * mid-swap target. Cross-PROCESS writers still need external
+    * coordination (the production answer is manifest commits, noted in
+    * [[compact]]'s scaladoc); reads never block unless they detect
+    * crash debris. */
+  private def lock: Object = ZTable.lockFor(path)
+
+  private val swapSuffixes = Seq(".compacting", ".deleting", ".merging", ".retiring")
+
+  /** Read-path guard: a crash between [[swapIn]]'s renames leaves
+    * `p_date=X.retiring` / staging dirs that Spark partition discovery
+    * would parse as partition VALUES — double-counting (debris beside a
+    * live target) or silently dropping (mid-swap) that partition's rows.
+    * Reads check the root listing (one cheap ls) and only take the
+    * mutation lock when debris exists — so a read during a live rewrite
+    * waits for it to finish and then finds nothing to recover. */
+  private def maybeRecover(): Unit = {
+    val root = Paths.get(path)
+    if (Files.exists(root) && lsDir(root).exists(d =>
+        swapSuffixes.exists(d.getFileName.toString.endsWith)))
+      lock.synchronized { recoverSwaps() }
+  }
+
   /** Two-RENAME partition swap shared by every copy-on-write rewrite
     * (compact / deleteWhere / merge): target -> .retiring, fully-written
     * staging -> target, then drop the retired copy. Never a file-by-file
@@ -121,7 +147,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * I/O at scale); an out-of-order row aborts the write job before the
     * committer publishes any file, and only the (tiny, column-pruned)
     * last-ts lookup touches the existing table. */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = lock.synchronized {
     val data = floorResolution(df)
     val checked =
       if (spec.strictOrder && hasData) {
@@ -163,13 +189,17 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     }
   }
 
-  def df: DataFrame = spark.read.parquet(path).drop(partCol)
+  def df: DataFrame = {
+    maybeRecover()
+    spark.read.parquet(path).drop(partCol)
+  }
 
   /** Time-range scan, inclusive bounds (reference `src/table/scan.rs:62-88`).
     * Adds the derived partition predicate so users filtering only on ts
     * still get directory pruning (SURVEY.md §4), plus the ts predicate
     * that reaches row-group stats. */
   def scan(fromTs: String, toTs: String, cols: Seq[String] = Nil): DataFrame = {
+    maybeRecover()
     val base = spark.read.parquet(path)
     val from = lit(fromTs).cast(TimestampType)
     val to = lit(toTs).cast(TimestampType)
@@ -217,6 +247,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * `scripts/convert_col.jl:28-60` rewrites a column file across all
     * partitions; here it's a single declarative cast + rewrite). */
   def migrateColumn(colName: String, newType: String, outPath: String): ZTable = {
+    maybeRecover()
     val out = ZTable.create(spark, outPath, spec)
     val migrated = spark.read.parquet(path)
       .withColumn(colName, col(colName).cast(newType))
@@ -249,7 +280,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * clusterBy compaction always rewrites (it exists to change layout,
     * not just to merge small files). */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil): Int = lock.synchronized {
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0
     recoverSwaps()
@@ -282,6 +313,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .agg(statCols.head, statCols.tail: _*)
         .collect().map(r => r.getAs[String]("p__") -> r).toMap
     }
+    // force the stats scan BEFORE any staging dir exists: it lists the
+    // table root, and a concurrent partition job's .compacting dir
+    // would land in its partition discovery
+    if (clusterBy.nonEmpty && parts.nonEmpty) { val _ = (linearCol, statsByPart) }
     val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -338,7 +373,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * never rewritten; affected ones rewrite once, ts-sorted, preserving
     * the scan layout. Partition probes/rewrites dispatch concurrently
     * like compact. Returns the number of rows deleted. */
-  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long = lock.synchronized {
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0L
     recoverSwaps()
@@ -390,7 +425,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * deliberately bypassed: an upsert into history is out-of-order by
     * nature, same class as [[compact]]/[[deleteWhere]] maintenance.
     * Returns (replacedRows, writtenRows). */
-  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = lock.synchronized {
     // one source materialization: the delta is re-read for the probe,
     // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
@@ -492,4 +527,13 @@ object ZTable {
   def createOrOpen(spark: SparkSession, path: String, spec: ZTableSpec): ZTable =
     if (Files.exists(Paths.get(path, "_meta.json"))) open(spark, path)
     else create(spark, path, spec)
+
+  /** JVM-wide per-path mutation locks — two ZTable instances over the
+    * same directory (e.g. a streaming ingest and an ad-hoc compact)
+    * must share one monitor, so the lock is keyed by normalized path,
+    * not held per instance. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(path: String): Object =
+    locks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
 }

@@ -291,6 +291,38 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.orderBy("id").collect().toSeq == before)
   }
 
+  test("READS recover crash debris: no double-count, no silently-missing day") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), "B", 2.0)).toDF("id", "ts", "sym", "v"))
+    val before = t.df.orderBy("id").collect().toSeq
+    // crash after swapIn's second rename, before cleanup: a full
+    // .retiring COPY beside the live target — partition discovery would
+    // parse it as p_date="2024-01-01.retiring" and double-count day 1
+    val part = Paths.get(path, "p_date=2024-01-01")
+    val retired = Paths.get(path, "p_date=2024-01-01.retiring")
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).forEach { f =>
+        if (Files.isDirectory(f)) copyTree(f, dst.resolve(f.getFileName))
+        else Files.copy(f, dst.resolve(f.getFileName))
+      }
+    }
+    copyTree(part, retired)
+    assert(t.df.count() == 2, "df must not double-count .retiring debris")
+    assert(!Files.exists(retired))
+    // crash BETWEEN the renames: the day exists only as .retiring — a
+    // plain partition-pruned scan would silently return zero rows for it
+    Files.move(part, retired)
+    val day1 = t.scan("2024-01-01 00:00:00", "2024-01-01 23:59:59")
+    assert(day1.count() == 1, "scan must restore the mid-swap day")
+    assert(Files.exists(part) && !Files.exists(retired))
+    assert(t.df.orderBy("id").collect().toSeq == before)
+  }
+
   test("any mutating op recovers any earlier op's crashed swap (.deleting/.compacting)") {
     import org.apache.spark.sql.functions._
     val path = tmp()
