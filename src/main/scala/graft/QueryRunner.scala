@@ -82,10 +82,7 @@ object QueryRunner {
         val docs = spark.read.parquet(str("docs"))
         val idc = strOpt("id").getOrElse("doc_id")
         val txt = strOpt("text").getOrElse("text")
-        val comp = graft.operators.Dedup.components(
-          graft.operators.Dedup.jaccardPairs(
-            graft.operators.Dedup.shingles(docs, idc, txt, 3),
-            thrNum = 4, thrDen = 5, maxDocFreq = 500))
+        val comp = graft.operators.Dedup.nearDupComponents(docs, idc, txt)
         graft.operators.Sampling.clusterSplit(docs, idc, comp).orderBy("id")
       case "scan" =>
         table.scan(str("from"), str("to"), list("cols"))

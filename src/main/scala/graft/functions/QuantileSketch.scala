@@ -59,6 +59,7 @@ object BottomKSketch {
   /** Nearest-rank quantile of a finished sketch: the value at
     * ceil(q·n) of the value-sorted sample (1-based, integer rank). */
   def quantile(s: QSketchBuf, q: Double): Double = {
+    require(s.v.nonEmpty, "quantile of an empty sketch (no input rows)")
     val sorted = s.v.sorted
     sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
   }

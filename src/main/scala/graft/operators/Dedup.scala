@@ -355,6 +355,18 @@ object Dedup {
     comp
   }
 
+  /** Near-duplicate CLUSTERS of a document table in one call: word
+    * n-gram shingles -> exact-Jaccard pair mining -> connected
+    * components. This is THE near-dup grouping the pipeline surface
+    * builds on (pipe8's leakage-free split, the runner's `split` op) —
+    * one definition so the thresholds cannot drift between the
+    * oracle-gated query and the serving path. Returns (id, comp). */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Int = 4, thrDen: Int = 5,
+      maxDocFreq: Int = 500): DataFrame =
+    components(jaccardPairs(shingles(docs, idCol, textCol, n),
+      thrNum, thrDen, maxDocFreq))
+
   /** Connected components by ALTERNATING SMALL-STAR / LARGE-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the deep-diameter variant [[components]]' scaladoc points to: the

@@ -279,10 +279,7 @@ object PipelineQueries {
   def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Sampling}
     val docs = Tables.documents(spark, dir)
-    val comp = Dedup.components(
-      Dedup.jaccardPairs(
-        Dedup.shingles(docs, "doc_id", "text", 3),
-        thrNum = 4, thrDen = 5, maxDocFreq = 500))
+    val comp = Dedup.nearDupComponents(docs, "doc_id", "text")
     Sampling.clusterSplit(docs, "doc_id", comp)
       .select(col("id").as("doc_id"), col("root"), col("split"))
       .orderBy("doc_id")

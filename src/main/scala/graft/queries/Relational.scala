@@ -513,10 +513,13 @@ object Relational {
         md5(col("event_id").cast("string").cast("binary")).as("pri"),
         col("event_id"), col("value"))
       .as[(String, String, Long, Double)]
+    // persisted: the day aggregation feeds both the count and the
+    // rollup — without it each action re-runs the raw-events pass
     val day = typed.groupByKey(_._1)
       .mapValues(t => (t._2, t._3, t._4))
       .agg(sk.toColumn.name("sk"))
       .toDF("day", "sk")
+      .persist()
     val nDays = day.count()
     val merged = day
       .select(explode(arrays_zip(col("sk.pri").as("pri"),
@@ -524,6 +527,8 @@ object Relational {
       .select(col("e.pri"), col("e.id"), col("e.v"))
       .as[(String, Long, Double)]
       .select(sk.toColumn).head
+    day.unpersist()
+    // the single-pass scan is the point: it verifies the rollup
     val direct = typed.map(t => (t._2, t._3, t._4)).select(sk.toColumn).head
     val mergeOk = merged.pri.sameElements(direct.pri) &&
       merged.id.sameElements(direct.id) && merged.v.sameElements(direct.v)

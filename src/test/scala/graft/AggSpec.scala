@@ -24,7 +24,7 @@ class AggSpec extends SparkSpec {
     }
     // n <= k: the sketch IS the data, nearest-rank quantiles are exact
     val wide = BottomKSketch(100)
-    val all = sk.finish(rows.take(10).foldLeft(wide.zero)(wide.reduce))
+    val all = wide.finish(rows.take(10).foldLeft(wide.zero)(wide.reduce))
     assert(BottomKSketch.quantile(all, 0.5) == rows.take(10).map(_._3).sorted.apply(4))
     assert(BottomKSketch.quantile(all, 1.0) == rows.take(10).map(_._3).max)
     assert(BottomKSketch.quantile(all, 0.01) == rows.take(10).map(_._3).min)
