@@ -241,7 +241,7 @@ object GraftNative {
     * ZTable.compact. Stats/dict sidecars regenerate with the new
     * blocks. Returns the number of blocks replaced. */
   def compactBlocks(spark: org.apache.spark.sql.SparkSession, dir: String,
-      numBlocks: Int): Int = {
+      numBlocks: Int): Int = lockFor(dir).synchronized {
     val tmp = dir + ".compacting"
     recoverCompaction(dir)
     // SNAPSHOT the block list before planning the rewrite scan, read
@@ -281,6 +281,34 @@ object GraftNative {
 
   private[sources] val CommitFile = "_commit"
 
+  /** JVM-wide per-table locks (normalized dir): a read rolling a
+    * committed compaction forward must not race the live compactBlocks
+    * doing the same swap (two concurrent [[finishCompaction]] passes
+    * race on the deletes/moves). Appends stay lock-free — the snapshot
+    * discipline in [[compactBlocks]] already makes them safe. Cross-
+    * process coordination is out of scope (manifest commits are the
+    * production answer). */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    locks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Read-path guard: a crash AFTER [[compactBlocks]]' commit point
+    * leaves the table mid-swap — some retired blocks deleted, the
+    * rewritten ones still in the sibling staging dir — and a scan would
+    * silently miss those rows until the next compaction. Loads roll a
+    * COMMITTED staging forward under the table lock. An UNCOMMITTED
+    * staging is left alone: it is either a live compaction's
+    * work-in-progress (invisible to reads, and deleting it would abort
+    * that compaction) or harmless debris the next compaction rolls
+    * back. */
+  private[sources] def maybeRecover(dir: String): Unit = {
+    val commit = Paths.get(dir + ".compacting", CommitFile)
+    if (Files.exists(commit)) lockFor(dir).synchronized {
+      if (Files.exists(commit)) finishCompaction(dir)
+    }
+  }
+
   /** Block dirs of a table (shared helper for compaction/replay cleanup). */
   private[graft] def listBlockDirs(dir: String): Seq[Path] =
     listDir(Paths.get(dir))
@@ -317,7 +345,7 @@ object GraftNative {
     * commit marker is rolled forward (the rewrite was complete); one
     * without is rolled back by deleting it (the source blocks were
     * never touched before the commit point, so no data is lost). */
-  def recoverCompaction(dir: String): Unit = {
+  def recoverCompaction(dir: String): Unit = lockFor(dir).synchronized {
     val tmpP = Paths.get(dir + ".compacting")
     if (!Files.exists(tmpP)) return
     if (Files.exists(tmpP.resolve(CommitFile))) finishCompaction(dir)
@@ -464,8 +492,13 @@ class GraftNativeSource extends TableProvider with DataSourceRegister {
     require(p != null, "graft-native requires a path")
     p
   }
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // every load passes through here — the one read-side hook where a
+    // crashed-but-committed compaction can be rolled forward before
+    // block listing happens (see GraftNative.maybeRecover)
+    GraftNative.maybeRecover(path(options))
     GraftNative.schemaOf(path(options))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftNativeTable(properties.get("path"), schema)

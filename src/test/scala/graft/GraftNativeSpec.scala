@@ -264,6 +264,43 @@ class GraftNativeSpec extends SparkSpec {
       .orderBy("id").collect().toSeq == before)
   }
 
+  test("READS roll a committed compaction forward (no missing rows mid-swap)") {
+    val dir = tmp()
+    val df = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v").repartition(4)
+    GraftNative.write(df, dir)
+    val before = spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq
+    // crash state: commit marker written, retire/move NOT started, and
+    // the worst face — one old block already deleted, so without
+    // roll-forward a plain load would silently return a subset
+    val tmpDir = dir + ".compacting"
+    val oldBlocks = blockNames(dir)
+    GraftNative.write(spark.read.format("graft-native").load(dir)
+      .repartition(1), tmpDir)
+    blockNames(tmpDir).zipWithIndex.foreach { case (b, i) =>
+      Files.move(java.nio.file.Paths.get(tmpDir, b),
+        java.nio.file.Paths.get(tmpDir, f"block-g1-$i%05d"))
+    }
+    Files.write(java.nio.file.Paths.get(tmpDir, "_commit"),
+      oldBlocks.mkString("\n").getBytes("UTF-8"))
+    val gone = java.nio.file.Paths.get(dir, oldBlocks.head)
+    GraftNative.listBlockDirs(dir).find(_.getFileName.toString == oldBlocks.head)
+      .foreach(GraftNative.deleteBlockDir)
+    assert(!Files.exists(gone))
+    // a PLAIN load — no recoverCompaction call — must see all rows
+    assert(spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq == before)
+    assert(!Files.exists(java.nio.file.Paths.get(tmpDir)))
+    // an UNCOMMITTED staging is untouched by reads (it may be a live
+    // compaction's work-in-progress) and the table reads normally
+    GraftNative.write(df.limit(5), tmpDir)
+    assert(spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq == before)
+    assert(Files.exists(java.nio.file.Paths.get(tmpDir)))
+    GraftNative.recoverCompaction(dir) // next mutating op rolls it back
+    assert(!Files.exists(java.nio.file.Paths.get(tmpDir)))
+  }
+
   test("full reference width set roundtrips bitwise (i8..u64, sym8/16, ts2)") {
     val dir = tmp()
     val minuteNs = 60000000000L
