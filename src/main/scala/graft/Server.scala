@@ -39,10 +39,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private def respond(ex: HttpExchange, code: Int, body: String,
       ct: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("content-type", ct)
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    try { // close even when the client vanished mid-write
+      ex.getResponseHeaders.set("content-type", ct)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
   }
 
   private def runToJson(json: String): String =
@@ -102,7 +103,10 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
       }
     } catch {
       case e: Throwable =>
-        respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        // if the 200 headers already went out (failure mid-write), a
+        // second sendResponseHeaders throws — just close the exchange
+        try respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        catch { case _: Exception => ex.close() }
     })
 
   /** Start listening; returns the bound port (ephemeral when port=0). */

@@ -137,6 +137,16 @@ object GraftNative {
       StructField(name, sparkOf(native), nullable = false)
     })
 
+  /** Native codes for DECODING one block: a block-local meta sidecar —
+    * written when compaction had to widen a column (e.g. ts2 -> i64)
+    * past what the table meta declares — overrides the table's. The
+    * Spark-facing schema never changes (a ts column is i64 nanos at
+    * either width), so per-block widths compose with concurrent
+    * appends that still encode at the table's declared widths. */
+  private[sources] def nativesOfBlock(block: String): Array[(String, String)] =
+    if (Files.exists(Paths.get(block, MetaFile))) nativesOf(block)
+    else nativesOf(Paths.get(block).getParent.toString)
+
   /** Distributed fixture/ingest writer: one `block-<partition>` dir per
     * input partition (executors share the filesystem on local[*]; on a
     * cluster this would target a DFS path via the Hadoop FS API). */
@@ -176,10 +186,28 @@ object GraftNative {
       f.name -> native
     }
     Files.createDirectories(Paths.get(dir))
+    writeNatives(natives, dir)
+  }
+
+  private def writeNatives(natives: Array[(String, String)], dir: String): Unit = {
     val meta = natives
       .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
       .mkString("""{"cols":[""", ",", "]}")
     Files.write(Paths.get(dir, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Stream-ingest replay high-water mark (written atomically by
+    * `Ingest.appendNativeIdempotent`): the highest batch id whose
+    * blocks are durably complete. -1 when the table has none. */
+  private[graft] val StreamMarkFile = "_last_stream_batch"
+  // exactly the streaming tag shape (b%06d-): a user tag like "b1-"
+  // must not be mistaken for a stream batch and excluded from compaction
+  private val StreamBlockRe = "block-b(\\d{6,})-.*".r
+  private[graft] def streamMark(dir: String): Long = {
+    val p = Paths.get(dir, StreamMarkFile)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else -1L
   }
 
   /** Integral (and compressed-ts) natives read back to a Long for
@@ -249,9 +277,17 @@ object GraftNative {
     // the snapshot: blocks appended concurrently by a streaming ingest
     // are neither folded into the rewrite nor deleted — they simply
     // survive next to the compacted ones.
+    // a stream batch BEYOND the replay high-water mark is a crashed
+    // attempt mid-replay: folding its blocks into g-names would defeat
+    // appendNativeIdempotent's prefix cleanup and the replay would land
+    // the batch twice — leave those blocks under their original names
+    // for the replay to supersede
+    val lastBatch = streamMark(dir)
     val old = listDir(Paths.get(dir))
       .filter(p => p.getFileName.toString.startsWith("block-") && Files.isDirectory(p))
       .map(_.getFileName.toString).sorted
+      .filterNot(n => StreamBlockRe.findFirstMatchIn(n)
+        .exists(_.group(1).toLong > lastBatch))
     if (old.isEmpty) return 0
     // fresh generation tag: rewritten block names can never equal a
     // retired name, so roll-forward recovery can re-run from any point
@@ -259,9 +295,21 @@ object GraftNative {
     val gen = old.flatMap(n =>
       "block-g(\\d+)-.*".r.findFirstMatchIn(n).map(_.group(1).toInt))
       .maxOption.getOrElse(-1) + 1
-    val df = spark.read.format("graft-native")
+    val natives = nativesOf(dir)
+    val narrowTs = natives.collect { case (n, TsRe(w, _)) if w.toInt < 8 => n }
+    val base = spark.read.format("graft-native")
       .option("blocks", old.mkString(","))
-      .load(dir).repartition(numBlocks)
+      .load(dir)
+    // delta-compressed ts stores offsets against a PER-BLOCK min, so a
+    // round-robin merge of far-apart blocks overflows a narrow width
+    // even though every source block was valid — range-partition on
+    // the ts column to keep each output block's span minimal (also the
+    // better layout for block skipping)
+    val df = narrowTs.headOption match {
+      case Some(tsName) => base.repartitionByRange(numBlocks,
+        org.apache.spark.sql.functions.col(tsName))
+      case None => base.repartition(numBlocks)
+    }
     // the rewrite must encode with the TABLE's declared native types
     // (narrow widths, dict codes, compressed ts) — copy the original
     // meta rather than re-deriving defaults from the widened Spark
@@ -269,7 +317,27 @@ object GraftNative {
     Files.createDirectories(Paths.get(tmp))
     Files.copy(Paths.get(dir, MetaFile), Paths.get(tmp, MetaFile),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    appendBlocks(df, tmp, tag = s"g$gen-")
+    try appendBlocks(df, tmp, tag = s"g$gen-")
+    catch {
+      // even range-clustered, a merged block can exceed a narrow ts
+      // width's span, or merge blocks whose mins disagree modulo the
+      // resolution. Losing the delta compression beats a permanently
+      // uncompactable table: retry once with those columns as plain
+      // i64 nanos (bit-identical on read — ts decodes to i64 nanos
+      // either way; the width is a storage detail)
+      case e: Exception if narrowTs.nonEmpty && Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).exists(m =>
+            m.contains("exceeds") && m.contains("width") || m.contains("resolution grid")) =>
+        listBlockDirs(tmp).foreach(deleteBlockDir)
+        val widened = natives.map { case (n, t) =>
+          (n, if (narrowTs.contains(n)) "i64" else t) }
+        writeNatives(widened, tmp)
+        appendBlocks(df, tmp, tag = s"g$gen-")
+        // the TABLE meta must stay at its declared widths (concurrent
+        // appends keep encoding with it) — each widened block instead
+        // carries a block-local meta the readers prefer (nativesOfBlock)
+        listBlockDirs(tmp).foreach(b => writeNatives(widened, b.toString))
+    }
     // COMMIT POINT: once the marker (listing the blocks to retire)
     // exists, the rewrite is durable and recovery can always roll
     // FORWARD; without it, recovery rolls back by discarding tmp.
@@ -293,6 +361,19 @@ object GraftNative {
     locks.computeIfAbsent(
       Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
 
+  /** Second, INNER lock guarding just the swap window (finish /
+    * roll-forward / scan-time block listing). compactBlocks holds the
+    * op lock for its whole (minutes-long) rewrite; scans must not wait
+    * on that — they only need the few milliseconds of
+    * [[finishCompaction]]'s delete+move excluded, or a listing taken
+    * mid-swap sees NEITHER the retired nor the moved-in copy and the
+    * query silently returns partial rows. Order is always op lock →
+    * swap lock; the swap lock is innermost everywhere. */
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def swapLockFor(dir: String): Object =
+    swapLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+
   /** Read-path guard: a crash AFTER [[compactBlocks]]' commit point
     * leaves the table mid-swap — some retired blocks deleted, the
     * rewritten ones still in the sibling staging dir — and a scan would
@@ -304,9 +385,7 @@ object GraftNative {
     * back. */
   private[sources] def maybeRecover(dir: String): Unit = {
     val commit = Paths.get(dir + ".compacting", CommitFile)
-    if (Files.exists(commit)) lockFor(dir).synchronized {
-      if (Files.exists(commit)) finishCompaction(dir)
-    }
+    if (Files.exists(commit)) finishCompaction(dir) // re-checks under its lock
   }
 
   /** Block dirs of a table (shared helper for compaction/replay cleanup). */
@@ -322,18 +401,16 @@ object GraftNative {
   /** Finish a committed compaction: retire the marker's old blocks,
     * move the rewritten blocks in, drop the tmp dir. Idempotent — safe
     * to re-run from any partial state after the commit point. */
-  private def finishCompaction(dir: String): Unit = {
+  private def finishCompaction(dir: String): Unit = swapLockFor(dir).synchronized {
     val tmpP = Paths.get(dir + ".compacting")
+    if (!Files.exists(tmpP.resolve(CommitFile))) return // already finished
     val retire = new String(Files.readAllBytes(tmpP.resolve(CommitFile)),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
-    retire.map(Paths.get(dir, _)).filter(Files.exists(_)).foreach { b =>
-      listDir(b).foreach(Files.delete); Files.delete(b)
-    }
+    retire.map(Paths.get(dir, _)).filter(Files.exists(_)).foreach(deleteBlockDir)
     listDir(tmpP).filter(_.getFileName.toString.startsWith("block-")).foreach { b =>
       val target = Paths.get(dir, b.getFileName.toString)
-      if (Files.exists(target)) { // crash mid-move: keep the moved copy
-        listDir(b).foreach(Files.delete); Files.delete(b)
-      } else Files.move(b, target)
+      if (Files.exists(target)) deleteBlockDir(b) // crash mid-move: keep the moved copy
+      else Files.move(b, target)
     }
     if (Files.exists(tmpP.resolve(MetaFile))) Files.delete(tmpP.resolve(MetaFile))
     Files.delete(tmpP.resolve(CommitFile))
@@ -351,8 +428,7 @@ object GraftNative {
     if (Files.exists(tmpP.resolve(CommitFile))) finishCompaction(dir)
     else {
       listDir(tmpP).foreach { b =>
-        if (Files.isDirectory(b)) listDir(b).foreach(Files.delete)
-        Files.delete(b)
+        if (Files.isDirectory(b)) deleteBlockDir(b) else Files.delete(b)
       }
       Files.delete(tmpP)
     }
@@ -652,19 +728,26 @@ case class GraftNativeScan(dir: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftNative.listDir(Paths.get(dir))
-      .filter(p => p.getFileName.toString.startsWith("block-") &&
-        Files.isDirectory(p) &&
-        // defensive: a COMPLETELY empty block dir (left by a crashed
-        // writer) contributes no rows instead of a read error; dirs
-        // holding only a stats sidecar stay plannable (the aggregate
-        // pushdown path reads metadata alone)
-        GraftNative.listDir(p).nonEmpty)
-      .filter(p => blocks.forall(_.contains(p.getFileName.toString)))
-      .sortBy(_.getFileName.toString)
-      .filterNot(p => provablyEmpty(p.toString))
-      .map(p => GraftNativeBlock(p.toString): InputPartition)
-      .toArray
+    // under the swap lock: a listing taken inside finishCompaction's
+    // delete+move window sees NEITHER the retired nor the moved-in
+    // blocks and the scan silently returns partial rows. The lock is
+    // held only for those milliseconds — a compaction's minutes-long
+    // rewrite holds the separate op lock, so scans never wait on it.
+    GraftNative.swapLockFor(dir).synchronized {
+      GraftNative.listDir(Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("block-") &&
+          Files.isDirectory(p) &&
+          // defensive: a COMPLETELY empty block dir (left by a crashed
+          // writer) contributes no rows instead of a read error; dirs
+          // holding only a stats sidecar stay plannable (the aggregate
+          // pushdown path reads metadata alone)
+          GraftNative.listDir(p).nonEmpty)
+        .filter(p => blocks.forall(_.contains(p.getFileName.toString)))
+        .sortBy(_.getFileName.toString)
+        .filterNot(p => provablyEmpty(p.toString))
+        .map(p => GraftNativeBlock(p.toString): InputPartition)
+        .toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory = aggs match {
     case Some(specs) => new GraftNativeAggReaderFactory(specs)
     case None => new GraftNativeReaderFactory(required)
@@ -769,7 +852,7 @@ class GraftNativeColumnarReader(block: String, required: StructType)
   }
 
   private val natives: Map[String, String] =
-    GraftNative.nativesOf(Paths.get(block).getParent.toString).toMap
+    GraftNative.nativesOfBlock(block).toMap
 
   private val cols: Array[Col] = required.fields.map { f =>
     val native = natives(f.name)
@@ -865,7 +948,7 @@ class GraftNativeColumnarReader(block: String, required: StructType)
 class GraftNativeReader(block: String, required: StructType)
     extends PartitionReader[InternalRow] {
   private val natives: Map[String, String] =
-    GraftNative.nativesOf(Paths.get(block).getParent.toString).toMap
+    GraftNative.nativesOfBlock(block).toMap
 
   private val cols: Array[Int => Any] = required.fields.map { f =>
     val native = natives(f.name)
@@ -905,7 +988,7 @@ class GraftNativeReader(block: String, required: StructType)
     // projection (count(*)) falls back to the first meta column
     val name =
       if (required.fields.nonEmpty) required.fields.head.name
-      else GraftNative.nativesOf(Paths.get(block).getParent.toString).head._1
+      else GraftNative.nativesOfBlock(block).head._1
     val native = natives(name)
     (Files.size(Paths.get(block, s"$name.bin")) -
       GraftNative.headerOfNative(native)) / GraftNative.widthOfNative(native)

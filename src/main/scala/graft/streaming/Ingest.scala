@@ -127,11 +127,8 @@ object Ingest {
     * SURVEY §1.2); readers reconstruct with
     * `timestamp_micros(ts div 1000)` exactly like s6. */
   def appendNativeIdempotent(dir: String, df: DataFrame, batchId: Long): Unit = {
-    val mark = java.nio.file.Paths.get(dir, "_last_stream_batch")
-    val last =
-      if (java.nio.file.Files.exists(mark))
-        java.nio.file.Files.readString(mark).trim.toLong
-      else -1L
+    val mark = java.nio.file.Paths.get(dir, graft.sources.GraftNative.StreamMarkFile)
+    val last = graft.sources.GraftNative.streamMark(dir)
     if (batchId > last) {
       // a crash can land between per-partition block writes and the
       // high-water-mark write; a replay may also plan FEWER partitions
@@ -152,7 +149,13 @@ object Ingest {
         }
       }
       graft.sources.GraftNative.append(compat, dir, tag = f"b$batchId%06d-")
-      java.nio.file.Files.writeString(mark, batchId.toString)
+      // write-then-rename: an in-place truncate+write crashing midway
+      // leaves an unparseable mark that wedges every later batch
+      val markTmp = mark.resolveSibling(mark.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(markTmp, batchId.toString)
+      java.nio.file.Files.move(markTmp, mark,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

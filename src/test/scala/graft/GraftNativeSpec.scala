@@ -348,6 +348,42 @@ class GraftNativeSpec extends SparkSpec {
     }
   }
 
+  test("compacting far-apart ts2 blocks range-splits, then widens rather than bricking") {
+    val dir = tmp()
+    val minuteNs = 60000000000L
+    def mkDf(minutes: Seq[Long]) = minutes.zipWithIndex
+      .map { case (m, i) => (m * 100 + i, m * minuteNs) }.toDF("id", "ts")
+    // two valid blocks ~100k minutes apart: each block's own deltas fit
+    // 2 bytes, but any merged block spans 100000 > 65535
+    GraftNative.write(mkDf(Seq(0L, 1L, 2L, 3L)).repartition(1), dir,
+      Map("ts" -> s"ts2@$minuteNs"))
+    GraftNative.append(mkDf(Seq(100000L, 100001L, 100002L, 100003L))
+      .repartition(1), dir, tag = "far")
+    def readAll() = spark.read.format("graft-native").load(dir)
+      .orderBy("id").collect().toSeq
+    def meta() = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_meta.json")), "UTF-8")
+    val before = readAll()
+    // numBlocks=2: range partitioning clusters each epoch into its own
+    // block — the narrow width survives the rewrite
+    GraftNative.compactBlocks(spark, dir, 2)
+    assert(readAll() == before)
+    assert(meta().contains("ts2@"), "narrow ts must survive a feasible compaction")
+    // numBlocks=1: no split can fit the span in 2 bytes — the retry
+    // widens ts to plain i64 nanos in a BLOCK-LOCAL meta (the table
+    // meta keeps its declared widths so concurrent appends still
+    // encode against it) instead of leaving the table uncompactable
+    GraftNative.compactBlocks(spark, dir, 1)
+    assert(readAll() == before)
+    assert(meta().contains("ts2@"), "table meta must keep its declared widths")
+    assert(blockNames(dir).size == 1)
+    val blockMeta = java.nio.file.Paths.get(dir, blockNames(dir).head)
+      .resolve("_graft_meta.json")
+    assert(Files.exists(blockMeta) && new String(Files.readAllBytes(blockMeta),
+      "UTF-8").contains("""{"name":"ts","type":"i64"}"""),
+      "the widened block must carry its own decode meta")
+  }
+
   test("compaction preserves native-type overrides (narrow widths survive the rewrite)") {
     val dir = tmp()
     val minuteNs = 60000000000L

@@ -224,6 +224,29 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay.count() == 7, "replay must supersede the failed attempt")
     assert(afterReplay.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 7L))
+    // COMPACTION between a crashed attempt and its replay: the
+    // unmarked batch's blocks must survive under their original names
+    // — folded into g-blocks, the replay's prefix cleanup would find
+    // nothing and land the batch twice
+    Ingest.appendNativeIdempotent(dir, spark.createDataFrame(Seq(
+        ev(8, "2024-01-05 10:00:08", "click", 8.0),
+        ev(9, "2024-01-05 10:00:09", "view", 9.0))).repartition(2),
+      batchId = 11L)
+    Files.writeString( // crash state: blocks landed, mark never advanced
+      java.nio.file.Paths.get(dir, "_last_stream_batch"), "9")
+    GraftNative2.compactBlocks(spark, dir, 1)
+    assert(graft.sources.GraftNative.listBlockDirs(dir)
+      .exists(_.getFileName.toString.startsWith("block-b000011-")),
+      "unmarked batch blocks must not be folded into generation blocks")
+    Ingest.appendNativeIdempotent(dir, spark.createDataFrame(Seq(
+        ev(8, "2024-01-05 10:00:08", "click", 8.0),
+        ev(9, "2024-01-05 10:00:09", "view", 9.0))).repartition(1),
+      batchId = 11L)
+    val afterCompactReplay = spark.read.format("graft-native").load(dir)
+    assert(afterCompactReplay.count() == 9,
+      "a compaction mid-replay must not duplicate the batch")
+    assert(afterCompactReplay.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 9L))
   }
 
   test("END-TO-END lifecycle: stream-ingest -> HTTP query -> compact -> re-query") {
