@@ -235,6 +235,37 @@ object PropertyChecks extends Properties("graft") {
         got == want
     }
 
+  property("components: label-prop and star-contraction match union-find") =
+    Prop.forAll(for {
+      n <- Gen.choose(2, 14)
+      m <- Gen.choose(1, 24)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter { case (a, b) => a != b }.distinct) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("ida", "idb")
+        // union-find oracle, normalized to min-node-id labels
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = nodes.groupBy(find).flatMap { case (_, ms) =>
+          val mn = ms.min; ms.map(_ -> mn)
+        }
+        val got = graft.operators.Dedup.components(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotStar = graft.operators.Dedup.componentsStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want && gotStar == want
+      }
+    }
+
   property("BottomKSketch merge is lossless for any split and merge order") =
     Prop.forAll(for {
       n <- Gen.choose(0, 40)
