@@ -195,16 +195,17 @@ object Dedup {
           col("n_grams").cast(DoubleType), 6).as("frac_r"))
   }
 
-  private val PRIME = 2147483647L // 2^31 - 1
-
   /** MinHash signature columns: minhash_j = min over shingles of
-    * ((a_j * h + b_j) mod p), h = murmur3 of the shingle. Deterministic
-    * seeds derived from j — no RNG at plan time. */
+    * ((a_j * h + b_j) mod p), h = murmur3 of the shingle. Coefficients
+    * come from the ONE definition in [[graft.plans.SigEval]] — the
+    * bit-equality contract with the single-pass MinHashSig expression
+    * depends on both paths sharing them. */
   private def minhashAggs(numHashes: Int): Seq[Column] = {
+    val as = graft.plans.SigEval.coeffA(numHashes)
+    val bs = graft.plans.SigEval.coeffB(numHashes)
     (0 until numHashes).map { j =>
-      val a = 2L * j + 1
-      val b = 1099511628211L * (j + 1) % PRIME
-      min(pmod(col("h").cast(LongType) * a + b, lit(PRIME))).as(s"mh_$j")
+      min(pmod(col("h").cast(LongType) * as(j) + bs(j),
+        lit(graft.plans.SigEval.PRIME))).as(s"mh_$j")
     }
   }
 

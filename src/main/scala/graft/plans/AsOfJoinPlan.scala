@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, NullsLast, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StructType
@@ -67,11 +67,20 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    // tie NULLS LAST, matching the composed AsOfJoin's asc_nulls_last:
+    // among equal (key, ts) rows both implementations must elect the
+    // same winner or j8's shared-oracle claim breaks on null ties
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
-      SortOrder(rightTie, Ascending)))
+      SortOrder(rightTie, Ascending, NullsLast, Seq.empty)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  /** Rows stay exactly where the left child's exchange put them (the
+    * merge is partition-local and emits one row per left row), so
+    * advertise that: a downstream groupBy/window on the same key would
+    * otherwise re-shuffle the joined rows for nothing. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lTsExpr = leftTs
@@ -120,11 +129,13 @@ case class AsOfJoinExec(
           out(joined(lRow, nullRight))
         } else {
           val ts = lTsVal.asInstanceOf[Long]
-          // new key group -> drop stale match
+          // new key group -> drop stale match; copy the key row only on
+          // group change (a per-row copy is a 10M-row allocation storm
+          // over a 1K-key partition)
           if (lastKey == null || keyOrdering.compare(k, lastKey) != 0) {
             lastMatch = null
+            lastKey = k.copy()
           }
-          lastKey = k.copy()
           // advance right while its (key < k) or (key == k && ts <= left ts)
           var advancing = true
           while (advancing && rBuf.hasNext) {
@@ -158,13 +169,29 @@ object AsOfJoinNative {
     install(spark)
     val lPlan = ColumnBridge.logicalPlan(leftDf)
     val rPlan = ColumnBridge.logicalPlan(rightDf)
-    def resolve(p: LogicalPlan, n: String): Expression =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n"))
+    // analyzer-style resolution: case per spark.sql.caseSensitive, and
+    // a duplicate name errors instead of silently binding the first
+    def resolve(p: LogicalPlan, n: String): Attribute = {
+      val matches = p.output.filter(a => spark.sessionState.conf.resolver(a.name, n))
+      require(matches.nonEmpty, s"no column $n")
+      require(matches.size == 1, s"ambiguous column $n")
+      matches.head
+    }
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    val (lts, rts) = (resolve(lPlan, leftTs), resolve(rPlan, rightTs))
+    // fail at PLAN time, not mid-job: mismatched key types hash/compare
+    // as raw bytes and silently miss every match; the merge unboxes ts
+    // as Long, so only Long-backed ts types are sound
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsTypes = Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampType, TimestampNTZType)
+    require(tsTypes.contains(lts.dataType) && lts.dataType == rts.dataType,
+      s"as-of ts columns must both be long/timestamp, got " +
+        s"${lts.dataType} vs ${rts.dataType}")
     ColumnBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTs), resolve(rPlan, rightTs),
-      resolve(rPlan, rightTie)))
+      lk, rk, lts, rts, resolve(rPlan, rightTie)))
   }
 
   def install(spark: SparkSession): Unit = {

@@ -40,14 +40,17 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       val s = words.getUTF8String(i)
-      if (s != null) {
-        val h = XXH64.hashUnsafeBytes(
+      // xxhash64(NULL) evaluates to the seed itself in the exploded
+      // reference formulation — a null token must contribute the seed's
+      // bits here too or the two signatures diverge
+      val h =
+        if (s == null) 42L
+        else XXH64.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
       }
       i += 1
     }
@@ -61,7 +64,7 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
-private[plans] object SigEval {
+private[graft] object SigEval {
   val PRIME = 2147483647L // 2^31 - 1
 
   /** MinHash minima over word n-grams, or null when fewer than n words
@@ -79,10 +82,13 @@ private[plans] object SigEval {
     val ng = nw - n + 1
     if (ng <= 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    // concat_ws SKIPS null elements and their separator (an empty
+    // string keeps both) — track nullness apart from emptiness so the
+    // gram bytes stay bit-identical to the replaced formulation
+    val wNull: Array[Boolean] = Array.tabulate(nw)(words.isNullAt)
     val wb: Array[Array[Byte]] =
       Array.tabulate(nw) { i =>
-        val w = words.getUTF8String(i)
-        if (w == null) Array.emptyByteArray else w.getBytes
+        if (wNull(i)) Array.emptyByteArray else words.getUTF8String(i).getBytes
       }
     var maxLen = 0
     var i = 0
@@ -98,11 +104,15 @@ private[plans] object SigEval {
     while (i < ng) {
       var pos = 0
       var d = 0
+      var first = true
       while (d < n) {
-        if (d > 0) { buf(pos) = ' '; pos += 1 }
-        val b = wb(i + d)
-        System.arraycopy(b, 0, buf, pos, b.length)
-        pos += b.length
+        if (!wNull(i + d)) {
+          if (!first) { buf(pos) = ' '; pos += 1 }
+          val b = wb(i + d)
+          System.arraycopy(b, 0, buf, pos, b.length)
+          pos += b.length
+          first = false
+        }
         d += 1
       }
       val h = Murmur3HashFunction.hash(

@@ -60,7 +60,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     if (nk <= 0) return new GenericArrayData(Array.emptyLongArray)
     val wh = new Array[Long](n)
     var i = 0
-    while (i < n) { wh(i) = fnv1a(words.getUTF8String(i).getBytes); i += 1 }
+    while (i < n) { // null word hashes as empty (SQL-reachable arrays may hold nulls)
+      val s = words.getUTF8String(i)
+      wh(i) = fnv1a(if (s == null) Array.emptyByteArray else s.getBytes)
+      i += 1
+    }
     val kg = new Array[Long](nk)
     i = 0
     while (i < nk) {

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is sequential left-to-right in double, identical to the
   * `aggregate(zip_with(...))` formulation it replaces, so results are
-  * bit-for-bit unchanged. Array elements must be non-null.
+  * bit-for-bit unchanged — including on LENGTH MISMATCH, where zip_with
+  * null-pads the shorter side and the aggregate propagates null: a
+  * mismatched pair yields null, never a silently-truncated product.
+  * Array elements must be non-null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true // null on length mismatch
 
   private def ok(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType | DoubleType | ByteType, _) => true
@@ -51,16 +56,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lt = elemType(left)
-    val rt = elemType(right)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += get(x, lt, i) * get(y, rt, i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      val lt = elemType(left)
+      val rt = elemType(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += get(x, lt, i) * get(y, rt, i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   private def getter(dt: DataType): String = dt match {
@@ -77,12 +85,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

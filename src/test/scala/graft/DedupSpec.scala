@@ -55,6 +55,47 @@ class DedupSpec extends SparkSpec {
     assert(exprSig == aggSig)
   }
 
+  test("signature expressions keep bit-parity on null-bearing token arrays") {
+    import org.apache.spark.sql.functions._
+    // split() never yields null tokens, but the SQL-registered functions
+    // accept any array<string> — null handling must still match the agg
+    // formulations: xxhash64(NULL) hashes to the seed; concat_ws skips
+    // null elements AND their separator (empty strings keep both)
+    val df = Seq(
+      (1L, Seq(Option("a"), None, Option("b"), Option("c"), Option("d"))),
+      (2L, Seq(None, Option(""), Option("x"), Option("y"), None, Option("z"))),
+      (3L, Seq(Option("q"), Option("q"), None, Option(""), Option("r"), Option("s"))))
+      .toDF("id", "toks")
+    // SimHash64 vs exploded xxhash64 bit-count agg
+    val exprS = df.select(col("id"), graft.plans.TextOps.simhash64(col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tok = df.select(col("id"), explode(col("toks")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val aggS = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprS == aggS)
+    // MinHashSig vs hash(concat_ws(...)) shingle min-agg
+    val sh = df.select(col("id"), col("toks").as("w"))
+      .where(size(col("w")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("w")) - 2)))
+      .select(col("id"), concat_ws(" ",
+        (0 until 3).map(k => element_at(col("w"), col("i") + k)): _*).as("sh"))
+    val aggM = Dedup.minhashSigViaAgg(sh, 8).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(j => r.getAs[Long](s"mh_$j")).toSeq).toMap
+    val exprM = df.select(col("id"),
+        graft.plans.TextOps.minhashSig(col("toks"), 3, 8).as("mh"))
+      .where(col("mh").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(exprM == aggM)
+  }
+
   test("simhash: identical text -> hamming 0, disjoint text -> large") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
     val pairs = Dedup.simhashPairs(sig, maxDist = 10).collect()

@@ -37,6 +37,38 @@ class NativeAsofSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("v")))  // null left key
   }
 
+  test("null TIE: native and composed implementations elect the same winner") {
+    // among equal (key, ts) right rows, the composed AsOfJoin orders
+    // the tiebreak asc_nulls_last and keeps the last — a null-tie row
+    // beats any value. The native exec must agree (j8 shares j6's
+    // oracle), so its tie sort is pinned NullsLast too.
+    val left = Seq((0L, ts(10), 1L)).toDF("id", "ts", "k")
+    val right = Seq(
+      (Some(100L), ts(10), 1L, 5.0),
+      (None: Option[Long], ts(10), 1L, 99.0)).toDF("rid", "r_ts", "rk", "v")
+    val native = graft.plans.AsOfJoinNative
+      .asof(left, right, "k", "rk", "ts", "r_ts", "rid").head.getAs[Double]("v")
+    val composed = graft.operators.AsOfJoin
+      .asof(left, right.withColumnRenamed("r_ts", "ts").withColumnRenamed("rk", "k"),
+        "k", "ts", "ts", Seq("v"), "rid", "r_").head.getAs[Double]("r_v")
+    assert(native == composed && native == 99.0)
+  }
+
+  test("mismatched key/ts types fail at plan time, not silently mid-job") {
+    val left = Seq((0L, ts(10), 1)).toDF("id", "ts", "k") // k: Int
+    val right = Seq((100L, ts(5), 1L, 1.0)).toDF("rid", "r_ts", "rk", "v") // rk: Long
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asof(left, right, "k", "rk", "ts", "r_ts", "rid")
+    }
+    assert(e.getMessage.contains("key types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asof(
+        left.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("date")),
+        right, "id", "rid", "ts", "r_ts", "rid")
+    }
+    assert(e2.getMessage.contains("long/timestamp"))
+  }
+
   test("basic match and tie") {
     val left = Seq((0L, ts(10), 1L), (1L, ts(5), 1L), (2L, ts(1), 2L)).toDF("id", "ts", "k")
     val right = Seq(

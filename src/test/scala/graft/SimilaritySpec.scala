@@ -49,6 +49,19 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("DotProduct requires array"))
   }
 
+  test("DotProduct: length mismatch yields null like the HOF formulation") {
+    import graft.plans.VectorOps
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // the HOF it claims bit-parity with: zip_with pads the short side
+    // with null and the aggregate propagates it — never a silent
+    // truncated product
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")).head
+    assert(hof.isNullAt(0))
+    val got = df.select(VectorOps.dot(col("a"), col("b"))).head
+    assert(got.isNullAt(0))
+  }
+
   test("IVF cells: identical vectors land in the same cell and pair up") {
     val pairs = Similarity.ivfNeighborPairs(vecs, "vec_id", "embedding", 2, 0.99)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet

@@ -85,6 +85,14 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("winnow tolerates null tokens (SQL-reachable) instead of NPE") {
+    val out = Seq(Tuple1(Seq(Option("a"), None, Option("b"), Option("c"), Option("d"), Option("e"))))
+      .toDF("toks")
+      .select(graft.plans.TextOps.winnow(col("toks"), 3, 2).as("f"))
+      .head.getSeq[Long](0)
+    assert(out.nonEmpty) // null word hashes as empty; no crash
+  }
+
   test("winnow parity: expression matches an independent reference impl (sf0.001)") {
     // Cross-implementation gate (shared with the t6 oracle gate): the
     // independent collections reimplementation lives in CrossCheck.
