@@ -216,9 +216,48 @@ object CrossCheck {
         h(i)(j) /= n; h(j)(i) = h(i)(j)
       }
       for (i <- 0 until d) h(i)(i) += ridge
-      val delta = graft.operators.Classifier.solveSpd(h, g.map(_ / n))
+      val delta = solveGauss(h, g.map(_ / n))
       w = Array.tabulate(d)(i => w(i) - delta(i))
     }
     w
+  }
+
+  /** Independent linear solve (Gaussian elimination with partial
+    * pivoting) — deliberately NOT the production Cholesky
+    * (Classifier.solveSpd): this module's invariant is no shared
+    * helpers, so a defect in the production solver cannot cancel out
+    * against the same defect here. The ml1 parity gate's 1e-3
+    * tolerance dwarfs the two solvers' float divergence on the
+    * ridge-regularized (well-conditioned) Newton system. */
+  private def solveGauss(a0: Array[Array[Double]],
+      b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val b = b0.clone()
+    for (c <- 0 until n) {
+      var p = c
+      for (r <- c + 1 until n) if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r
+      if (p != c) {
+        val t = a(p); a(p) = a(c); a(c) = t
+        val tb = b(p); b(p) = b(c); b(c) = tb
+      }
+      require(a(c)(c) != 0.0, "singular system in reference solve")
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        if (f != 0.0) {
+          var k = c
+          while (k < n) { a(r)(k) -= f * a(c)(k); k += 1 }
+          b(r) -= f * b(c)
+        }
+      }
+    }
+    val x = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      var s = b(i)
+      var k = i + 1
+      while (k < n) { s -= a(i)(k) * x(k); k += 1 }
+      x(i) = s / a(i)(i)
+    }
+    x
   }
 }

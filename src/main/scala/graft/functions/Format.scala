@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions.udf
 object Format {
 
   def formatCurrency(v: Float, sigFigs: Int): String = {
+    // "%.1e" renders Infinity as "Infinity" — no 'e' to split on; pass
+    // non-finite values through instead of MatchError-ing the task
+    if (v.isNaN || v.isInfinite) return String.valueOf(v)
     val res =
       if (v.toInt >= math.pow(10, sigFigs).toInt) {
         val s = String.format(s"%.${math.max(sigFigs - 4, 0)}e", Float.box(v))

@@ -60,6 +60,7 @@ object BottomKSketch {
     * ceil(q·n) of the value-sorted sample (1-based, integer rank). */
   def quantile(s: QSketchBuf, q: Double): Double = {
     require(s.v.nonEmpty, "quantile of an empty sketch (no input rows)")
+    require(q > 0.0 && q <= 1.0, s"quantile q must be in (0, 1], got $q")
     val sorted = s.v.sorted
     sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
   }

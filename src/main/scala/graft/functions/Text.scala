@@ -42,6 +42,13 @@ object Text {
   def markerCount(c: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(c), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
 
+  /** Count of matches anywhere — for unsegmented scripts: `\b` is
+    * ASCII-word-char based (in both engines), so `\b的\b` can never
+    * match inside CJK text and a boundary-anchored count leaves the zh
+    * branch dead. Occurrence count IS the signal for such scripts. */
+  def markerCountAnywhere(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit("(" + words.mkString("|") + ")"), lit(0)))
+
   val EN = Seq("the", "and", "of", "to", "is")
   val ES = Seq("el", "la", "los", "que", "y")
   val DE = Seq("der", "die", "und", "nicht", "das")
@@ -64,7 +71,7 @@ object Text {
   def langId(c: Column): Column = {
     val en = markerCount(c, EN); val es = markerCount(c, ES)
     val de = markerCount(c, DE); val fr = markerCount(c, FR)
-    val zh = markerCount(c, ZH)
+    val zh = markerCountAnywhere(c, ZH) // CJK: no \b boundaries exist
     when(en >= es && en >= de && en >= fr && en >= zh, "en")
       .when(es >= de && es >= fr && es >= zh, "es")
       .when(de >= fr && de >= zh, "de")

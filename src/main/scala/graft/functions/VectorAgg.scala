@@ -30,6 +30,10 @@ object VecCentroid extends Aggregator[(Int, Array[Float]), VecBuf, Centroid] {
   def reduce(b: VecBuf, a: (Int, Array[Float])): VecBuf = {
     val v = a._2
     val s = if (b.sum.isEmpty) new Array[Double](v.length) else b.sum
+    // fail loudly on mixed dims: a longer row would AIOOBE and a
+    // shorter one would silently skew the centroid
+    require(s.length == v.length,
+      s"mixed embedding dims in centroid group: ${s.length} vs ${v.length}")
     var i = 0
     while (i < v.length) { s(i) += v(i); i += 1 }
     VecBuf(s, b.n + 1)
@@ -39,6 +43,9 @@ object VecCentroid extends Aggregator[(Int, Array[Float]), VecBuf, Centroid] {
     if (b1.sum.isEmpty) b2
     else if (b2.sum.isEmpty) b1
     else {
+      require(b1.sum.length == b2.sum.length,
+        s"mixed embedding dims in centroid group: " +
+          s"${b1.sum.length} vs ${b2.sum.length}")
       val s = b1.sum.clone()
       var i = 0
       while (i < s.length) { s(i) += b2.sum(i); i += 1 }
@@ -72,6 +79,8 @@ case class LogRegStep(w: Array[Double])
     val (x, y) = row
     val d = x.length
     val g = if (b.g.isEmpty) new Array[Double](d) else b.g
+    require(g.length == d,
+      s"mixed feature dims in logreg input: ${g.length} vs $d")
     val h = if (b.h.isEmpty) new Array[Double](d * (d + 1) / 2) else b.h
     var dot = 0.0
     var i = 0
@@ -96,6 +105,8 @@ case class LogRegStep(w: Array[Double])
     if (a.g.isEmpty) b
     else if (b.g.isEmpty) a
     else {
+      require(a.g.length == b.g.length,
+        s"mixed feature dims in logreg input: ${a.g.length} vs ${b.g.length}")
       val g = a.g.clone(); val h = a.h.clone()
       var i = 0
       while (i < g.length) { g(i) += b.g(i); i += 1 }

@@ -59,7 +59,7 @@ object TextQueries {
       |  len(regexp_extract_all(lower(text), '\b(el|la|los|que|y)\b')) AS es,
       |  len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|das)\b')) AS de,
       |  len(regexp_extract_all(lower(text), '\b(le|les|et|une|dans)\b')) AS fr,
-      |  len(regexp_extract_all(lower(text), '\b(的|是|不)\b')) AS zh
+      |  len(regexp_extract_all(lower(text), '(的|是|不)')) AS zh
       |FROM documents)
       |SELECT doc_id, lang,
       |  CASE WHEN en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'

@@ -38,11 +38,17 @@ class SymbolDictionary(val spark: SparkSession, val path: String) {
     // dictionary-sized single-partition window — bounded by |dict|
     val w = Window.orderBy(col("sym"))
     if (!exists) {
-      incoming.select(col("sym"), row_number().over(w).cast("long").as("sym_id"))
-        .coalesce(1).write.parquet(path)
+      // an empty/all-null first batch must NOT create a zero-row dict:
+      // the next extend would read max(sym_id) as null and NPE, leaving
+      // the dictionary permanently bricked
+      if (incoming.limit(1).count() > 0)
+        incoming.select(col("sym"), row_number().over(w).cast("long").as("sym_id"))
+          .coalesce(1).write.parquet(path)
     } else {
       val existing = df
-      val maxId = existing.agg(max(col("sym_id"))).head.getLong(0)
+      // coalesce: tolerate an empty dict written by an external party
+      val maxId = existing.agg(coalesce(max(col("sym_id")), lit(0L)))
+        .head.getLong(0)
       val novel = incoming.join(existing.select("sym"), Seq("sym"), "left_anti")
         .select(col("sym"), (row_number().over(w) + maxId).cast("long").as("sym_id"))
       if (novel.limit(1).count() > 0) novel.coalesce(1).write.mode("append").parquet(path)
@@ -51,9 +57,14 @@ class SymbolDictionary(val spark: SparkSession, val path: String) {
 
   /** Replace a string symbol column with its dictionary id
     * (`<col>_id`). Unknown symbols are rejected (inner join) — extend
-    * first; the reference likewise appends through the dict. */
+    * first; the reference likewise appends through the dict. A NULL
+    * symbol raises instead of letting the join silently drop the row
+    * (extend filters nulls, so they can never be "extended first"). */
   def encode(data: DataFrame, colName: String): DataFrame =
-    data.join(broadcast(df.select(col("sym").as(colName),
+    data.where(when(col(colName).isNull, raise_error(lit(
+        s"null symbol in column '$colName' cannot be dictionary-encoded")))
+      .otherwise(lit(true)))
+      .join(broadcast(df.select(col("sym").as(colName),
         col("sym_id").as(s"${colName}_id"))), Seq(colName))
       .drop(colName)
 

@@ -501,6 +501,28 @@ class StreamingSpec extends SparkSpec {
     // a new batch folds in incrementally
     r.refreshBatchIdempotent(
       Seq(ev(4, "2024-01-01 12:00:00", "click", 0.25)).toDF(), 1L)
-    assert(snapshot().contains((ts("2024-01-01 00:00:00"), "click", 3L, 4.00)))
+    val after2 = snapshot()
+    assert(after2.contains((ts("2024-01-01 00:00:00"), "click", 3L, 4.00)))
+    // CRASHED-ATTEMPT replay: batch 2's delta landed but the mark write
+    // never happened; the replay must OVERWRITE the batch dir, not
+    // append a second copy beside the orphaned one
+    r.refreshBatchIdempotent(
+      Seq(ev(5, "2024-01-03 10:00:00", "view", 7.00)).toDF(), 2L)
+    Files.writeString( // crash state: delta written, mark rolled back
+      java.nio.file.Paths.get(path + "._last_stream_batch"), "1")
+    r.refreshBatchIdempotent(
+      Seq(ev(5, "2024-01-03 10:00:00", "view", 7.00)).toDF(), 2L)
+    val after3 = snapshot()
+    assert(after3.contains((ts("2024-01-03 00:00:00"), "view", 1L, 7.00)),
+      s"replay after crashed mark must not double-count: $after3")
+    // compaction folds deltas; totals unchanged; crash debris recovers
+    r.compactDeltas()
+    assert(snapshot() == after3)
+    // crash between the two swap renames: table exists only as
+    // .retiring — the next read must restore it, not throw
+    Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".retiring"))
+    assert(snapshot() == after3, "read must roll a mid-swap table back")
+    assert(Files.exists(java.nio.file.Paths.get(path)))
   }
 }

@@ -36,6 +36,26 @@ class SymbolDictSpec extends SparkSpec {
       == t1.collect().map(r => (r.getString(0), r.getDouble(1))).toSet)
   }
 
+  test("empty first batch does not brick the dictionary; null symbols raise on encode") {
+    import org.apache.spark.sql.functions.col
+    val dict = graft.sources.SymbolDictionary(spark,
+      java.nio.file.Files.createTempDirectory("dict_empty_").toString + "/d")
+    // empty and all-null batches must not create a zero-row dict whose
+    // next extend NPEs on max(sym_id)
+    dict.extend(Seq.empty[Tuple1[String]].toDF("sym"), "sym")
+    dict.extend(Seq(Tuple1(null: String)).toDF("sym"), "sym")
+    assert(!dict.exists)
+    dict.extend(Seq(Tuple1("a"), Tuple1("b")).toDF("sym"), "sym")
+    assert(dict.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 2L))
+    // a null symbol raises loudly instead of vanishing through the join
+    val e = intercept[Exception] {
+      dict.encode(Seq(("x", Some("a")), ("y", None))
+        .toDF("v", "sym"), "sym").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("co-bucketed members join on the shared id with zero exchanges") {
     val base = Files.createTempDirectory("cobucket_").toString
     val dict = SymbolDictionary(spark, s"$base/dict")

@@ -29,6 +29,18 @@ class TextSpec extends SparkSpec {
     assert(preds.toSeq == Seq("en", "es", "de"))
   }
 
+  test("langid detects CJK: \\b never matches around unsegmented scripts") {
+    // the zh markers must count OCCURRENCES — Java/RE2 \b is
+    // ASCII-word-char based, so a boundary-anchored pattern left the
+    // zh branch permanently dead and classified Chinese text as 'en'
+    val preds = Seq(
+      "我的书是不错的你的猫是好的",
+      "the book is good and the cat is 的 good")
+      .toDF("text").select(Text.langId(col("text"))).collect().map(_.getString(0))
+    assert(preds(0) == "zh", s"Chinese text predicted ${preds(0)}")
+    assert(preds(1) == "en") // majority-en text stays en
+  }
+
   test("winnowing fingerprints: identical -> equal sets, near-dup -> high overlap") {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog and runs far away today",
