@@ -46,6 +46,25 @@ object SimilarityQueries {
       .select(col("id"), round(col("cos"), 6).as("cos_r"))
       .orderBy(col("cos_r").desc, col("id"))
 
+  /** SIM9: top-10 served through PRODUCT-QUANTIZATION candidates —
+    * rank the corpus by ADC cosine reading only the 16-byte PQ code
+    * column (16× narrower than the float vectors, 8× narrower than
+    * sim8's 32-dim projection), exact-verify the top 300 at full
+    * width. Shares sim1's exact oracle: hash-seeded Lloyd codebooks
+    * are deterministic, so the candidate set — and therefore the
+    * reranked top-10 — is stable, and the gate proves code-space
+    * recall of the true top-10 (measured headroom in SimilaritySpec;
+    * the worst true-top-10 ADC rank is ~30 of 500 at sf0.001). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.Pq.train(emb, "vec_id", "embedding",
+      m = 16, ksub = 16, iters = 2)
+    graft.operators.Pq.topK(emb, "vec_id", "embedding", model,
+        queryId = 0L, k = 10, candidates = 300)
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+  }
+
   /** D5: embedding near-dup pairs (cosine >= 0.45) — EXACT, via the
     * block-pair equi-join (no broadcast nested loop, no cartesian;
     * PlanSpec asserts). The oracle is the exact pair set, green by

@@ -226,6 +226,39 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.forall(v => math.abs(v) == 1.0 / math.sqrt(32.0)))
   }
 
+  test("PQ: codes are m bytes, training is deterministic, ADC rerank equals brute force (sf0.001)") {
+    import graft.operators.Pq
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    assert(model.m == 16 && model.ksub == 16 && model.subDim == 4)
+    // deterministic: a second training run reproduces the codebooks bitwise
+    val model2 = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    assert(model.books.flatten.flatten.toSeq == model2.books.flatten.flatten.toSeq)
+    // the code column is exactly m tinyints — the 16-byte storage claim
+    val enc = Pq.encode(emb, "embedding", model)
+    assert(enc.schema("pq_codes").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    assert(enc.select(size(col("pq_codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(16))
+    // candidates+verify recovers the exact top-10 (the sim9 gate)
+    val viaPq = Pq.topK(emb, "vec_id", "embedding", model, 0L, 10,
+      candidates = 300).collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaPq == brute)
+    // headroom behind the 300-candidate budget: the worst ADC rank of a
+    // true top-10 member must sit well inside it
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val adcRank = enc.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), Pq.adcCosine(col("pq_codes"), model, qv).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val worst = brute.map(id => adcRank.indexOf(id) + 1).max
+    assert(worst <= 150, s"true top-10 fell to ADC rank $worst of ${adcRank.size}")
+  }
+
   test("IvfIndex: partial probe prunes partitions and equals brute force over probed cells") {
     import graft.operators.IvfIndex
     val emb = graft.Tables.embeddings(spark, sf001)
