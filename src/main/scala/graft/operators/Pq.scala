@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.plans.VectorOps
+import graft.plans.PqOps
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the compressed-domain half of the
@@ -22,11 +22,14 @@ import graft.plans.VectorOps
   * Why this is THE 100 TB shape: ANN serving after partition pruning is
   * scan-I/O-bound, so bytes-per-vector is the lever — PQ reads 1/16 the
   * bytes and turns per-row math into table lookups; the codebooks
-  * (m·ksub·subDim doubles — KBs) broadcast as literals. Training reads
-  * the corpus once per Lloyd iteration with ALL m subspaces folding in
-  * the SAME pass (assignment is a map-side codegen argmin per subspace;
-  * the update shuffle carries m×ksub×partitions subDim-sized partials,
-  * never vectors — the kmeans shape, m-fold).
+  * (m·ksub·subDim doubles — KBs) ride the plan as flat reference
+  * arrays inside two custom codegen expressions ([[graft.plans.PqEncode]]
+  * / [[graft.plans.PqLutSum]] — the Column-combinator formulation blew
+  * janino's 64KB method limit and knocked the stage out of codegen).
+  * Training reads the corpus once per Lloyd iteration with ALL m
+  * subspaces folding in the SAME pass (assignment is ONE map-side
+  * PqEncode per row; the update shuffle carries m×ksub×partitions
+  * subDim-sized partials, never vectors — the kmeans shape, m-fold).
   *
   * Everything is deterministic: hash-seeded init (the ksub
   * smallest-xxhash64 ids donate sub-vectors), sequential left-to-right
@@ -43,26 +46,6 @@ object Pq {
     def m: Int = books.length
     def ksub: Int = books(0).length
     def subDim: Int = books(0)(0).length
-  }
-
-  /** 1-indexed slice of the sub-vector for subspace `s`. */
-  private def sub(v: Column, s: Int, subDim: Int): Column =
-    slice(v, s * subDim + 1, subDim)
-
-  /** Map-side code for subspace `s`: argmin over the codebook of
-    * ||v_s − c||² = |v_s|² − 2·v_s·c + |c|²; the |v_s|² term is shared
-    * by every candidate, so the argmin ranks −2·v_s·c + |c|² only —
-    * ksub codegen'd dots over the subDim-wide slice, zero shuffle.
-    * 0-based byte code. */
-  private def codeFor(v: Column, book: Array[Array[Double]], s: Int,
-      subDim: Int): Column = {
-    val d2 = book.map { c =>
-      var cn = 0.0
-      c.foreach(x => cn += x * x)
-      lit(-2.0) * VectorOps.dot(sub(v, s, subDim), typedlit(c)) + lit(cn)
-    }
-    (array_position(array(d2.toIndexedSeq: _*), array_min(array(d2.toIndexedSeq: _*)))
-      - 1).cast("byte")
   }
 
   /** Train per-subspace codebooks: deterministic hash init (the ksub
@@ -89,13 +72,15 @@ object Pq {
     val base = emb.select(col(vecCol).as("v")).persist()
     for (_ <- 1 to iters) {
       val bks = books
-      // (s·ksub + code, sub-vector) for all m subspaces of each row, in
-      // one pass; the flat Int key keeps the group count at m·ksub
-      val parts = base.select(explode(array((0 until m).map(s =>
-          struct((codeFor(col("v"), bks(s), s, subDim).cast("int") + lit(s * ksub))
-            .as("g"), sub(col("v"), s, subDim).cast("array<float>").as("sv"))): _*))
-          .as("e"))
-        .select(col("e.g"), col("e.sv")).as[(Int, Array[Float])]
+      // ONE PqEncode per row assigns all m subspaces, then posexplode
+      // fans out (s·ksub + code, sub-vector) pairs; the flat Int key
+      // keeps the group count at m·ksub
+      val parts = base
+        .select(col("v"), posexplode(PqOps.encode(col("v"), bks)))
+        .select((col("pos") * ksub + col("col").cast("int")).as("g"),
+          slice(col("v"), col("pos") * subDim + 1, lit(subDim))
+            .cast("array<float>").as("sv"))
+        .as[(Int, Array[Float])]
         .groupByKey(_._1)
         .agg(graft.functions.VecCentroid.toColumn.name("c"))
         .collect().toMap
@@ -106,13 +91,12 @@ object Pq {
     Model(books)
   }
 
-  /** Append the m-byte code column: one map-side pass, m codegen'd
-    * argmins. At 100 TB this column is PERSISTED next to (or instead
+  /** Append the m-byte code column: one map-side pass, one codegen'd
+    * PqEncode. At 100 TB this column is PERSISTED next to (or instead
     * of) the vectors and every later ADC pass reads only it. */
   def encode(emb: DataFrame, vecCol: String, model: Model,
       codeCol: String = "pq_codes"): DataFrame =
-    emb.withColumn(codeCol, array((0 until model.m).map(s =>
-      codeFor(col(vecCol), model.books(s), s, model.subDim)): _*))
+    emb.withColumn(codeCol, PqOps.encode(col(vecCol), model.books))
 
   /** ADC approximate cosine of the RECONSTRUCTED vector against
     * `query`, computed entirely from the code bytes: dot and norm are m
@@ -135,10 +119,8 @@ object Pq {
       c.foreach(x => n += x * x)
       n
     })
-    def lookups(luts: Array[Array[Double]]): Column =
-      (0 until model.m).map(s => element_at(typedlit(luts(s)),
-        element_at(codeCol, s + 1).cast("int") + 1)).reduce(_ + _)
-    lookups(dotLut) / (sqrt(lookups(normLut)) * lit(qn))
+    PqOps.lutSum(codeCol, dotLut) /
+      (sqrt(PqOps.lutSum(codeCol, normLut)) * lit(qn))
   }
 
   /** Top-k by exact cosine, with candidate generation in CODE space:
