@@ -58,19 +58,34 @@ object IvfIndex {
     * precision; only storage (and therefore probe-time cosines, within
     * ~1e-2) is approximate — SimilaritySpec bounds the recall and the
     * cosine error. */
-  def build(emb: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, path: String, quantize: Boolean = false): Unit = {
-    val cents = centroids(emb, idCol, vecCol, numCells)
+  /** Map-side cell assignment: argmax of centroid cosine, ties to the
+    * first (lowest-cell) maximum — one codegen'd pass, zero shuffle. */
+  private def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid]): DataFrame = {
     val cellIds = typedlit(cents.map(_.cell))
     val simCols = cents.map { c =>
       VectorOps.dot(col("vec"), typedlit(c.vec)) / (col("vnorm") * lit(c.norm))
     }
-    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
       .withColumn("sims", array(simCols.toIndexedSeq: _*))
       .withColumn("cell",
         element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
       .drop("sims")
+  }
+
+  private def writeCentroids(cents: Array[Centroid], path: String): Unit = {
+    val json = cents.map(c =>
+        s"""{"cell":${c.cell},"norm":${c.norm},"vec":[${c.vec.mkString(",")}]}""")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(path, "_centroids.json"), json,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, path: String, quantize: Boolean = false): Unit = {
+    val cents = centroids(emb, idCol, vecCol, numCells)
+    val assigned = assignCells(emb, idCol, vecCol, cents)
     val stored =
       if (!quantize) assigned
       else assigned
@@ -85,11 +100,28 @@ object IvfIndex {
         .withColumn("vnorm", col("scale") * sqrt(VectorOps.normSq(col("codes"))))
         .drop("vec")
     stored.write.mode("overwrite").partitionBy("cell").parquet(path)
-    val json = cents.map(c =>
-        s"""{"cell":${c.cell},"norm":${c.norm},"vec":[${c.vec.mkString(",")}]}""")
-      .mkString("[", ",", "]")
-    Files.writeString(Paths.get(path, "_centroids.json"), json,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeCentroids(cents, path)
+  }
+
+  /** IVF-PQ build: the composed FAISS-style serving layout. Rows store
+    * ONLY (id, m-byte PQ code), partitioned by coarse cell — a probe
+    * prunes to `nProbe / numCells` of the partitions (the IVF lever) and
+    * reads ~m+8 bytes per surviving row instead of 4·dim (the PQ lever,
+    * 16× at dim 64 / m 16). Cell assignment runs at full precision; the
+    * PQ model is trained by the caller ([[Pq.train]] — typically on the
+    * same corpus) and persisted as `_pq.json` so serving never retrains.
+    * One scan, zero shuffle: assignment and encoding are both map-side
+    * codegen'd expressions; the partitioned write distributes by cell. */
+  def buildPq(emb: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, path: String, model: Pq.Model): Unit = {
+    val cents = centroids(emb, idCol, vecCol, numCells)
+    assignCells(emb, idCol, vecCol, cents)
+      .select(col("id"),
+        graft.plans.PqOps.encode(col("vec"), model.books).as("pq_codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCentroids(cents, path)
+    Pq.save(model, Paths.get(path, "_pq.json"))
   }
 
   private def loadCentroids(path: String): Array[Centroid] = {
@@ -133,6 +165,63 @@ object IvfIndex {
       else VectorOps.dot(col("vec"), typedlit(queryVec))
     filtered
       .select(col("id"), (dot / (col("vnorm") * lit(qnorm))).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Rank the `nProbe` most query-similar cells driver-side (k tiny dot
+    * products against the centroid sidecar). Package-visible so the
+    * spec can assert partial-probe results equal brute force restricted
+    * to exactly these cells. */
+  private[graft] def probeCells(path: String, queryVec: Array[Double],
+      nProbe: Int): (Array[Long], Double) = {
+    var qn = 0.0
+    queryVec.foreach(x => qn += x * x)
+    val qnorm = math.sqrt(qn)
+    val cells = loadCentroids(path)
+      .map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < c.vec.length) { d += c.vec(i) * queryVec(i); i += 1 }
+        (c.cell, d / (c.norm * qnorm))
+      }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe)
+      .map(_._1)
+    (cells, qnorm)
+  }
+
+  /** IVF-PQ top-k: probe the `nProbe` best cells, ADC-rank ONLY the
+    * m-byte code column within them ([[Pq.adcCosine]] — two LUT-sum
+    * expressions, no vector touched), take `candidates`, exact-verify
+    * those at full width against the base table `emb`. Candidate I/O is
+    * `(nProbe/numCells) · (m+8)/(4·dim+8)` of a brute-force scan — both
+    * ANN levers compounded — and the rerank touches `candidates` rows.
+    * nProbe = numCells degrades to PQ-only ([[Pq.topK]] semantics), which
+    * is how the sim10 gate shares sim1's exact oracle. */
+  def searchPq(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, k: Int, nProbe: Int,
+      candidates: Int): DataFrame = {
+    val qv = emb.where(col(idCol) === queryId).select(col(vecCol))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val (probed, _) = probeCells(path, qv, nProbe)
+    val model = Pq.load(Paths.get(path, "_pq.json"))
+    val cand = spark.read.parquet(path)
+      .where(col("cell").isin(probed.toIndexedSeq: _*))
+      .where(col("id") =!= queryId)
+      .select(col("id"), Pq.adcCosine(col("pq_codes"), model, qv).as("acos"))
+      .orderBy(col("acos").desc, col("id"))
+      .limit(candidates)
+      .select(col("id"))
+    // exact verify with bruteForceTopK's arithmetic — identical ops, so
+    // a full probe with enough candidate headroom hash-gates on sim1
+    val q = emb.where(col(idCol) === queryId)
+      .select(transform(col(vecCol), _.cast("double")).as("qv"))
+    emb.join(broadcast(cand), emb(idCol) === cand("id"))
+      .join(broadcast(q))
+      .select(col("id"),
+        Similarity.cosine(transform(col(vecCol), _.cast("double")), col("qv"))
+          .as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

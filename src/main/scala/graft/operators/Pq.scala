@@ -48,6 +48,24 @@ object Pq {
     def subDim: Int = books(0)(0).length
   }
 
+  /** Persist / restore a model as a JSON sidecar (the codebooks are
+    * m·ksub·subDim doubles — KBs; a serving index trains once and every
+    * later query deserializes instead of rescanning the corpus).
+    * Doubles round-trip exactly (Jackson emits shortest-round-trip
+    * decimal), so a loaded model encodes bitwise-identically. */
+  def save(model: Model, file: java.nio.file.Path): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.writeString(file, mapper.writeValueAsString(model.books),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def load(file: java.nio.file.Path): Model = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Model(mapper.readValue(java.nio.file.Files.readString(file),
+      classOf[Array[Array[Array[Double]]]]))
+  }
+
   /** Train per-subspace codebooks: deterministic hash init (the ksub
     * smallest-xxhash64 rows donate their sub-vectors, the IvfIndex
     * centroid trick applied per subspace), then `iters` Lloyd rounds.

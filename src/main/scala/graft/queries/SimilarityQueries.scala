@@ -65,6 +65,29 @@ object SimilarityQueries {
       .orderBy(col("cos_r").desc, col("id"))
   }
 
+  /** SIM10: top-10 served from a PERSISTED IVF-PQ index — the composed
+    * FAISS-style stack: coarse cells partition the index on disk (probe
+    * = partition pruning), rows inside hold only (id, 16-byte PQ code)
+    * (ADC ranking reads 1/16 the bytes of the vectors), and the top 300
+    * candidates exact-verify at full width against the base table. Full
+    * probe + sim9's measured candidate headroom ⇒ the reranked top-10
+    * is the exact top-10, so the gate shares sim1's oracle; the
+    * partial-probe recall and pruning behavior are spec'd in
+    * SimilaritySpec. */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_q_")
+      .toString + "/idx"
+    val model = graft.operators.Pq.train(emb, "vec_id", "embedding",
+      m = 16, ksub = 16, iters = 2)
+    graft.operators.IvfIndex.buildPq(emb, "vec_id", "embedding",
+      numCells = 16, path, model)
+    graft.operators.IvfIndex.searchPq(spark, path, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 16, candidates = 300)
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+  }
+
   /** D5: embedding near-dup pairs (cosine >= 0.45) — EXACT, via the
     * block-pair equi-join (no broadcast nested loop, no cartesian;
     * PlanSpec asserts). The oracle is the exact pair set, green by

@@ -259,6 +259,55 @@ class SimilaritySpec extends SparkSpec {
     assert(worst <= 150, s"true top-10 fell to ADC rank $worst of ${adcRank.size}")
   }
 
+  test("IVF-PQ: persisted codes are narrow, model round-trips, probe prunes, full probe is exact") {
+    import graft.operators.{IvfIndex, Pq}
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx_spec_")
+      .toString + "/idx"
+    val model = Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    IvfIndex.buildPq(emb, "vec_id", "embedding", numCells = 8, path, model)
+    // the index stores ONLY (id, 16-byte code) + the cell partition col
+    val idx = spark.read.parquet(path)
+    assert(idx.schema.fieldNames.sorted.toSeq == Seq("cell", "id", "pq_codes"))
+    // the persisted model restores bitwise — serving never retrains
+    val loaded = Pq.load(java.nio.file.Paths.get(path, "_pq.json"))
+    assert(loaded.books.flatten.flatten.toSeq == model.books.flatten.flatten.toSeq)
+    // partial probe: partition pruning reaches the scan, and results
+    // stay inside the probed cells
+    val probe2 = IvfIndex.searchPq(spark, path, emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nProbe = 2, candidates = 100)
+    val rows2 = probe2.collect().map(_.getAs[Long]("id")).toSet
+    val cells2 = idx.where(col("id").isin(rows2.toSeq: _*))
+      .select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(cells2.size <= 2, s"results crossed probe boundary: $cells2")
+    // full probe + candidate headroom: exactly the brute-force top-10
+    // (the sim10 gate)
+    val full = IvfIndex.searchPq(spark, path, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 8, candidates = 300)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(full == brute)
+    // partial probe is EXACT over what it reads: equals brute-force
+    // top-10 restricted to the probed cells (recall vs the global
+    // top-10 is corpus-dependent — isotropic random vectors spread
+    // neighbors uniformly, so nProbe/numCells is all a coarse quantizer
+    // can promise here; the deterministic containment property is what
+    // the operator owes)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val (trueProbed, _) = IvfIndex.probeCells(path, qv, 2)
+    assert(cells2.subsetOf(trueProbed.toSet))
+    val probedIds = idx.where(col("cell").isin(trueProbed.toIndexedSeq: _*))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val bruteProbed = Similarity.bruteForceTopK(
+        emb.where(col("vec_id").isin(probedIds.toSeq.map(Long.box): _*) ||
+          col("vec_id") === 0L), "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(probe2.collect().map(_.getAs[Long]("id")).toSeq == bruteProbed)
+  }
+
   test("IvfIndex: partial probe prunes partitions and equals brute force over probed cells") {
     import graft.operators.IvfIndex
     val emb = graft.Tables.embeddings(spark, sf001)

@@ -24,9 +24,10 @@ class SqlParitySpec extends SparkSpec {
     "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features",
     // d6: string_split + UNNEST(range) lateral
     "d6_decontaminate",
-    // sim6/sim8 share sim1's list_cosine_similarity oracle; d10's gate
-    // counts the exact pair set with it too
-    "sim6_ivf_index", "sim8_rp_topk", "d10_semdedup",
+    // sim6/sim8/sim9/sim10 share sim1's list_cosine_similarity oracle;
+    // d10's gate counts the exact pair set with it too
+    "sim6_ivf_index", "sim8_rp_topk", "sim9_pq_topk", "sim10_ivfpq",
+    "d10_semdedup",
     // pipe4/t8/d7 (+d9, sharing d7's SQL): UNNEST(range) lateral,
     // string_split, recursive CTE
     "pipe4_mixture", "t8_bpe_pairs", "d7_dedup_clusters", "d9_clusters_star",
