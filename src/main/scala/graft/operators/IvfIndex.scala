@@ -169,6 +169,26 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Append new vectors to an existing IVF-PQ index: assignment and
+    * encoding run from the PERSISTED sidecars — centroids and codebooks
+    * are never retrained, which is the serving contract (a code means
+    * the same thing in every block ever written, so probes never
+    * version-check rows). This is the streaming-maintenance shape: call
+    * per micro-batch from foreachBatch; exactly-once is the CALLER's
+    * concern (pair with a batch-id marker as in streaming/Ingest —
+    * replaying a batch through a bare append duplicates rows). One
+    * map-side scan of the new rows, partitioned append by cell. */
+  def appendPq(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cents = loadCentroids(path)
+    val model = Pq.load(Paths.get(path, "_pq.json"))
+    assignCells(emb, idCol, vecCol, cents)
+      .select(col("id"),
+        graft.plans.PqOps.encode(col("vec"), model.books).as("pq_codes"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Rank the `nProbe` most query-similar cells driver-side (k tiny dot
     * products against the centroid sidecar). Package-visible so the
     * spec can assert partial-probe results equal brute force restricted

@@ -308,6 +308,41 @@ class SimilaritySpec extends SparkSpec {
     assert(probe2.collect().map(_.getAs[Long]("id")).toSeq == bruteProbed)
   }
 
+  test("IVF-PQ append: persisted-sidecar growth serves the merged corpus exactly") {
+    import graft.operators.{IvfIndex, Pq}
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_app_spec_")
+      .toString + "/idx"
+    // model + centroids fixed at initial-build time, from the seed half
+    val model = Pq.train(half, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    IvfIndex.buildPq(half, "vec_id", "embedding", numCells = 8, path, model)
+    IvfIndex.appendPq(rest, "vec_id", "embedding", path)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == emb.count())
+    // appended rows carry the SAME codes the initial-build encoder would
+    // have given them — the sidecar round-trip drives assignment
+    val viaSidecar = idx.join(rest.select(col("vec_id")), col("id") === col("vec_id"))
+      .select(col("id"), col("pq_codes")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Byte](1).toSeq).toMap
+    val direct = Pq.encode(rest, "embedding", model)
+      .select(col("vec_id"), col("pq_codes")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Byte](1).toSeq).toMap
+    assert(viaSidecar == direct)
+    // end-to-end: a full probe with a MODEST candidate budget (150 of
+    // 500 — a half-trained model has less ADC headroom than sim9's
+    // full-corpus one) still recovers the exact top-10 of the merged
+    // corpus; mis-assigned or mis-encoded appends would randomize ADC
+    // ranks and drop ~70% of true neighbors out of the budget
+    val got = IvfIndex.searchPq(spark, path, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 8, candidates = 150)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == brute)
+  }
+
   test("IvfIndex: partial probe prunes partitions and equals brute force over probed cells") {
     import graft.operators.IvfIndex
     val emb = graft.Tables.embeddings(spark, sf001)
