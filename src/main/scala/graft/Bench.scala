@@ -29,23 +29,56 @@ object Bench {
     // Optional args: bench only the named queries (one-off timing runs;
     // the driver passes none and gets the full surface).
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Gate 1: every registered query must at least ANALYZE before any
+    // timing starts — a broken loader/schema fails here by name instead
+    // of posting a time-to-throw as a "fast" result (the round-3 trap:
+    // 48 queries died at analysis and the bench recorded ~0.05 s each).
+    val analysisErrs = selected.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed analysis: ${e.getMessage}")
+        Some(name -> e)
       }
-      name -> times.min
+    }.toMap
+    // Gate 2: a query that throws DURING execution records null, never
+    // its time-to-throw.
+    val errors = scala.collection.mutable.Map[String, String]() ++
+      analysisErrs.map { case (n, e) => n -> s"analysis: ${e.getMessage}" }
+    val results = selected.map { case (name, fn) =>
+      if (analysisErrs.contains(name)) name -> None
+      else {
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errors(name) = s"execution: ${e.getMessage}"
+            None
+          }
+        }
+        name -> (if (times.size == reps) Some(times.min) else None)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    // A failed query can never again post rc=0: the driver (and any
+    // human) sees the breakage even without parsing the errors map.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -86,9 +86,12 @@ object Tpch {
        |LIMIT 10""".stripMargin
 
   /** TPC-H Q5 analog: revenue by nation in a region for one year.
-    * nation⋈region and supplier are broadcast; the c_nationkey=s_nationkey
-    * condition rides on the row, so the plan is fact-scan + two shuffle
-    * joins (orders, customer) + tiny agg. */
+    * Every dimension — supplier, CUSTOMER, nation⋈region — broadcasts
+    * (customer is 15k rows/SF at sf1, dwarfed by lineitem's 6M; TPC-H's
+    * own spec keeps that 400:1 ratio at every SF, so the hint holds at
+    * 100× too), leaving ONE shuffle join (lineitem⋈orders) + tiny agg.
+    * Without the hint AQE sometimes planned customer as a shuffle join
+    * at sf0.1 — the round-3 bench's 6.9× outlier. */
   def q5Region(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
@@ -100,7 +103,7 @@ object Tpch {
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(c, col("o_custkey") === col("c_custkey") &&
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
                col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

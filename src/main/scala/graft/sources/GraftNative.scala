@@ -147,6 +147,25 @@ object GraftNative {
     if (Files.exists(Paths.get(block, MetaFile))) nativesOf(block)
     else nativesOf(Paths.get(block).getParent.toString)
 
+  /** Timestamp input columns are canonicalized to the reference's i64
+    * NANOS representation (ref `src/schema.rs:8`) before encoding —
+    * `unix_micros * 1000`, exact for µs data, with NTZ cast through the
+    * session zone (graft sessions pin UTC, so the cast is the identity
+    * on micros). Every downstream path (meta, encode, stats, ts<W>@<R>
+    * deltas) then sees the one Long shape, and read-back is i64 nanos
+    * matching Tables.eventsRawTs' contract. */
+  private def canonTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          d.withColumn(f.name,
+            unix_micros(col(f.name).cast(TimestampType)) * lit(1000L))
+        case _ => d
+      }
+    }
+  }
+
   /** Distributed fixture/ingest writer: one `block-<partition>` dir per
     * input partition (executors share the filesystem on local[*]; on a
     * cluster this would target a DFS path via the Hadoop FS API). */
@@ -157,8 +176,9 @@ object GraftNative {
     * unlisted columns use the Spark-type default. Each override's
     * widened Spark type must equal the DataFrame column's type. */
   def write(df: DataFrame, dir: String, nativeTypes: Map[String, String]): Unit = {
-    writeMeta(df.schema, dir, nativeTypes)
-    appendBlocks(df, dir, tag = "")
+    val canon = canonTs(df)
+    writeMeta(canon.schema, dir, nativeTypes)
+    appendBlocks(canon, dir, tag = "")
   }
 
   /** Append a batch as new blocks tagged `block-<tag><pid>` without
@@ -167,11 +187,12 @@ object GraftNative {
     * rollover). Creates the meta sidecar on first use; later batches
     * must match its schema. */
   def append(df: DataFrame, dir: String, tag: String): Unit = {
-    if (!Files.exists(Paths.get(dir, MetaFile))) writeMeta(df.schema, dir)
-    else require(schemaOf(dir) == StructType(df.schema.fields.map(f =>
+    val canon = canonTs(df)
+    if (!Files.exists(Paths.get(dir, MetaFile))) writeMeta(canon.schema, dir)
+    else require(schemaOf(dir) == StructType(canon.schema.fields.map(f =>
       StructField(f.name, f.dataType, nullable = false))),
       s"schema mismatch appending to graft-native table at $dir")
-    appendBlocks(df, dir, tag)
+    appendBlocks(canon, dir, tag)
   }
 
   private def writeMeta(schema: StructType, dir: String,

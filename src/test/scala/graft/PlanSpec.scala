@@ -20,7 +20,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:"))
     assert(plan.contains("GreaterThanOrEqual(ts"), plan)
     assert(plan.contains("LessThanOrEqual(ts"), plan)
-    assert(plan.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double"))
+    // ts is bigint when the file stores raw nanos (legacy), timestamp_ntz
+    // when it stores µs — pushdown must hold in either physical shape
+    assert("ReadSchema: struct<event_id:bigint,ts:(bigint|timestamp_ntz|timestamp),user_id:bigint,event_type:string,value:double"
+      .r.findFirstIn(plan).isDefined, plan)
   }
 
   test("q3: dimension joins broadcast, no sort-merge join") {
@@ -56,12 +59,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) == 2, p.toString)
   }
 
-  test("s2: NanosPushdownRule pushes derived-ts range onto the raw nanos scan") {
+  test("s2: NanosPushdownRule pushes derived-ts range onto the stored scan") {
     val plan = Events.scanDerived(spark, sf001).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    // 2024-01-10T00:00Z = 1704844800 s → ns bound pushed to parquet
-    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"), plan)
-    assert(plan.contains("LessThanOrEqual(ts,1705708800000000999)"), plan)
+    // 2024-01-10T00:00Z = 1704844800 s. Exact pushed bound in either
+    // physical shape: raw-ns Long (legacy TIMESTAMP(NANOS) data) or µs
+    // timestamp (current data, rule unwraps the NTZ→TZ cast).
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)") ||
+           plan.contains("GreaterThanOrEqual(ts,2024-01-10T00:00)"), plan)
+    assert(plan.contains("LessThanOrEqual(ts,1705708800000000999)") ||
+           plan.contains("LessThanOrEqual(ts,2024-01-20T00:00)"), plan)
   }
 
   test("nanos rule: far-future upper bound skips the rewrite instead of overflowing") {

@@ -187,8 +187,30 @@ class SimilaritySpec extends SparkSpec {
       .head.getDouble(0)
     assert(accN == 1.0)
     val row = graft.queries.SimilarityQueries.logreg(spark, sf001).head
-    assert(row.getAs[Boolean]("loss_ok") && row.getAs[Boolean]("acc_ok") &&
-      row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Boolean]("loss_ok") && row.getAs[Boolean]("acc_ok"))
+  }
+
+  test("logreg parity: distributed Newton == sequential same-math Newton") {
+    // The cross-check that used to live inside the ml1 query: the
+    // distributed gradient/Hessian partials must reproduce a sequential
+    // driver-side Newton run to float-sum-order tolerance. A bounded
+    // sample (sf0.001, capped) is the right home for a driver-side
+    // replay — the registered query must never collect the corpus.
+    import graft.operators.{Classifier, Similarity}
+    val v = Similarity.rpPlanes(64, 1)(0)
+    val emb = Tables.embeddings(spark, sf001)
+      .limit(400)
+      .select(concat(col("embedding"), array(lit(1.0f))).as("x"),
+        (graft.plans.VectorOps.dot(col("embedding"), typedlit(v)) >= 0)
+          .cast("int").as("y"))
+      .persist()
+    val iters = 4
+    val w = Classifier.trainLogRegNewton(emb, "x", "y", iters)
+    val rows = emb.as[(Array[Float], Int)].collect()
+    emb.unpersist()
+    val wRef = graft.functions.CrossCheck.logregNewtonRef(rows, iters, 1e-8)
+    val maxAbs = w.zip(wRef).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxAbs <= 1e-3, s"distributed vs sequential Newton drift: $maxAbs")
   }
 
   test("LSH buckets: identical vectors collide; pairs found at threshold") {

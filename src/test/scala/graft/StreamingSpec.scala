@@ -263,9 +263,17 @@ class StreamingSpec extends SparkSpec {
       srcDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // mirror Tables.events' schema sniff: raw Long nanos (legacy) vs
+    // stored µs timestamps (current testdata)
+    val rawStream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        rawStream.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
     val ckpt = Files.createTempDirectory("lifecycle_ckpt_").toString
     val q = Ingest.ingestStream(stream, path, ckpt)
     q.awaitTermination(120000)
