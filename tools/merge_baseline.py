@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Merge N full-bench passes into BASELINE_LOCAL.{json,md}.
+
+Each pass file is one bench JSON line (already min-of-3 inside the JVM);
+the baseline records the per-query min across passes — the stable warm
+number on a shared box. Run:
+
+    python3 tools/merge_baseline.py /tmp/bench_pass_*.json
+"""
+import json, sys, time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def main(paths):
+    passes = []
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        if d.get("errors"):
+            print(f"refusing {p}: errors present {list(d['errors'])[:5]}")
+            return 1
+        passes.append(d["queries"])
+    names = set()
+    for q in passes:
+        names |= set(q)
+    mins = {}
+    for n in sorted(names):
+        vals = [q[n] for q in passes if q.get(n) is not None]
+        if len(vals) != len(passes):
+            print(f"refusing: {n} missing/null in some pass")
+            return 1
+        mins[n] = min(vals)
+    out = {
+        "method": f"per-query min over {len(passes)} warm min-of-3 passes, "
+                  "local[32], sf0.1; regenerated after the timestamp[us] "
+                  "loader fix and the sim2/sim3 fixture gates",
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_queries": len(mins),
+        "total_sec": round(sum(mins.values()), 3),
+        "queries": mins,
+    }
+    (ROOT / "BASELINE_LOCAL.json").write_text(json.dumps(out, indent=1) + "\n")
+    md = ["# BASELINE_LOCAL — committed per-query warm minimums", "",
+          out["method"], "",
+          f"Generated {out['generated_at']} — {out['n_queries']} queries, "
+          f"{out['total_sec']} s summed mins.", "",
+          "| query | min sec |", "|---|---|"]
+    md += [f"| {n} | {v:.3f} |" for n, v in sorted(mins.items())]
+    (ROOT / "BASELINE_LOCAL.md").write_text("\n".join(md) + "\n")
+    print(f"{len(mins)} queries, total {out['total_sec']}s -> BASELINE_LOCAL.json/md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
