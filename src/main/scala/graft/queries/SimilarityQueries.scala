@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -225,8 +227,20 @@ object SimilarityQueries {
   private def truthPairs(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val emb = Tables.embeddings(spark, dir)
-    val fp = emb.agg(count(lit(1)), sum(col("vec_id"))).head
-    val print = s"n=${fp.getLong(0)};sum=${fp.getLong(1)};thr=0.3"
+    // fingerprint from FILE METADATA (name/size/mtime), not a data scan:
+    // validating the fixture must not cost a full pass over the source
+    // table — at scale that scan would dwarf the ANN path being timed
+    val src = Paths.get(dir, "embeddings.parquet")
+    val files =
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src) // close the NIO stream (fd leak otherwise)
+        try s.iterator().asScala.toSeq.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally s.close()
+      } else Seq(src)
+    val print = files.map(p =>
+        s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .mkString("thr=0.3|", "|", "")
     val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
     val name = Paths.get(dir).getFileName.toString
     val data = Paths.get(root, s"truthpairs-$name")
