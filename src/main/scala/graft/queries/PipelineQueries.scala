@@ -312,4 +312,53 @@ object PipelineQueries {
       |       ELSE 'test' END AS split
       |FROM documents d LEFT JOIN c ON c.member = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** PIPE9: context-window CHUNKING — split each document into
+    * overlapping token windows (width 128, stride 96 → 32-token overlap),
+    * the standard pre-tokenization step that turns long documents into
+    * training-context-sized pieces without losing cross-boundary spans.
+    *
+    * Scale shape: one scan, zero shuffle (the ORDER BY is only the
+    * oracle's determinism sort). The chunks are built INSIDE one
+    * `transform` over the start-offset sequence and only then exploded,
+    * so each row's token array is materialized once and the explode
+    * carries chunk-sized structs — never the token array × chunk count
+    * (the naive explode-then-slice duplicates a T-token array into
+    * every chunk row: O(T²/stride) bytes for a long doc, the classic
+    * generate-with-payload trap). Tokenization is the same `\S+`
+    * extraction the t1 gate proved identical across engines; a
+    * zero-token document yields zero chunks in both. */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val width = 128
+    val stride = 96
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks) // bind once: HOF lambdas below must see
+      .withColumn("n", size(col("toks"))) // an attribute, not re-eval the regex
+      .select(col("doc_id"), posexplode(
+        transform(
+          filter(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)),
+            s => s < col("n")),
+          s => struct(
+            least(lit(width), col("n") - s).cast(LongType).as("n_chunk_tokens"),
+            array_join(slice(col("toks"), s + 1, lit(width)), " ").as("chunk"))))
+        .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"), col("c.chunk").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, greatest(len(toks) - 1, 0), 96)) AS start
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 96 AS BIGINT) AS chunk_idx,
+      |  CAST(least(128, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(toks[start + 1 : start + 128], ' ') AS chunk
+      |FROM s WHERE start < len(toks)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -100,4 +100,31 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunking: windows cover every token, overlap by width-stride, rejoin to the doc") {
+    // pipe9 invariants on real docs: chunk c starts at token c*96, holds
+    // min(128, n - c*96) tokens, consecutive chunks share exactly 32
+    // tokens, and stripping the 32-token overlap reconstructs the doc.
+    val chunks = PipelineQueries.chunk(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk")))
+    assert(chunks.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "array_join(regexp_extract_all(text, '\\\\S+', 0), ' ') AS t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      val nTok = docs(id).split(" ").count(_.nonEmpty)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong), s"doc $id idx gap")
+      ordered.foreach { case (_, idx, n, text) =>
+        val want = math.min(128L, nTok - idx * 96)
+        assert(n == want, s"doc $id chunk $idx size")
+        assert(text.split(" ").count(_.nonEmpty) == n, s"doc $id chunk $idx tokens")
+      }
+      // drop the leading 32-token overlap of every chunk after the first
+      val rejoined = (ordered.head._4 +: ordered.tail.map(
+        _._4.split(" ").drop(32).mkString(" "))).filter(_.nonEmpty).mkString(" ")
+      assert(rejoined == docs(id), s"doc $id does not rejoin")
+    }
+  }
 }
