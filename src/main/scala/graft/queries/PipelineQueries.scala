@@ -361,4 +361,83 @@ object PipelineQueries {
       |  array_to_string(toks[start + 1 : start + 128], ' ') AS chunk
       |FROM s WHERE start < len(toks)
       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PIPE10: DSIR-style importance scoring for domain-targeted data
+    * selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score every document by the
+    * log-likelihood ratio of its hashed-unigram features under a
+    * TARGET distribution (here: the English slice stands in for "the
+    * domain you want more of") vs the RAW corpus distribution; keep
+    * documents whose ratio says target-like (score ≥ 0 ⟺ importance
+    * weight ≥ 1).
+    *
+    * Scale shape — the reason DSIR beats classifier-based selection at
+    * corpus scale, kept intact here: both feature distributions are
+    * B-bucket histograms (B=1024) built with one map-side-combined
+    * aggregation each; the per-bucket weight table is B rows and
+    * BROADCASTS into the scoring join, so scoring N documents costs
+    * one token scan + one doc_id-keyed partial-agg shuffle — no model,
+    * no N×N anything. Feature hash = md5 hex prefix (the one hash both
+    * engines compute identically). Smoothing is Jelinek-Mercer
+    * (p̂ = (1-λ)·c/N + λ/B, λ=0.01) — NOT add-one: with unequal corpus
+    * sizes, add-one turns identical empirical distributions into a
+    * nonzero per-token bias (log((c+1)/(N+B)) shifts by the N), which
+    * at ~140 tokens/doc swamped the actual domain signal and made the
+    * selection degenerate; JM maps equal distributions to weight
+    * exactly 0, so score ≥ 0 means "more target-like than raw".
+    * Scores rounded to 6 dp so float sum order can't flake the gate,
+    * and the selected flag tests the ROUNDED score on both sides (no
+    * raw-float boundary). */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val docs = Tables.documents(spark, dir)
+    val bk = docs.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("t")), 1, 4), 16, 10).cast(LongType) % B).as("bk"))
+    val tgt = bk.where(col("lang") === "en")
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val raw = bk.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
+    val nt = bk.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
+    val nr = bk.agg(count(lit(1)).as("nr"))
+    val lam = 0.01
+    val w = raw.join(tgt, Seq("bk"), "left")
+      .crossJoin(nt).crossJoin(nr) // one-row stats frames: scalar broadcast
+      .select(col("bk"),
+        (log(lit(1.0 - lam) * coalesce(col("ct"), lit(0L)) / col("nt")
+           + lit(lam / B)) -
+         log(lit(1.0 - lam) * col("cr") / col("nr")
+           + lit(lam / B))).as("w"))
+    val scores = bk.join(broadcast(w), Seq("bk"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        round(coalesce(col("score"), lit(0.0)), 6).as("score_r"))
+      .withColumn("selected", col("score_r") >= 0.0)
+      .orderBy("doc_id")
+  }
+
+  val dsirSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER) % 1024 AS bk
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(regexp_extract_all(lower(text), '\S+')) AS t
+      |        FROM documents)),
+      |tgt AS (SELECT bk, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+      |rawc AS (SELECT bk, COUNT(*) AS cr FROM b GROUP BY bk),
+      |nt AS (SELECT COUNT(*) AS n FROM b WHERE lang = 'en'),
+      |nr AS (SELECT COUNT(*) AS n FROM b),
+      |w AS (SELECT rawc.bk,
+      |        ln(0.99 * COALESCE(tgt.ct, 0) / nt.n + 0.01 / 1024)
+      |      - ln(0.99 * rawc.cr / nr.n + 0.01 / 1024) AS w
+      |      FROM rawc LEFT JOIN tgt ON rawc.bk = tgt.bk, nt, nr),
+      |s AS (SELECT b.doc_id, SUM(w.w) AS score
+      |      FROM b JOIN w ON b.bk = w.bk GROUP BY b.doc_id)
+      |SELECT d.doc_id, d.lang,
+      |  round(COALESCE(s.score, 0.0), 6) AS score_r,
+      |  round(COALESCE(s.score, 0.0), 6) >= 0.0 AS selected
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -127,4 +127,23 @@ class PipelineSpec extends SparkSpec {
       assert(rejoined == docs(id), s"doc $id does not rejoin")
     }
   }
+
+  test("dsir: target-domain docs score and select above the rest") {
+    // The importance scorer must actually discriminate toward the
+    // target (en) slice: under JM smoothing the mean en score sits
+    // above the mean non-en score and en docs are selected more often.
+    // (Add-one smoothing failed this — the corpus-size bias pushed
+    // every score negative and selected nothing.)
+    val rows = PipelineQueries.dsir(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("score_r"),
+        r.getAs[Boolean]("selected")))
+    val (en, rest) = rows.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(en.map(_._2)) > mean(rest.map(_._2)), "no domain signal")
+    val selEn = en.count(_._3).toDouble / en.length
+    val selRest = rest.count(_._3).toDouble / rest.length
+    assert(selEn > selRest, s"selection not target-biased: $selEn vs $selRest")
+    assert(rows.exists(_._3) && rows.exists(!_._3), "degenerate selection")
+  }
 }

@@ -56,7 +56,10 @@ class SqlParitySpec extends SparkSpec {
     "s6c_native_fullwidth",
     // skew3: the hot series is deeper than Spark's WITH RECURSIVE
     // level limit (100); DuckDB recurses fine
-    "skew3_ewma_hot")
+    "skew3_ewma_hot",
+    // round-4: unnest(generate_series) lateral + list slicing (pipe9),
+    // unnest + '0x'-prefixed hex cast (pipe10)
+    "pipe9_chunk", "pipe10_dsir")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
