@@ -358,6 +358,85 @@ object SimilarityQueries {
       .toDF("n_rows", "loss_ok", "acc_ok")
   }
 
+  /** SIM11: CLUSTER-BALANCED SAMPLING — the diversity-preserving subset
+    * selection step of embedding-aware curation (sample evenly across
+    * semantic clusters instead of uniformly, so a dominant mode can't
+    * crowd the subset; the serving-side companion of SemDeDup's
+    * per-cell pruning). Deterministic end to end, so the gate is an
+    * EXACT hash match, not a bound flag:
+    *
+    *  - centroids: the 8 vectors with smallest (md5(vec_id), vec_id) —
+    *    both engines compute the identical md5 hex;
+    *  - assignment: argmax of ROUNDED (6 dp) cosine over the centroid
+    *    set, smallest-cell tiebreak (centroids sorted cell-ascending +
+    *    first-max array_position ⟺ DuckDB's ORDER BY cs DESC, cell);
+    *    rounding first makes the argmax engine-stable — raw-float
+    *    argmax could flip on a last-ulp difference;
+    *  - per-cell pick: 20 smallest (md5(vec_id), vec_id) via
+    *    Sampling.topKPerGroup's bounded heaps — sample-sized shuffle,
+    *    never a per-cell global sort.
+    *
+    * Scale shape: assignment is MAP-SIDE (literal centroid arrays,
+    * zero shuffle — sim3's pattern); the only shuffle carries ≤ k·per
+    * heap survivors per partition. The centroid collect is k rows,
+    * dimension-sized plan-time setup, same class as a broadcast dim. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val per = 20
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        var nsq = 0.0
+        cv.foreach(x => nsq += x * x)
+        (r.getLong(0), cv, math.sqrt(nsq))
+      }
+      .sortBy(_._1)
+    val cellIds = typedlit(cents.map(_._1))
+    val simCols = cents.map { case (_, cv, cn) =>
+      round(graft.plans.VectorOps.dot(col("v"), typedlit(cv)) /
+        (col("vnorm") * lit(cn)), 6)
+    }
+    val assigned = emb
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(graft.plans.VectorOps.normSq(col("embedding"))).as("vnorm"))
+      .withColumn("sims", array(simCols.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        element_at(cellIds,
+          array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          .as("cell"))
+    graft.operators.Sampling.topKPerGroup(assigned, Seq("cell"),
+        md5(col("vec_id").cast("string")), "vec_id", per)
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy("cell", "rk")
+  }
+
+  val clusterSampleSql: String =
+    """WITH c AS (
+      |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |a AS (
+      |  SELECT e.vec_id, c.cell,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(c.cv AS DOUBLE[])), 6) AS cs
+      |  FROM embeddings e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+      |    FROM a) WHERE rn = 1),
+      |rk AS (
+      |  SELECT vec_id, cell,
+      |    CAST(row_number() OVER (PARTITION BY cell
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+      |  FROM asg)
+      |SELECT vec_id, cell, rk FROM rk WHERE rk <= 20
+      |ORDER BY cell, rk""".stripMargin
+
   /** Measured Newton training accuracy on the planted-hyperplane
     * target: see SimilaritySpec; gated below the floor so the flag
     * tests "training converged", not boundary-row float noise. */

@@ -58,8 +58,9 @@ class SqlParitySpec extends SparkSpec {
     // level limit (100); DuckDB recurses fine
     "skew3_ewma_hot",
     // round-4: unnest(generate_series) lateral + list slicing (pipe9),
-    // unnest + '0x'-prefixed hex cast (pipe10)
-    "pipe9_chunk", "pipe10_dsir")
+    // unnest + '0x'-prefixed hex cast (pipe10), list_cosine_similarity
+    // (sim11)
+    "pipe9_chunk", "pipe10_dsir", "sim11_cluster_sample")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
