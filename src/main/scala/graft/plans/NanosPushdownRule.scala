@@ -101,10 +101,14 @@ object NanosPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Positive Long literal (a raw-nanos bound). */
+  /** Positive Long literal (a raw-nanos bound). Bounded away from
+    * Long.MaxValue so ceil1000's `v + 999` cannot wrap negative and
+    * silently filter out every row — skip the rewrite instead (the
+    * original predicate stays correct), mirroring MaxSafeMicros. */
   private def nsValOf(l: Literal): Option[Long] = l.dataType match {
     case LongType => l.value match {
-      case v: java.lang.Long if v > 0 => Some(v.longValue())
+      case v: java.lang.Long if v > 0 && v <= Long.MaxValue - 999L =>
+        Some(v.longValue())
       case _ => None
     }
     case _ => None

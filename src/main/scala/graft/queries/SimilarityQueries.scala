@@ -245,7 +245,7 @@ object SimilarityQueries {
     val name = Paths.get(dir).getFileName.toString
     val data = Paths.get(root, s"truthpairs-$name")
     val mark = Paths.get(root, s"truthpairs-$name.fingerprint")
-    val fresh = Files.exists(mark) &&
+    val fresh = Files.exists(mark) && Files.exists(data) &&
       new String(Files.readAllBytes(mark)) == print
     if (!fresh) {
       Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.3)

@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
            plan.contains("LessThanOrEqual(ts,2024-01-20T00:00)"), plan)
   }
 
+  test("nanos rule: near-max derived-ns upper bound skips the rewrite") {
+    // ns < (Long.MaxValue - 5): ceil1000's v+999 would wrap negative and
+    // the added conjunct (micros <= negative) would over-filter to ZERO
+    // rows. The guard must skip the rewrite; the predicate keeps all rows.
+    graft.plans.NanosPushdownRule.install(spark)
+    import org.apache.spark.sql.functions._
+    val raw = graft.Tables.eventsRawTs(spark, sf001)
+    val total = raw.count()
+    val bounded = raw.where(col("ts") < (Long.MaxValue - 5L)).count()
+    assert(total > 0 && bounded == total)
+  }
+
   test("nanos rule: far-future upper bound skips the rewrite instead of overflowing") {
     // ts <= TIMESTAMP '9999-12-31' as an open upper bound: micros*1000
     // overflows Long; the wrapped negative conjunct used to filter out
