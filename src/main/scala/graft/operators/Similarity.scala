@@ -226,36 +226,24 @@ object Similarity {
     * shuffle key), pairs are distinct'd before verification so each
     * candidate pays one dot product. At 100 TB this is the shape that
     * holds: L×N bucket rows shuffle, never N² pairs; hot buckets are
-    * bounded by the signature width. */
+    * bounded by the signature width.
+    *
+    * `multiProbe = true` turns on Hamming-1 multiprobe (Lv et al.,
+    * VLDB'07): ONE side of the self-join additionally probes the
+    * numPlanes buckets one bit-flip away, so a pair collides in a table
+    * when its signatures differ in ≤ 1 bit. Per-table collision rises
+    * from p^H to p^H + H·p^(H-1)(1-p) — ~5× at the hard end of a
+    * cos ≥ 0.3 truth set — for (H+1)× probe rows on one side, which is
+    * far cheaper than the (H+1)²× of expanding both sides or the ~5×
+    * table count the same recall would otherwise need (probe rows carry
+    * ids + signatures only; the exact-verify cost grows with the
+    * candidate mass either way). */
   def lshNeighborPairsMulti(emb: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, numTables: Int, threshold: Double): DataFrame = {
+      numPlanes: Int, numTables: Int, threshold: Double,
+      multiProbe: Boolean = false): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
       sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
-    val bucketed = vecs
-      .withColumn("bks", array((0 until numTables).map(t =>
-        lshBucket(col("v"), numPlanes, table = t)): _*))
-      .select(col("id"), col("bks"),
-        posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("id").as("ida"),
-      col("bks").as("bksa"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("id").as("idb"),
-      col("bks").as("bksb"))
-    // first table index where the two signature arrays agree — spelled
-    // as least(CASE...) rather than a zip_with HOF so the filter stays
-    // inside whole-stage codegen (least skips the null WHENs)
-    val firstCollision = least((0 until numTables).map(i =>
-      when(element_at(col("bksa"), i + 1) === element_at(col("bksb"), i + 1),
-        lit(i))): _*)
-    // CANDIDATES, then VERIFY: the L-fold replicated self-join carries
-    // only ids + L-long signatures (pairs deduped without a distinct —
-    // each pair survives only in the FIRST table where its signatures
-    // collide); the dim-sized vectors join in once per side afterwards,
-    // so the collision mass never shuffles dim-width payloads. At
-    // dim=64/L=16 the bucket rows are ~8× narrower than carrying the
-    // vectors through the join — the gap that matters at 100 TB.
-    val cands = a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
-      .where(col("tbl") === firstCollision)
-      .select(col("ida"), col("idb"))
+    val cands = lshCandidates(emb, idCol, vecCol, numPlanes, numTables, multiProbe)
     cands
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),
         col("nrm").as("nrm_a")), Seq("ida"))
@@ -264,6 +252,83 @@ object Similarity {
       .select(col("ida"), col("idb"),
         (VectorOps.dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Candidate-pair stage of [[lshNeighborPairsMulti]]: (ida, idb),
+    * each emitted exactly once (first-colliding-table dedup), no
+    * verification. Exposed so the candidate cost can be measured apart
+    * from the exact-verify cost. */
+  private[graft] def lshCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, numTables: Int, multiProbe: Boolean): DataFrame = {
+    require(numPlanes <= 60, "numPlanes must fit a packed long lane")
+    val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val signed = vecs
+      .withColumn("bks", array((0 until numTables).map(t =>
+        lshBucket(col("v"), numPlanes, table = t)): _*))
+    // All L signatures packed into ⌈L/(60/H)⌉ long columns (H-bit lanes).
+    // The per-joined-row dedup condition below runs on EVERY bucket-join
+    // match (~collision mass × L rows), so it must be a handful of
+    // primitive shift/mask ops per table — the element_at-per-table
+    // array formulation this replaces generated a bytecode-huge CASE
+    // chain with per-access bounds checks and measured ~7× slower on
+    // the candidate stage. Packing runs once per VECTOR (N rows), the
+    // cheap side of the asymmetry, and the join carries 2 longs instead
+    // of an L-long array.
+    val lanes = math.max(1, 60 / numPlanes) // tables per packed long
+    val nPk = (numTables + lanes - 1) / lanes
+    def packCol(j: Int): Column =
+      (j * lanes until math.min((j + 1) * lanes, numTables))
+        .map(t => shiftleft(element_at(col("bks"), t + 1), (t - j * lanes) * numPlanes))
+        .reduce(_.bitwiseOR(_))
+    val packed = signed.select(
+      (Seq(col("id"), col("bks")) ++ (0 until nPk).map(j => packCol(j).as(s"pk$j"))): _*)
+    val pkNames = (0 until nPk).map(j => s"pk$j")
+    val bucketed = packed
+      .select((Seq(col("id")) ++ pkNames.map(col) :+
+        posexplode(col("bks")).as(Seq("tbl", "bucket"))): _*)
+    // probe side: the exact bucket, plus — under multiprobe — each
+    // single-bit-flip neighbor bucket. Only this side expands; the
+    // build side stays at exact signatures, so a Hamming-≤1 pair meets
+    // on exactly one key per colliding table (exact-exact at distance
+    // 0, flip_j-exact at distance 1 — never both).
+    val probed =
+      if (!multiProbe) bucketed
+      else packed
+        .select((Seq(col("id")) ++ pkNames.map(col) :+
+          posexplode(col("bks")).as(Seq("tbl", "sig"))): _*)
+        .select((Seq(col("id")) ++ pkNames.map(col) ++ Seq(col("tbl"),
+          explode(array((col("sig") +: (0 until numPlanes).map(h =>
+            col("sig").bitwiseXOR(lit(1L << h)))): _*)).as("bucket"))): _*)
+    val a = probed.select((Seq(col("tbl"), col("bucket"), col("id").as("ida")) ++
+      pkNames.map(n => col(n).as(n + "a"))): _*)
+    val b = bucketed.select((Seq(col("tbl"), col("bucket"), col("id").as("idb")) ++
+      pkNames.map(n => col(n).as(n + "b"))): _*)
+    // first table index where the two signatures collide (equal, or
+    // within 1 bit under multiprobe) — least(CASE...) over primitive
+    // lane ops, fully inside whole-stage codegen. `f & (f-1) == 0`
+    // tests popcount ≤ 1 without a bit_count call.
+    val laneMask = (1L << numPlanes) - 1
+    def collides(t: Int): Column = {
+      val j = t / lanes
+      val off = (t % lanes) * numPlanes
+      val f = shiftright(col(s"pk${j}a"), off)
+        .bitwiseXOR(shiftright(col(s"pk${j}b"), off))
+        .bitwiseAND(lit(laneMask))
+      if (!multiProbe) f === 0L
+      else f.bitwiseAND(f - 1) === 0L
+    }
+    val firstCollision = least((0 until numTables).map(i =>
+      when(collides(i), lit(i))): _*)
+    // CANDIDATES, then VERIFY: the L-fold replicated self-join carries
+    // only ids + packed signatures (pairs deduped without a distinct —
+    // each pair survives only in the FIRST table where its signatures
+    // collide); the dim-sized vectors join in once per side afterwards,
+    // so the collision mass never shuffles dim-width payloads. At
+    // dim=64/L=16 the bucket rows are ~30× narrower than carrying the
+    // vectors through the join — the gap that matters at 100 TB.
+    a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
+      .where(col("tbl") === firstCollision)
+      .select(col("ida"), col("idb"))
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer — the k vectors with

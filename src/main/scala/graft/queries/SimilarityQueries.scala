@@ -268,7 +268,8 @@ object SimilarityQueries {
   def lshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val banded = Similarity.lshNeighborPairsMulti(emb,
-        "vec_id", "embedding", numPlanes = 6, numTables = 16, threshold = 0.3)
+        "vec_id", "embedding", numPlanes = 6, numTables = 12, threshold = 0.3,
+        multiProbe = true)
       .select(col("ida"), col("idb")).withColumn("hit", lit(true))
     truthPairs(spark, dir)
       .join(banded, Seq("ida", "idb"), "left")
@@ -278,14 +279,20 @@ object SimilarityQueries {
         (col("n_hit") >= col("n_true_pairs") * lit(LshRecallBound)).as("recall_ok"))
   }
 
-  /** Measured recall of the 16-table/6-plane construction on the full
-    * >= 0.3 truth set: 0.547 (sf0.001) / 0.565 (sf0.01) / 0.580 (sf0.1).
-    * The truth pairs cluster near cos 0.3-0.5 where per-plane collision
-    * p = 1 - θ/π ≈ 0.6-0.67, so theory predicts 1-(1-p^6)^16 ≈ 0.53-0.77
-    * — the measurement sits in band. Gate below the floor so the flag
-    * tests "amplified LSH recall did not collapse", not run noise (the
-    * planes are deterministic, so at a fixed SF this is exact). */
-  private val LshRecallBound = 0.4
+  /** Measured recall of the 12-table/6-plane MULTIPROBE construction on
+    * the full >= 0.3 truth set: 0.959 (sf0.001) / 0.966 (sf0.01) /
+    * 0.968 (sf0.1). The truth pairs cluster near cos 0.3-0.5 where
+    * per-plane collision p = 1 - θ/π ≈ 0.6-0.67; Hamming-1 multiprobe
+    * lifts per-table collision from p^6 to p^6 + 6·p^5(1-p) ≈ 0.23-0.36,
+    * so theory predicts 1-(1-·)^12 ≈ 0.96+ — the measurement sits in
+    * band (WITHOUT multiprobe, 16 of the same tables measured only
+    * 0.547-0.580; 16 multiprobe tables reach 0.984-0.991 at ~1.4× the
+    * candidate cost of 12 — tuned to 12 to stay well inside the bench
+    * bound while clearing the 0.9 gate with margin). Gate below the
+    * floor so the flag tests "amplified LSH recall did not collapse",
+    * not run noise (the planes are deterministic, so at a fixed SF this
+    * is exact). */
+  private val LshRecallBound = 0.9
 
   val lshAnnSql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
@@ -294,12 +301,12 @@ object SimilarityQueries {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin
 
   /** SIM3: IVF-cell ANN pairs — coarse-quantized scale path with
-    * multi-probe (top-4 of 16 cells per vector); same measured-recall
+    * multi-probe (top-6 of 16 cells per vector); same measured-recall
     * oracle gate as sim2. */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cells = Similarity.ivfNeighborPairs(emb,
-        "vec_id", "embedding", numCells = 16, threshold = 0.3, nProbe = 4)
+        "vec_id", "embedding", numCells = 16, threshold = 0.3, nProbe = 6)
       .select(col("ida"), col("idb")).withColumn("hit", lit(true))
     truthPairs(spark, dir)
       .join(cells, Seq("ida", "idb"), "left")
@@ -309,10 +316,12 @@ object SimilarityQueries {
         (col("n_hit") >= col("n_true_pairs") * lit(IvfRecallBound)).as("recall_ok"))
   }
 
-  /** Measured multi-probe (nProbe=4) recall on the >= 0.3 truth set:
-    * 0.912 (sf0.001) / 0.912 (sf0.01) / 0.910 (sf0.1). Gate below the
-    * floor; deterministic at a fixed SF (hash-seeded centroids). */
-  private val IvfRecallBound = 0.7
+  /** Measured multi-probe (nProbe=6) recall on the >= 0.3 truth set:
+    * 0.998 (sf0.001) / 0.999 (sf0.01) / 0.996 (sf0.1) — nProbe=4
+    * measured 0.910-0.912; the two extra probes close the cell-boundary
+    * misses for 1.5× the candidate mass. Gate below the floor;
+    * deterministic at a fixed SF (hash-seeded centroids). */
+  private val IvfRecallBound = 0.95
 
   val ivfAnnSql: String = lshAnnSql
 

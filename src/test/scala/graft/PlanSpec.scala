@@ -172,7 +172,8 @@ class PlanSpec extends SparkSpec {
     // back afterwards (candidates-then-verify)
     val emb = graft.Tables.embeddings(spark, sf001)
     val lsh = executed(graft.operators.Similarity.lshNeighborPairsMulti(
-      emb, "vec_id", "embedding", numPlanes = 6, numTables = 16, threshold = 0.3)) match {
+      emb, "vec_id", "embedding", numPlanes = 6, numTables = 12, threshold = 0.3,
+      multiProbe = true)) match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan // unwrap AQE: collect() does not cross its boundary
       case p => p
