@@ -35,6 +35,14 @@ object Bench {
     // timing starts — a broken loader/schema fails here by name instead
     // of posting a time-to-throw as a "fast" result (the round-3 trap:
     // 48 queries died at analysis and the bench recorded ~0.05 s each).
+    // KNOWN COST: fn() runs each query's CONSTRUCTION, and some queries
+    // do eager driver-side setup there (ml1 Newton training, sim11's
+    // centroid collect, sim2/sim3 truth-fixture freshness checks) — so
+    // the gate's wall time is not bounded by analysis alone and doubles
+    // as one untimed warm-up pass per query. That is acceptable here by
+    // design: the timed reps below are min-of-N WARM numbers, so a
+    // shared warm-up only stabilizes them; anything construction-eager
+    // is also re-paid inside every timed rep, so nothing escapes timing.
     val analysisErrs = selected.flatMap { case (name, fn) =>
       try { fn(spark, sfDir).queryExecution.analyzed; None }
       catch { case e: Throwable =>
@@ -75,7 +83,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
     spark.stop()
     // A failed query can never again post rc=0: the driver (and any
     // human) sees the breakage even without parsing the errors map.

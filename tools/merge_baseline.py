@@ -13,8 +13,14 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def main(paths):
-    passes = []
+def main(argv):
+    note = None
+    if "--note" in argv:
+        i = argv.index("--note")
+        note = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    paths = argv
+    passes, meta = [], []
     for p in paths:
         with open(p) as f:
             d = json.load(f)
@@ -22,6 +28,13 @@ def main(paths):
             print(f"refusing {p}: errors present {list(d['errors'])[:5]}")
             return 1
         passes.append(d["queries"])
+        meta.append((d.get("sf"), d.get("cpus"), d.get("reps")))
+    # provenance from the pass files themselves, not hardcoded: refuse
+    # to merge passes that ran at different SF/parallelism
+    if len(set(meta)) > 1:
+        print(f"refusing: pass provenance differs: {sorted(set(meta))}")
+        return 1
+    sf, cpus, reps = meta[0]
     names = set()
     for q in passes:
         names |= set(q)
@@ -32,10 +45,12 @@ def main(paths):
             print(f"refusing: {n} missing/null in some pass")
             return 1
         mins[n] = min(vals)
+    reps_s = f"min-of-{reps}" if reps else "warm"
+    prov = (f"local[{cpus}], {sf}" if cpus else "provenance absent from pass "
+            "files (pre-r5 bench line without sf/cpus/reps fields)")
     out = {
-        "method": f"per-query min over {len(passes)} warm min-of-3 passes, "
-                  "local[32], sf0.1; regenerated after the timestamp[us] "
-                  "loader fix and the sim2/sim3 fixture gates",
+        "method": f"per-query min over {len(passes)} warm {reps_s} passes, "
+                  f"{prov}" + (f"; {note}" if note else ""),
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_queries": len(mins),
         "total_sec": round(sum(mins.values()), 3),
