@@ -322,13 +322,31 @@ object Dedup {
     * (pairs/chains), so 2-4 rounds in practice. Each round's result is
     * cached and the previous unpersisted, so lineage stays flat. At
     * extreme diameters the alternating small-star/large-star variant
-    * halves rounds; the join shape is identical. Returns (id, comp). */
-  def components(edges: DataFrame): DataFrame = {
+    * halves rounds; the join shape is identical. Returns (id, comp).
+    *
+    * `checkpointDir`: when set, each round's labeling is RELIABLY
+    * checkpointed there (parquet-class durability via the RDD
+    * checkpoint mechanism) instead of persisted in executor memory —
+    * on a real cluster an executor loss mid-fixpoint then recomputes
+    * from the last checkpoint rather than killing the job. Local runs
+    * and tests can leave it None (persist + label-sum convergence is
+    * correct, just not failure-tolerant). `maxRounds` bounds the
+    * O(diameter) loop: a pathological edge list (or a convergence-
+    * detection regression) fails with a clear error instead of
+    * spinning the cluster forever. */
+  def components(edges: DataFrame, checkpointDir: Option[String] = None,
+      maxRounds: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.persist()
+    def unpin(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) df.unpersist()
     val sym = edges.select(col("ida").as("src"), col("idb").as("dst"))
       .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
       .persist()
-    var comp = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+    var comp = pin(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // Convergence via the label-sum signature: labels only ever
     // decrease element-wise, so sum(comp) strictly decreases until the
     // fixpoint — one tiny aggregate per round instead of a
@@ -337,17 +355,24 @@ object Dedup {
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSig = sig(comp)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"components: no fixpoint after $maxRounds rounds — the edge " +
+          "list has a component of diameter > maxRounds (use " +
+          "componentsStar, which converges in O(log n) alternations, " +
+          "or raise maxRounds)")
       val nmin = sym
         .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-      val next = comp
+      val next = pin(comp
         .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       val s = sig(next)
-      comp.unpersist()
+      unpin(comp)
       comp = next
       converged = s.compareTo(prevSig) == 0
       prevSig = s
@@ -382,8 +407,21 @@ object Dedup {
     * The edge multiset stabilizes to stars rooted at component minima;
     * the fixpoint is detected by an (edge-count, endpoint-sum)
     * signature, one tiny aggregate per alternation like
-    * [[components]]' label-sum trick. Returns (id, comp). */
-  def componentsStar(edges: DataFrame): DataFrame = {
+    * [[components]]' label-sum trick. Returns (id, comp).
+    *
+    * `checkpointDir`: when set, each alternation reliably checkpoints
+    * its edge multiset there instead of `localCheckpoint` — the local
+    * variant only truncates lineage, so on a real cluster an executor
+    * loss mid-fixpoint loses blocks and kills the job; the reliable
+    * path recomputes from the last checkpoint. `maxRounds` (default 50
+    * ≈ log₂ of any feasible node count, with slack: convergence is
+    * O(log n) alternations) turns a convergence-detection regression
+    * into a clear error instead of an unbounded cluster spin. */
+  def componentsStar(edges: DataFrame, checkpointDir: Option[String] = None,
+      maxRounds: Int = 50): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def bothDirs(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     def star(e: DataFrame, large: Boolean): DataFrame = {
@@ -407,13 +445,22 @@ object Dedup {
     // each alternation composes two joins+distinct over the previous
     // round's FULL plan — persist alone caches data but the logical
     // plan still nests geometrically and analysis OOMs after ~6 rounds.
-    // localCheckpoint truncates lineage to the materialized RDD (on a
-    // cluster with failure tolerance needs, use reliable checkpoint).
-    var e = edges.select(col("ida").as("u"), col("idb").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // pin() truncates lineage to a materialized RDD: localCheckpoint by
+    // default, reliable checkpoint when checkpointDir is set.
+    var e = pin(edges.select(col("ida").as("u"), col("idb").as("v"))
+      .where(col("u") =!= col("v")).distinct())
     var converged = false
+    var rounds = 0
     while (!converged) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"componentsStar: no fixpoint after $maxRounds alternations — " +
+          "star rounds converge in O(log n); this indicates a " +
+          "convergence-detection regression or an edge list far beyond " +
+          "the assumed scale (raise maxRounds only after ruling out the " +
+          "former)")
+      val next = pin(star(star(e, large = true), large = false))
       converged = sameEdges(e, next, e.count())
       e = next
     }

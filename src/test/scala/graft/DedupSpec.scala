@@ -133,6 +133,37 @@ class DedupSpec extends SparkSpec {
       Map(7L -> 2L, 3L -> 2L, 11L -> 2L, 2L -> 2L, 100L -> 90L, 90L -> 90L))
   }
 
+  test("components fixpoints: reliable checkpoint path and iteration caps") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L),
+      (1L, 2L), (2L, 3L), (1L, 3L)).toDF("ida", "idb")
+    val expect = Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // reliable-checkpoint path: same result, and checkpoint files
+    // actually land in the supplied dir (the failure-tolerance claim
+    // rests on them being on real storage, not executor memory)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    assert(asMap(Dedup.components(edges, checkpointDir = Some(ckpt))) == expect)
+    assert(asMap(Dedup.componentsStar(edges, checkpointDir = Some(ckpt))) == expect)
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val nCkptFiles =
+      try walked.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally walked.close()
+    assert(nCkptFiles > 0, "no checkpoint files written to checkpointDir")
+    // iteration caps fail loudly instead of spinning: a 10-node path
+    // needs ~10 min-label rounds; cap at 3
+    val path = (1L until 10L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val e = intercept[IllegalStateException] {
+      Dedup.components(path, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("no fixpoint after 3 rounds"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.componentsStar(path, maxRounds = 1).collect()
+    }
+    assert(e2.getMessage.contains("no fixpoint after 1 alternations"))
+  }
+
   test("dupSpans finds shared 8-token runs and merges overlapping windows") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),            // shares a..h with doc 2
