@@ -70,6 +70,30 @@ object MultimodalQueries {
     """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** M4: JPEG — the LOSSY codec tier. Payloads are max-quality JPEGs of
+    * the same gray closed form as m2's PNG/BMP; decode is deterministic
+    * but not closed-form invertible (DCT quantization), so the gate
+    * pairs the EXACT closed-form pixel count with a bounded-error flag:
+    * measured worst-case |decoded − ideal| is 1 gray level across every
+    * SF (max-quality tables on smooth ramps; JpegScan is the harness),
+    * gated at ≤ 2 — a codec/colorspace regression (e.g. losing the
+    * explicit quality=1.0 param, or chroma subsampling kicking in)
+    * shows up as tens of levels. Requires a JPEG-capable ImageIO
+    * (probed: Multimodal.jpegAvailable — present in this JDK; a
+    * stripped JDK fails loudly at require, not with a wrong answer). */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeJpegError(
+        Multimodal.jpegMediaFromDocs(Tables.documents(spark, dir)))
+      .select(col("media_id"), col("n_units"),
+        (col("max_abs_err") <= 2).as("err_ok"))
+      .orderBy("media_id")
+
+  val jpegDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  (8 + doc_id % 16) * (8 + doc_id % 8) AS n_units,
+      |  TRUE AS err_ok
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'

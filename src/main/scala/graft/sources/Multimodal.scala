@@ -187,6 +187,98 @@ object Multimodal {
     }
   }
 
+  // ---- JPEG: the lossy tier ------------------------------------------
+  //
+  // The JDK's ImageIO also ships a JPEG codec (probed at runtime — a
+  // stripped-down headless JDK may lack it). JPEG decode of a given
+  // payload is deterministic but NOT closed-form invertible: the DCT
+  // quantization loses pixel exactness, so the m4 gate pairs the exact
+  // closed-form unit COUNT with a bounded-error flag on the decoded
+  // values instead of m2's exact-sum hash.
+
+  /** True iff this JDK's ImageIO can both write and read JPEG. */
+  def jpegAvailable: Boolean =
+    javax.imageio.ImageIO.getWriterFormatNames.exists(_.equalsIgnoreCase("jpeg")) &&
+      javax.imageio.ImageIO.getReaderFormatNames.exists(_.equalsIgnoreCase("jpeg"))
+
+  /** Deterministic JPEG media from doc ids: the same gray closed form
+    * as the PNG/BMP generator — gray(i) = (id·31 + 7i) mod 256 —
+    * encoded at maximum quality (explicit writer param; `ImageIO.write`
+    * would default to 0.75 and widen the decode error the m4 gate
+    * bounds). */
+  def jpegMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    require(jpegAvailable, "no JPEG codec in this JDK's ImageIO")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // one writer instance per partition — the decoder-context shape
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val out = ids.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * h) {
+          val g = ((id * 31 + 7L * i) % 256).toInt
+          img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        ios.close()
+        MediaRow(id, "jpeg", bos.toByteArray, MediaMeta("jpeg", w, h, 0, 0))
+      }
+      // writer.dispose() after the iterator drains
+      new Iterator[MediaRow] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) writer.dispose()
+          h
+        }
+        def next(): MediaRow = out.next()
+      }
+    }
+  }
+
+  /** Decode JPEG payloads and measure the lossy-decode error against
+    * the closed-form ideal pixels: per image, the pixel count plus the
+    * mean and max absolute gray error. Deterministic (same codec, same
+    * payload ⇒ same pixels), so the measured bounds are pinned, not
+    * flaky. */
+  def decodeJpegError(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        require(r.kind == "jpeg", s"media ${r.media_id}: expected jpeg, got ${r.kind}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.bytes))
+        require(img != null, s"media ${r.media_id}: undecodable jpeg")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sumErr = 0L
+        var maxErr = 0
+        var i = 0
+        while (i < w * h) {
+          val ideal = ((r.media_id * 31 + 7L * i) % 256).toInt
+          val got = img.getRGB(i % w, i / w) & 0xFF // gray: B == G == R ± codec noise
+          val e = math.abs(got - ideal)
+          sumErr += e
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        (r.media_id, w.toLong * h, sumErr.toDouble / (w * h), maxErr)
+      }
+    }.toDF("media_id", "n_units", "mean_abs_err", "max_abs_err")
+  }
+
   /** STUB image resize: recomputes metadata, payload passthrough-truncated
     * deterministically (a real impl would re-encode pixels). */
   def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {

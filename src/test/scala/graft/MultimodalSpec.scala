@@ -38,6 +38,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg tier: real JFIF payloads, decode error within one gray level") {
+    // skip marker, not a silent pass: a JDK without a JPEG ImageIO
+    // codec cancels this test visibly (this container's JDK has one)
+    assume(Multimodal.jpegAvailable, "no JPEG codec in ImageIO — tier unavailable")
+    val jm = Multimodal.jpegMediaFromDocs(Tables.documents(spark, sf001))
+    val rows = jm.limit(5).collect()
+    rows.foreach { r =>
+      // JFIF/EXIF magic: FF D8 (SOI)
+      assert((r.bytes(0) & 0xFF) == 0xFF && (r.bytes(1) & 0xFF) == 0xD8,
+        s"media ${r.media_id} jpeg magic")
+      assert(r.kind == "jpeg" && r.meta.width > 0 && r.meta.height > 0)
+    }
+    val err = Multimodal.decodeJpegError(jm).collect()
+    assert(err.length == Tables.documents(spark, sf001).count())
+    // measured: worst max_abs_err is 1 gray level at quality 1.0
+    // (JpegScan); deterministic, so these are pins
+    err.foreach { r =>
+      assert(r.getAs[Int]("max_abs_err") <= 2,
+        s"media ${r.getAs[Long]("media_id")}: err ${r.getAs[Int]("max_abs_err")}")
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("n_units") == (8 + id % 16) * (8 + id % 8))
+    }
+  }
+
   test("fake media table has binary payloads and typed metadata") {
     val rows = media.limit(5).collect()
     assert(rows.forall(_.bytes.nonEmpty))
