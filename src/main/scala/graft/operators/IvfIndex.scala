@@ -141,19 +141,42 @@ object IvfIndex {
     * TakeOrdered. nProbe = numCells ⇒ exact. */
   def search(spark: SparkSession, path: String, queryVec: Array[Double],
       k: Int, nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
-    var qn = 0.0
-    queryVec.foreach(x => qn += x * x)
-    val qnorm = math.sqrt(qn)
-    val probed = loadCentroids(path)
-      .map { c =>
-        var d = 0.0
-        var i = 0
-        while (i < c.vec.length) { d += c.vec(i) * queryVec(i); i += 1 }
-        (c.cell, d / (c.norm * qnorm))
-      }
-      .sortBy { case (cell, sim) => (-sim, cell) }
-      .take(nProbe)
-      .map(_._1)
+    val (probed, qnorm) = probeCells(path, queryVec, nProbe)
+    scanCells(spark, path, probed, queryVec, qnorm, k, excludeId)
+  }
+
+  /** [[search]] with the probe count derived from a RECALL TARGET
+    * instead of a fixed nProbe: rank cells by centroid similarity, then
+    * probe the smallest prefix whose estimated share of the query's
+    * neighbor mass reaches `recallTarget`. The estimate weights cell i
+    * by exp(beta·(s_i − s_1)) — an exponential decay in the similarity
+    * margin to the best cell (a von-Mises-Fisher-style surrogate:
+    * neighbor density falls off exponentially in angular distance, so a
+    * cell whose centroid trails the best by margin δ holds ~e^(−βδ) as
+    * many of the query's near neighbors). An easy query (one dominant
+    * cell) probes 1-2 cells; a boundary query (flat margins) probes
+    * many — which is exactly the adaptivity a fixed nProbe lacks.
+    * `beta` is the decay rate, calibrated so AVERAGE measured recall
+    * matches the target on an ISOTROPIC dim-64 cosine corpus — the
+    * worst case for cell concentration (measured over a 20-query panel
+    * at 16 cells: target 0.9 → avg recall 0.91/0.93 probing 11-12
+    * cells, target 0.8 → 0.78/0.83 probing ~9, at sf0.001/sf0.1;
+    * AdaptiveScan is the harness). Clustered real-world embeddings
+    * concentrate harder, so the same beta probes fewer cells there.
+    * Raise beta to probe less aggressively, lower it to be more
+    * conservative; per-query recall varies around the target, as in
+    * any unverified ANN serving path. recallTarget = 1 probes every
+    * cell ⇒ exact. */
+  def searchAdaptive(spark: SparkSession, path: String, queryVec: Array[Double],
+      k: Int, recallTarget: Double, excludeId: Option[Long] = None,
+      beta: Double = 6.0): DataFrame = {
+    val (probed, qnorm) = adaptiveProbeCells(path, queryVec, recallTarget, beta)
+    scanCells(spark, path, probed, queryVec, qnorm, k, excludeId)
+  }
+
+  private def scanCells(spark: SparkSession, path: String, probed: Array[Long],
+      queryVec: Array[Double], qnorm: Double, k: Int,
+      excludeId: Option[Long]): DataFrame = {
     val probedScan = spark.read.parquet(path)
       .where(col("cell").isin(probed.toIndexedSeq: _*))
     val filtered = excludeId.fold(probedScan)(x => probedScan.where(col("id") =!= x))
@@ -195,10 +218,38 @@ object IvfIndex {
     * to exactly these cells. */
   private[graft] def probeCells(path: String, queryVec: Array[Double],
       nProbe: Int): (Array[Long], Double) = {
+    val (ranked, qnorm) = rankCells(path, queryVec)
+    (ranked.take(nProbe).map(_._1), qnorm)
+  }
+
+  /** Adaptive probe selection (see [[searchAdaptive]]): smallest
+    * similarity-ranked prefix whose exp(beta·margin) mass share reaches
+    * `recallTarget`. */
+  private[graft] def adaptiveProbeCells(path: String, queryVec: Array[Double],
+      recallTarget: Double, beta: Double = 6.0): (Array[Long], Double) = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    val (ranked, qnorm) = rankCells(path, queryVec)
+    val top = ranked.head._2
+    val ws = ranked.map { case (_, s) => math.exp(beta * (s - top)) }
+    val total = ws.sum
+    var acc = 0.0
+    var n = 0
+    while (n < ranked.length && acc / total < recallTarget) {
+      acc += ws(n)
+      n += 1
+    }
+    (ranked.take(n).map(_._1), qnorm)
+  }
+
+  /** All cells ranked by query-centroid cosine (desc, cell-id tiebreak):
+    * k tiny driver-side dot products against the sidecar. */
+  private def rankCells(path: String,
+      queryVec: Array[Double]): (Array[(Long, Double)], Double) = {
     var qn = 0.0
     queryVec.foreach(x => qn += x * x)
     val qnorm = math.sqrt(qn)
-    val cells = loadCentroids(path)
+    val ranked = loadCentroids(path)
       .map { c =>
         var d = 0.0
         var i = 0
@@ -206,9 +257,7 @@ object IvfIndex {
         (c.cell, d / (c.norm * qnorm))
       }
       .sortBy { case (cell, sim) => (-sim, cell) }
-      .take(nProbe)
-      .map(_._1)
-    (cells, qnorm)
+    (ranked, qnorm)
   }
 
   /** IVF-PQ top-k: probe the `nProbe` best cells, ADC-rank ONLY the
@@ -224,7 +273,26 @@ object IvfIndex {
       candidates: Int): DataFrame = {
     val qv = emb.where(col(idCol) === queryId).select(col(vecCol))
       .head.getSeq[Float](0).toArray.map(_.toDouble)
-    val (probed, _) = probeCells(path, qv, nProbe)
+    searchPqCells(spark, path, emb, idCol, vecCol, queryId, k, candidates,
+      qv, probeCells(path, qv, nProbe)._1)
+  }
+
+  /** [[searchPq]] with the probe count derived from a recall target via
+    * [[adaptiveProbeCells]] — same mass model as [[searchAdaptive]],
+    * composed with the PQ/ADC rerank. */
+  def searchPqAdaptive(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, k: Int,
+      recallTarget: Double, candidates: Int,
+      beta: Double = 6.0): DataFrame = {
+    val qv = emb.where(col(idCol) === queryId).select(col(vecCol))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    searchPqCells(spark, path, emb, idCol, vecCol, queryId, k, candidates,
+      qv, adaptiveProbeCells(path, qv, recallTarget, beta)._1)
+  }
+
+  private def searchPqCells(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, k: Int, candidates: Int,
+      qv: Array[Double], probed: Array[Long]): DataFrame = {
     val model = Pq.load(Paths.get(path, "_pq.json"))
     val cand = spark.read.parquet(path)
       .where(col("cell").isin(probed.toIndexedSeq: _*))
