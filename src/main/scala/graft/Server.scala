@@ -49,6 +49,58 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
   private def runToJson(json: String): String =
     QueryRunner.run(spark, json).toJSON.collect().mkString("[", ",", "]")
 
+  /** The reference frontend's exact OHLCV contract
+    * (ref `src/server/ohlcv.rs:30-46` structs, consumed by
+    * `frontend/src/entry.jsx:296-331`): per-symbol column-parallel
+    * arrays `{t,o,h,l,c,v}` under `results`, timestamps in NANOSECONDS
+    * (the frontend divides by 1e9), plus the served min/max ts. An
+    * empty result mirrors the reference's fold identities
+    * (min_date = i64::MAX, max_date = i64::MIN). Bar rows arrive
+    * bucket-ordered from the ohlcv op, so each symbol's arrays are
+    * time-ascending — the uPlot requirement. */
+  private def uplotOhlcv(bars: org.apache.spark.sql.DataFrame): String = {
+    val rows = bars.select("bucket", bars.columns(1), "open", "high", "low",
+      "close", "volume").collect()
+    case class Series(t: collection.mutable.ArrayBuffer[Long] = collection.mutable.ArrayBuffer(),
+        o: collection.mutable.ArrayBuffer[Double] = collection.mutable.ArrayBuffer(),
+        h: collection.mutable.ArrayBuffer[Double] = collection.mutable.ArrayBuffer(),
+        l: collection.mutable.ArrayBuffer[Double] = collection.mutable.ArrayBuffer(),
+        c: collection.mutable.ArrayBuffer[Double] = collection.mutable.ArrayBuffer(),
+        v: collection.mutable.ArrayBuffer[Long] = collection.mutable.ArrayBuffer())
+    val results = collection.mutable.LinkedHashMap.empty[String, Series]
+    var minDate = Long.MaxValue
+    var maxDate = Long.MinValue
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0)
+      val ns = math.multiplyExact(ts.getTime / 1000, 1000000000L) + ts.getNanos
+      val s = results.getOrElseUpdate(String.valueOf(r.get(1)), Series())
+      if (ns < minDate) minDate = ns
+      if (ns > maxDate) maxDate = ns
+      s.t += ns
+      s.o += r.getAs[Number]("open").doubleValue
+      s.h += r.getAs[Number]("high").doubleValue
+      s.l += r.getAs[Number]("low").doubleValue
+      s.c += r.getAs[Number]("close").doubleValue
+      s.v += r.getAs[Number]("volume").longValue
+    }
+    val out = new java.util.LinkedHashMap[String, Object]()
+    val res = new java.util.LinkedHashMap[String, Object]()
+    results.foreach { case (sym, s) =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("t", s.t.toArray)
+      m.put("o", s.o.toArray)
+      m.put("h", s.h.toArray)
+      m.put("l", s.l.toArray)
+      m.put("c", s.c.toArray)
+      m.put("v", s.v.toArray)
+      res.put(sym, m)
+    }
+    out.put("results", res)
+    out.put("min_date", java.lang.Long.valueOf(minDate))
+    out.put("max_date", java.lang.Long.valueOf(maxDate))
+    mapper.writeValueAsString(out)
+  }
+
   /** Path-segment table names must stay INSIDE the root dir — reject
     * dot-segments and separators so `/symbols/../x` cannot escape it
     * (the reference reads table names from its fixed data dir too). */
@@ -95,7 +147,8 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
                   "symbols" -> s.split(",").map(_.trim).toSeq) ++
                 Seq("col", "price", "size", "seq", "width")
                   .flatMap(k => q.get(k).map(k -> _))
-              respond(ex, 200, runToJson(mapper.writeValueAsString(req)))
+              respond(ex, 200,
+                uplotOhlcv(QueryRunner.run(spark, mapper.writeValueAsString(req))))
             case _ => respond(ex, 400,
               """{"error":"url must be in format /ohlcv/{table}/{from}/{to}"}""")
           }

@@ -207,11 +207,29 @@ class QueryRunnerSpec extends SparkSpec {
       // GET /symbols/{table}/{column} — plain symbol array, ref scheme
       val (sc, sb) = get(s"/symbols/$name/sym")
       assert(sc == 200 && sb == """["A","B"]""", sb)
-      // GET /ohlcv/{table}/{from}/{to}?symbols=... (ref ohlcv.rs:47-65)
+      // GET /ohlcv/{table}/{from}/{to}?symbols=... (ref ohlcv.rs:47-65):
+      // GOLDEN contract test — byte-for-byte the JSON the reference
+      // frontend parses (entry.jsx:296-331 reads data.results[SYM]
+      // .{t,o,h,l,c,v} parallel arrays with t in ns, and data.min_date/
+      // max_date in ns; ohlcv.rs:30-46 is the serialized struct)
       val (oc, ob) = get(s"/ohlcv/$name/2024-01-01%2000:00:00/" +
         "2024-01-01%2023:59:59?symbols=A&col=sym&price=v&size=v&width=1%20hour")
-      assert(oc == 200 && ob.contains(""""open":1.0""") &&
-        ob.contains(""""close":3.0"""), ob)
+      assert(oc == 200 &&
+        ob == """{"results":{"A":{"t":[1704103200000000000],"o":[1.0],""" +
+          """"h":[3.0],"l":[1.0],"c":[3.0],"v":[4]}},""" +
+          """"min_date":1704103200000000000,"max_date":1704103200000000000}""",
+        ob)
+      // multi-symbol: per-symbol series keyed by symbol, min/max span
+      // the served bars, arrays stay time-ascending per symbol
+      val (oc2, ob2) = get(s"/ohlcv/$name/2024-01-01%2000:00:00/" +
+        "2024-01-02%2023:59:59?col=sym&price=v&size=v&width=1%20hour")
+      assert(oc2 == 200 &&
+        ob2 == """{"results":{"A":{"t":[1704103200000000000,1704189600000000000],""" +
+          """"o":[1.0,5.0],"h":[3.0,5.0],"l":[1.0,5.0],"c":[3.0,5.0],"v":[4,5]},""" +
+          """"B":{"t":[1704106800000000000],"o":[2.0],"h":[2.0],"l":[2.0],""" +
+          """"c":[2.0],"v":[2]}},""" +
+          """"min_date":1704103200000000000,"max_date":1704189600000000000}""",
+        ob2)
       // POST /q — full QueryRunner surface
       val (qc, qb) = post("/q",
         s"""{"op":"scan","table":"$path","from":"2024-01-01 10:00:00",

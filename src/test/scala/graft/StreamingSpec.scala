@@ -300,7 +300,10 @@ class StreamingSpec extends SparkSpec {
       assert(syms.split(",").length == 5, syms)
       val bars = get(s"/ohlcv/$name/2024-01-01%2000:00:00/2024-12-31%2000:00:00" +
         "?col=event_type&price=value&size=value&width=1%20hour")
-      assert(bars.contains("\"open\""), bars.take(200))
+      // uPlot contract shape (the reference frontend's parse target;
+      // golden-tested byte-for-byte in QueryRunnerSpec)
+      assert(bars.startsWith("""{"results":{""") &&
+        bars.contains("\"o\":[") && bars.contains("\"min_date\":"), bars.take(200))
       val compacted = post(s"""{"op":"compact","table":"$path"}""")
       assert(compacted.contains("partitions_rewritten"), compacted)
       assert(scanCount() == nBatch, "compaction must preserve every row")
