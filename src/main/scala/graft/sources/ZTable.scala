@@ -67,11 +67,41 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * Serializes append/compact/deleteWhere/merge with each other and
     * with read-side crash recovery: the [[recoverSwaps]] sweep would
     * otherwise delete a LIVE op's staging dirs or resurrect its
-    * mid-swap target. Cross-PROCESS writers still need external
-    * coordination (the production answer is manifest commits, noted in
-    * [[compact]]'s scaladoc); reads never block unless they detect
-    * crash debris. */
+    * mid-swap target. Reads never block unless they detect crash
+    * debris. Cross-PROCESS exclusion is layered on top by [[mutate]]. */
   private def lock: Object = ZTable.lockFor(path)
+
+  /** Every mutating op runs inside BOTH writer locks:
+    *  1. the JVM monitor above (thread exclusion + makes 2 reentrant);
+    *  2. an OS advisory lock on the `_lock` sidecar (FileChannel.lock)
+    *     — a SECOND PROCESS mutating the same table blocks here until
+    *     the first finishes, so its entry-time [[recoverSwaps]] sweep
+    *     can never see (and roll back) a LIVE peer's staging dirs, and
+    *     two compactions can never interleave their two-rename swaps.
+    * Scope: advisory locks exclude across processes on one host (and
+    * over NFSv4); object stores have no rename OR flock, so there the
+    * production answer is a manifest/commit service (compact's
+    * scaladoc) or scheduler-level single-writer ownership — which this
+    * local protocol makes safe to assume rather than hope for. A
+    * crashed holder's lock is released by the OS, and the next
+    * writer's recoverSwaps sweep completes its half-done swap — crash
+    * safety does not depend on the lock. */
+  private def mutate[T](f: => T): T = lock.synchronized {
+    val key = Paths.get(path).toAbsolutePath.normalize.toString
+    if (ZTable.processLocksHeld.contains(key)) f // reentrant under the monitor
+    else {
+      Files.createDirectories(Paths.get(path))
+      val ch = java.nio.channels.FileChannel.open(Paths.get(path, "_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        ZTable.processLocksHeld.add(key)
+        try f
+        finally { ZTable.processLocksHeld.remove(key); fl.release() }
+      } finally ch.close()
+    }
+  }
 
   private val swapSuffixes = Seq(".compacting", ".deleting", ".merging", ".retiring")
 
@@ -86,7 +116,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     val root = Paths.get(path)
     if (Files.exists(root) && lsDir(root).exists(d =>
         swapSuffixes.exists(d.getFileName.toString.endsWith)))
-      lock.synchronized { recoverSwaps() }
+      mutate { recoverSwaps() }
   }
 
   /** Two-RENAME partition swap shared by every copy-on-write rewrite
@@ -147,7 +177,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * I/O at scale); an out-of-order row aborts the write job before the
     * committer publishes any file, and only the (tiny, column-pruned)
     * last-ts lookup touches the existing table. */
-  def append(df: DataFrame): Unit = lock.synchronized {
+  def append(df: DataFrame): Unit = mutate {
     val data = floorResolution(df)
     val checked =
       if (spec.strictOrder && hasData) {
@@ -280,7 +310,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * clusterBy compaction always rewrites (it exists to change layout,
     * not just to merge small files). */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Int = lock.synchronized {
+      clusterBy: Seq[String] = Nil): Int = mutate {
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0
     recoverSwaps()
@@ -373,7 +403,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * never rewritten; affected ones rewrite once, ts-sorted, preserving
     * the scan layout. Partition probes/rewrites dispatch concurrently
     * like compact. Returns the number of rows deleted. */
-  def deleteWhere(pred: org.apache.spark.sql.Column): Long = lock.synchronized {
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long = mutate {
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0L
     recoverSwaps()
@@ -425,7 +455,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * deliberately bypassed: an upsert into history is out-of-order by
     * nature, same class as [[compact]]/[[deleteWhere]] maintenance.
     * Returns (replacedRows, writtenRows). */
-  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = lock.synchronized {
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = mutate {
     // one source materialization: the delta is re-read for the probe,
     // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
@@ -536,4 +566,12 @@ object ZTable {
   private[sources] def lockFor(path: String): Object =
     locks.computeIfAbsent(
       Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Paths whose cross-process `_lock` this JVM currently holds — makes
+    * [[ZTable.mutate]] reentrant (a mutation that triggers another
+    * mutation on the same table must not re-lock the channel: the JVM
+    * would throw OverlappingFileLockException). Only read/written under
+    * the path's monitor, so a plain set suffices. */
+  private[sources] val processLocksHeld =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -384,6 +384,66 @@ class ZTableSpec extends SparkSpec {
     }
   }
 
+  test("cross-process writer lock: _lock held for the whole mutation, released after") {
+    // Two PROCESSES can't run inside one test JVM, but the OS advisory
+    // lock they would contend on can be observed from here: while a
+    // mutation is in flight, locking the table's _lock sidecar throws
+    // OverlappingFileLockException (same-JVM view of "already held" —
+    // a second process would block instead); after the mutation it
+    // locks freely. Plus reentrancy: compact() internally re-enters
+    // mutate() via recoverSwaps without self-deadlocking.
+    import java.nio.channels.{FileChannel, OverlappingFileLockException}
+    import java.nio.file.StandardOpenOption._
+    val path = tmp() + "/t"
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(sample)
+    val lockFile = Paths.get(path, "_lock")
+    assert(Files.exists(lockFile), "_lock sidecar not created by mutation")
+    // observe the lock mid-mutation: a slow append (blocked on a
+    // latch inside a mapPartitions stage would be invasive; instead
+    // drive compact from another thread and poll)
+    val seen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      val ch = FileChannel.open(lockFile, WRITE)
+      try {
+        while (!stop.get) {
+          try {
+            val fl = ch.tryLock()
+            if (fl != null) fl.release()
+          } catch {
+            case _: OverlappingFileLockException => seen.set(true)
+          }
+          Thread.sleep(1)
+        }
+      } finally ch.close()
+    })
+    poller.start()
+    // mutate until the poller catches the lock held (each compact holds
+    // it for its whole multi-job rewrite, so this converges in one or
+    // two cycles; the cap only bounds a genuine regression)
+    var cycles = 0
+    try
+      while (!seen.get && cycles < 25) {
+        cycles += 1
+        t.append(Seq((ts(s"2024-01-0${cycles % 3 + 1} 12:00:00"), "Z", cycles.toDouble))
+          .toDF("ts", "sym", "v"))
+        t.compact()
+      }
+    finally { stop.set(true); poller.join() }
+    assert(seen.get, s"never observed the _lock held across $cycles mutation cycles")
+    // released after: an exclusive lock is now immediately available
+    val ch = FileChannel.open(lockFile, WRITE)
+    try {
+      val fl = ch.tryLock()
+      assert(fl != null, "_lock still held after mutations finished")
+      fl.release()
+    } finally ch.close()
+    // and the data survived the locked lifecycle intact
+    assert(t.scan("2024-01-01 00:00:00", "2024-01-03 23:59:59").count() ==
+      sample.count() + cycles)
+  }
+
   test("open restores spec from meta; firstTs/lastTs/symbols") {
     val path = tmp()
     ZTable.create(spark, path,
