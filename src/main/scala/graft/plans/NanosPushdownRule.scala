@@ -68,9 +68,16 @@ object NanosPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The cast is micros-identity only when it evaluates in UTC — the
     * graft session contract, but guard anyway (a DST zone's NTZ→TZ map
-    * is not injective and the rewrite would be wrong). */
-  private def utcCast(c: Cast): Boolean =
-    c.timeZoneId.getOrElse(conf.sessionLocalTimeZone) == "UTC"
+    * is not injective and the rewrite would be wrong). Normalized via
+    * ZoneId so every UTC spelling qualifies (`Etc/UTC`, `+00:00`, `Z`,
+    * `GMT`, ...) — matching only the literal string "UTC" silently
+    * disabled the rewrite (a pushdown/perf regression with no
+    * functional symptom) for sessions pinned to an alias zone. */
+  private def utcCast(c: Cast): Boolean = {
+    val tz = c.timeZoneId.getOrElse(conf.sessionLocalTimeZone)
+    try java.time.ZoneId.of(tz).normalized == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+  }
 
   /** A stored timestamp attribute, possibly behind a UTC NTZ→TZ cast. */
   private def storedTs(e: Expression): Option[Attribute] = e match {

@@ -225,12 +225,18 @@ object SimilarityQueries {
     * and rebuilds itself if the driver regenerates the testdata, so the
     * gate can never compare against a stale truth set. */
   private def truthPairs(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val emb = Tables.embeddings(spark, dir)
-    // fingerprint from FILE METADATA (name/size/mtime), not a data scan:
-    // validating the fixture must not cost a full pass over the source
-    // table — at scale that scan would dwarf the ANN path being timed
-    val src = Paths.get(dir, "embeddings.parquet")
+    // fingerprint from FILE METADATA plus a FOOTER digest, not a data
+    // scan: validating the fixture must not cost a full pass over the
+    // source table — at scale that scan would dwarf the ANN path being
+    // timed. The print keys on (a) the ABSOLUTE source path, so a
+    // basename collision across roots can't alias two corpora; (b)
+    // name/size/mtime per file; (c) an md5 of each file's parquet
+    // FOOTER tail (row counts + column stats live there), so even an
+    // mtime/size-preserving swap (`cp -p`, tar round-trip) of different
+    // data rebuilds the fixture.
+    val src = Paths.get(dir, "embeddings.parquet").toAbsolutePath.normalize
     val files =
       if (Files.isDirectory(src)) {
         val s = Files.list(src) // close the NIO stream (fd leak otherwise)
@@ -238,9 +244,22 @@ object SimilarityQueries {
           p.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
         finally s.close()
       } else Seq(src)
+    def footerMd5(p: java.nio.file.Path): String = {
+      val size = Files.size(p)
+      val tail = math.min(size, 4096L).toInt
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(tail)
+        ch.read(buf, size - tail)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(buf.array(), 0, buf.position())
+        md.digest().map("%02x".format(_)).mkString
+      } finally ch.close()
+    }
     val print = files.map(p =>
-        s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-      .mkString("thr=0.3|", "|", "")
+        s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}" +
+          s":${footerMd5(p)}")
+      .mkString(s"thr=0.3|src=$src|", "|", "")
     val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
     val name = Paths.get(dir).getFileName.toString
     val data = Paths.get(root, s"truthpairs-$name")
@@ -248,10 +267,26 @@ object SimilarityQueries {
     val fresh = Files.exists(mark) && Files.exists(data) &&
       new String(Files.readAllBytes(mark)) == print
     if (!fresh) {
+      // build in a temp sibling, then RENAME into place: a concurrent
+      // reader of the fixture dir never sees a half-written overwrite
+      Files.createDirectories(data.getParent)
+      val tmp = data.resolveSibling(
+        s"${data.getFileName}.build-${ProcessHandle.current.pid}")
       Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.3)
         .select(col("ida"), col("idb"))
-        .write.mode("overwrite").parquet(data.toString)
-      Files.createDirectories(mark.getParent)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.deleteIfExists(mark) // invalidate before the swap, not after
+      if (Files.exists(data)) {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.iterator().asScala.toList.foreach(rm) finally s.close()
+          }
+          Files.delete(p)
+        }
+        rm(data)
+      }
+      Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(mark, print.getBytes) // marker last: no torn fixture
     }
     spark.read.parquet(data.toString)

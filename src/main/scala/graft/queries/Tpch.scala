@@ -86,12 +86,20 @@ object Tpch {
        |LIMIT 10""".stripMargin
 
   /** TPC-H Q5 analog: revenue by nation in a region for one year.
-    * Every dimension — supplier, CUSTOMER, nation⋈region — broadcasts
-    * (customer is 15k rows/SF at sf1, dwarfed by lineitem's 6M; TPC-H's
-    * own spec keeps that 400:1 ratio at every SF, so the hint holds at
-    * 100× too), leaving ONE shuffle join (lineitem⋈orders) + tiny agg.
-    * Without the hint AQE sometimes planned customer as a shuffle join
-    * at sf0.1 — the round-3 bench's 6.9× outlier. */
+    * Every dimension — supplier, CUSTOMER, nation⋈region — broadcasts,
+    * leaving ONE shuffle join (lineitem⋈orders) + tiny agg. Without the
+    * hint AQE sometimes planned customer as a shuffle join at sf0.1 —
+    * the round-3 bench's 6.9× outlier.
+    *
+    * Scale bound on the customer hint: broadcast feasibility is an
+    * ABSOLUTE-size question, not the 400:1 customer:lineitem row
+    * RATIO — customer grows linearly with SF (15k rows/SF ≈ 3 MB/SF),
+    * so the hard hint is sound through roughly sf100-1000 (sub-GB
+    * broadcast) and becomes an executor-OOM risk beyond that. At that
+    * scale drop THIS hint and let autoBroadcastJoinThreshold/AQE
+    * decide from measured sizes (the supplier/nation/region hints are
+    * 10-50× smaller and outlive it); the shuffle join it falls back to
+    * is the correct plan there anyway. */
   def q5Region(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)

@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
            plan.contains("LessThanOrEqual(ts,2024-01-20T00:00)"), plan)
   }
 
+  test("nanos rule: UTC alias zones (Etc/UTC) keep the rewrite alive") {
+    // pinning to an EQUIVALENT zone spelling must not silently disable
+    // the shape-2 pushdown (utcCast normalizes via ZoneId, not string
+    // equality against "UTC")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      val plan = Events.scanDerived(spark, sf001).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)") ||
+             plan.contains("GreaterThanOrEqual(ts,2024-01-10T00:00)"), plan)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("nanos rule: near-max derived-ns upper bound skips the rewrite") {
     // ns < (Long.MaxValue - 5): ceil1000's v+999 would wrap negative and
     // the added conjunct (micros <= negative) would over-filter to ZERO
