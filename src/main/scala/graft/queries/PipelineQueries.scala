@@ -440,4 +440,62 @@ object PipelineQueries {
       |  round(COALESCE(s.score, 0.0), 6) >= 0.0 AS selected
       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** PIPE11: CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020) —
+    * the LM-quality partition of a pretraining corpus: score every doc
+    * with the corpus bigram LM (lm1's exact formula, shared code), cut
+    * the range into head/middle/tail at the 1/3 and 2/3 points, keep
+    * buckets downstream as quality tiers.
+    *
+    * Calibration is the scale-honest part: CCNet computes its cut
+    * points ONCE on a sample, then filters the corpus with constant
+    * thresholds. Here the 5% sample (doc_id % 20 — deterministic, no
+    * RNG) collects to the driver and the thresholds are the sample's
+    * exact 1/3- and 2/3-order STATISTICS — plain values picked from the
+    * sorted sample, no interpolation arithmetic, so DuckDB derives the
+    * bit-identical thresholds from the same sample and the bucket
+    * comparison can never flake on float math. The corpus pass is then
+    * map-side: nll <= thr against two literal doubles.
+    *
+    * At 100 TB: the nll scoring joins a broadcast model (lm1's plan),
+    * the sample is fixed-fraction (bounded driver state), and the
+    * bucketing adds zero shuffles to the scoring pass. */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nll = SearchQueries.bigramPpl(spark, dir)
+      .select(col("doc_id"), col("nll"))
+    val sample = nll.where(col("doc_id") % 20 === 0)
+      .select(col("nll")).collect().map(_.getDouble(0)).sorted
+    require(sample.nonEmpty, "empty calibration sample")
+    val thrHead = sample(math.ceil(sample.length / 3.0).toInt - 1)
+    val thrMid = sample(math.ceil(2.0 * sample.length / 3.0).toInt - 1)
+    nll.select(col("doc_id"), col("nll"),
+        when(col("nll") <= thrHead, "head")
+          .when(col("nll") <= thrMid, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val pplFilterSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM tok, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+      |uni AS (SELECT wd, COUNT(*) AS cu
+      |        FROM (SELECT unnest(w) AS wd FROM tok) GROUP BY wd),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |nll AS (SELECT doc_id, round(AVG(-ln((cb + 1.0) / (cu + v))), 6) AS nll
+      |        FROM big JOIN bc USING (w1, w2) JOIN uni ON big.w1 = uni.wd CROSS JOIN v
+      |        GROUP BY doc_id),
+      |samp AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rn FROM nll
+      |         WHERE doc_id % 20 = 0),
+      |ks AS (SELECT CAST(CEIL(COUNT(*) / 3.0) AS BIGINT) AS k1,
+      |              CAST(CEIL(2 * COUNT(*) / 3.0) AS BIGINT) AS k2 FROM samp),
+      |thr AS (SELECT
+      |  (SELECT nll FROM samp WHERE rn = (SELECT k1 FROM ks)) AS t1,
+      |  (SELECT nll FROM samp WHERE rn = (SELECT k2 FROM ks)) AS t2)
+      |SELECT n.doc_id, n.nll,
+      |  CASE WHEN n.nll <= t1 THEN 'head'
+      |       WHEN n.nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM nll n CROSS JOIN thr
+      |ORDER BY doc_id""".stripMargin
 }

@@ -36,28 +36,11 @@ object SearchQueries {
     * "+1" variant (Lucene-style, always positive). Score rounded to 6dp
     * on both sides; the formula is written with identical operation
     * order in SQL so the doubles agree bitwise before rounding. */
-  def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id") +: size(col("w")).cast(DoubleType).as("len") +:
-        Terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("w"), x => x === t)).cast(DoubleType).as(s"tf$i")
-        }: _*)
-    val statCols = count(lit(1)).as("n") +: avg(col("len")).as("avglen") +:
-      Terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = tf.agg(statCols.head, statCols.tail: _*)
-    val score: Column = Terms.indices.map { i =>
-      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      idf * (col(s"tf$i") * (K1 + 1.0)) /
-        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("avglen")))
-    }.reduce(_ + _)
-    tf.crossJoin(broadcast(stats))
-      .where(Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
-      .select(col("doc_id"), round(score, 6).as("score"))
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-  }
 
   val bm25Sql: String = {
     val tfCols = Terms.zipWithIndex.map { case (t, i) =>
@@ -91,6 +74,112 @@ object SearchQueries {
       Tables.documents(spark, dir), "doc_id", "text", path)
     graft.operators.InvertedIndex.search(spark, path, Terms, k = 20,
       k1 = K1, b = B)
+  }
+
+  /** SEARCH3: HYBRID retrieval — reciprocal-rank fusion (Cormack et
+    * al., SIGIR'09) of the BM25 keyword ranking and the embedding-cosine
+    * ranking, the standard two-tower serving combine (every RAG /
+    * curation stack fuses sparse + dense exactly this way; RRF needs no
+    * score calibration between the two systems, only ranks).
+    *
+    * Per system: top-[[FuseDepth]] list, rank = row_number over the
+    * 6dp-ROUNDED score (rounding first makes ranks engine-stable — the
+    * sim11 argmax trick applied to ranking); embeddings pair with
+    * documents by id (vec_id ≙ doc_id). Fusion: full outer join of the
+    * two bounded lists, score = Σ 1/(60 + rank) over the lists the doc
+    * appears in (60 is the paper's k), top-20 by (6dp-rounded fused
+    * score, doc_id).
+    *
+    * Scale shape: each system contributes a TakeOrdered(FuseDepth) off
+    * its own scan — BM25 map-side tf + broadcast stats (search1's plan),
+    * cosine map-side dot vs a broadcast query vector (sim1's plan). The
+    * fusion join touches 2×FuseDepth rows — output-sized, never the
+    * corpus. At 100 TB both lists come from their serving indexes
+    * (search2's inverted index, sim10's IVF-PQ) with identical fusion. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kw = bm25Scored(spark, dir)
+      .select(col("doc_id"), round(col("score"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(FuseDepth)
+      .withColumn("rk_kw",
+        row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk_kw"))
+    val emb = Tables.embeddings(spark, dir)
+    val vec = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = FuseDepth)
+      .select(col("id").as("doc_id"), round(col("cos"), 6).as("c"))
+      .orderBy(col("c").desc, col("doc_id")).limit(FuseDepth)
+      .withColumn("rk_vec",
+        row_number().over(Window.orderBy(col("c").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk_vec"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("rk_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rk_vec")), lit(0.0)), 8).as("rrf"),
+        coalesce(col("rk_kw"), lit(0)).cast(LongType).as("rk_kw"),
+        coalesce(col("rk_vec"), lit(0)).cast(LongType).as("rk_vec"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val FuseDepth = 100
+  private val RrfK = 60
+
+  /** search1's scored corpus (doc_id, score) before top-k — shared by
+    * [[bm25]] and [[rrfFusion]] so the two stay one formula. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id") +: size(col("w")).cast(DoubleType).as("len") +:
+        Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("w"), x => x === t)).cast(DoubleType).as(s"tf$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n") +: avg(col("len")).as("avglen") +:
+      Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val score: Column = Terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * (K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("avglen")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .where(Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), score.as("score"))
+  }
+
+  val rrfFusionSql: String = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(",\n      |    ")
+    val dfCols = Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Terms.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * ${K1 + 1.0}) / " +
+        s"(tf$i + $K1 * (1.0 - $B + $B * len / avglen))").mkString("\n      |    + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS len,
+       |    $tfCols
+       |  FROM tok),
+       |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen, $dfCols FROM t),
+       |kw0 AS (SELECT doc_id, round(
+       |    $score, 6) AS sc
+       |  FROM t CROSS JOIN s WHERE tf0 + tf1 + tf2 > 0
+       |  ORDER BY sc DESC, doc_id LIMIT $FuseDepth),
+       |kw AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY sc DESC, doc_id) AS rk_kw FROM kw0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |vec0 AS (SELECT e.vec_id AS doc_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS c
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY c DESC, doc_id LIMIT $FuseDepth),
+       |vec AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY c DESC, doc_id) AS rk_vec FROM vec0)
+       |SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+       |  round(COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + rk_kw), 0) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + rk_vec), 0), 8) AS rrf,
+       |  COALESCE(rk_kw, 0) AS rk_kw, COALESCE(rk_vec, 0) AS rk_vec
+       |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** LM1: corpus-trained bigram language model, add-one smoothing —

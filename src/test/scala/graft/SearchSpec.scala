@@ -70,6 +70,42 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: blends both rankings, bounded lists, rank-1 docs dominate") {
+    val out = graft.queries.SearchQueries.rrfFusion(spark, sf001).collect()
+    assert(out.length == 20)
+    // fused docs must come from at least one system, and a doc present
+    // in BOTH lists outscores the same ranks seen singly
+    out.foreach { r =>
+      assert(r.getAs[Long]("rk_kw") > 0 || r.getAs[Long]("rk_vec") > 0)
+      val expect = (if (r.getAs[Long]("rk_kw") > 0) 1.0 / (60 + r.getAs[Long]("rk_kw")) else 0.0) +
+        (if (r.getAs[Long]("rk_vec") > 0) 1.0 / (60 + r.getAs[Long]("rk_vec")) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-8)
+    }
+    // descending fused score with doc_id tiebreak
+    val scores = out.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sorted), "not RRF-ordered")
+    // both systems contribute to the fused top-20 on this corpus
+    assert(out.exists(_.getAs[Long]("rk_kw") > 0))
+    assert(out.exists(_.getAs[Long]("rk_vec") > 0))
+  }
+
+  test("ppl filter: ~thirds bucketing, thresholds honored, head is lowest-nll") {
+    val out = graft.queries.PipelineQueries.pplFilter(spark, sf001).collect()
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // buckets are nll-ordered intervals: max(head) <= min(middle) etc.
+    def nlls(b: String) = byBucket(b).map(_.getAs[Double]("nll"))
+    assert(nlls("head").max <= nlls("middle").min)
+    assert(nlls("middle").max <= nlls("tail").min)
+    // sample-calibrated thirds: each bucket holds a nontrivial share
+    // (exact thirds only of the SAMPLE, so allow generous slack)
+    val n = out.length.toDouble
+    Seq("head", "middle", "tail").foreach { b =>
+      val share = byBucket(b).length / n
+      assert(share > 0.15 && share < 0.55, s"$b share $share")
+    }
+  }
+
   test("bloom decontamination equals the exact broadcast path at any fpp") {
     val exact = DedupQueries.decontaminate(spark, sf001).collect().toSeq
     val bloom = DedupQueries.bloomDecontaminate(spark, sf001).collect().toSeq
