@@ -202,14 +202,22 @@ object IvfIndex {
     * replaying a batch through a bare append duplicates rows). One
     * map-side scan of the new rows, partitioned append by cell. */
   def appendPq(emb: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+    encodePq(emb, idCol, vecCol, path)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** The assignment+encoding stage of [[appendPq]] — (id, pq_codes,
+    * cell) from the PERSISTED sidecars, no write. Exposed so the
+    * streaming sink (streaming/Ingest.appendPqIdempotent) can stage the
+    * same rows and commit them with batch-tagged filenames. */
+  private[graft] def encodePq(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame = {
     val cents = loadCentroids(path)
     val model = Pq.load(Paths.get(path, "_pq.json"))
     assignCells(emb, idCol, vecCol, cents)
       .select(col("id"),
         graft.plans.PqOps.encode(col("vec"), model.books).as("pq_codes"),
         col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Rank the `nProbe` most query-similar cells driver-side (k tiny dot

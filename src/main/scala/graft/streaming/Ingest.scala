@@ -159,6 +159,77 @@ object Ingest {
     }
   }
 
+  /** Exactly-once streaming MAINTENANCE OF A PERSISTED IVF-PQ INDEX —
+    * the serving-freshness loop: new embeddings arrive as a stream, each
+    * micro-batch is assigned + PQ-encoded from the index's PERSISTED
+    * sidecars (centroids/codebooks never retrain — IvfIndex.appendPq's
+    * serving contract) and committed into the cell partitions. Searches
+    * against the index see every ingested vector without a rebuild.
+    *
+    * Exactly-once protocol (the parquet twin of [[appendNativeIdempotent]]):
+    * a bare `appendPq` inside foreachBatch would duplicate rows when a
+    * batch replays after a crash between job-commit and mark-write.
+    * Instead the batch stages to a scratch dir, then each data file is
+    * RENAMED into its cell directory under a `b<batchId>-` prefix; a
+    * replay first deletes this batch's prefixed files (superseding any
+    * partial attempt — including one that committed but never marked),
+    * re-stages, and re-moves. The batch-id high-water mark then skips
+    * fully-landed batches, and the mark itself commits by
+    * write-then-rename. */
+  def ingestIvfPq(stream: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        appendPqIdempotent(df, idCol, vecCol, indexPath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestIvfPq]] (exposed for direct replay
+    * testing). */
+  def appendPqIdempotent(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(indexPath)
+    val mark = root.resolve("_last_stream_batch")
+    val last =
+      if (Files.exists(mark)) Files.readString(mark).trim.toLong else -1L
+    if (batchId <= last) return
+    val tag = f"b$batchId%06d-"
+    def ls(p: java.nio.file.Path) = {
+      val s = Files.list(p)
+      try s.iterator.asScala.toList finally s.close()
+    }
+    // supersede any partial earlier attempt of THIS batch
+    ls(root).filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("cell="))
+      .foreach(cd => ls(cd)
+        .filter(_.getFileName.toString.startsWith(tag))
+        .foreach(Files.delete))
+    // stage with the index's own encoder, then rename files in
+    val stage = Files.createTempDirectory("ivfpq_stage_").resolve("out")
+    graft.operators.IvfIndex.encodePq(df, idCol, vecCol, indexPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    ls(stage).filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("cell="))
+      .foreach { cd =>
+        val dest = root.resolve(cd.getFileName.toString)
+        Files.createDirectories(dest)
+        ls(cd).filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }.foreach(f =>
+          Files.move(f, dest.resolve(tag + f.getFileName.toString)))
+      }
+    val markTmp = mark.resolveSibling(mark.getFileName.toString + ".tmp")
+    Files.writeString(markTmp, batchId.toString)
+    Files.move(markTmp, mark, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Streaming OHLCV bars: tumbling window per symbol with a watermark
     * bounding state; open/close via min_by/max_by on the sequence id. */
   def streamingOhlcv(stream: DataFrame, barWidth: String = "1 minute",

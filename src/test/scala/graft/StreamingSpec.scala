@@ -12,6 +12,9 @@ import graft.sources.{GraftNative => GraftNative2, ZTableSpec}
 /** Top-level (Spark 4.1 requires non-nested case classes for encoders). */
 case class StreamDoc(doc_id: Long, text: String)
 
+/** Streaming-embedding row for the IVF-PQ maintenance test. */
+case class StreamVec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -308,6 +311,54 @@ class StreamingSpec extends SparkSpec {
       assert(compacted.contains("partitions_rewritten"), compacted)
       assert(scanCount() == nBatch, "compaction must preserve every row")
     } finally server.stop()
+  }
+
+  test("streaming IVF-PQ maintenance: exactly-once appends, replay-safe, index serves exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IvfIndex, Pq, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf001)
+    val seed = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).as[StreamVec].collect()
+    val path = Files.createTempDirectory("ivfpq_stream_").toString + "/idx"
+    val model = Pq.train(seed, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    IvfIndex.buildPq(seed, "vec_id", "embedding", numCells = 8, path, model)
+    // stream the other half in two micro-batches
+    val mem = MemoryStream[StreamVec]
+    val (b0, b1) = rest.splitAt(rest.length / 2)
+    mem.addData(b0.toIndexedSeq)
+    val ckpt = Files.createTempDirectory("ivfpq_stream_ckpt_").toString
+    val q1 = Ingest.ingestIvfPq(mem.toDF(), "vec_id", "embedding", path, ckpt)
+    q1.awaitTermination()
+    mem.addData(b1.toIndexedSeq)
+    val q2 = Ingest.ingestIvfPq(mem.toDF(), "vec_id", "embedding", path, ckpt)
+    q2.awaitTermination()
+    def idxIds() = spark.read.parquet(path).select("id").collect()
+      .map(_.getLong(0)).toSeq
+    val total = emb.count()
+    assert(idxIds().length == total, "streamed index must hold the full corpus")
+    assert(idxIds().distinct.length == total, "no duplicate ids")
+    // replay of an already-landed batch: high-water mark skips it
+    val b1df = b1.toSeq.toDF("vec_id", "embedding")
+    Ingest.appendPqIdempotent(b1df, "vec_id", "embedding", path, batchId = 1L)
+    assert(idxIds().length == total, "marked replay must be a no-op")
+    // crash window: files landed but the mark write was lost — the
+    // prefixed-file supersede must replace, not duplicate
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_last_stream_batch"), "0")
+    Ingest.appendPqIdempotent(b1df, "vec_id", "embedding", path, batchId = 1L)
+    assert(idxIds().length == total, "unmarked replay must supersede its files")
+    assert(idxIds().distinct.length == total)
+    // the maintained index SERVES: full probe + modest candidates
+    // reproduces the exact brute-force top-10 of the merged corpus
+    // (same bar as the batch appendPq spec)
+    val got = IvfIndex.searchPq(spark, path, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nProbe = 8, candidates = 150)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == brute)
   }
 
   test("streaming EWMA equals the batch fold when the stream replays in order") {
