@@ -60,7 +60,10 @@ class SqlParitySpec extends SparkSpec {
     // round-4: unnest(generate_series) lateral + list slicing (pipe9),
     // unnest + '0x'-prefixed hex cast (pipe10), list_cosine_similarity
     // (sim11)
-    "pipe9_chunk", "pipe10_dsir", "sim11_cluster_sample")
+    "pipe9_chunk", "pipe10_dsir", "sim11_cluster_sample",
+    // round-5: string_split (pipe11), list_filter +
+    // list_cosine_similarity (search3)
+    "pipe11_ppl_filter", "search3_rrf_fusion")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
