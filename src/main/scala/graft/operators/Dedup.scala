@@ -126,6 +126,74 @@ object Dedup {
         coalesce(col("dup_token_mass"), lit(0L)).as("dup_token_mass"))
   }
 
+  /** Cross-document BOILERPLATE profiling (the corpus-level half of the
+    * C4/RefinedWeb repetition filters, which t7 covers within-document):
+    * a word n-gram is boilerplate when it appears in >= `minDf` distinct
+    * documents; each document reports how much of its gram stream is
+    * boilerplate. Headers, navigation chrome, license blurbs, and
+    * template text light up this signal; prose does not.
+    *
+    * Scale shape: one explode of the gram stream, ONE distinct-keyed
+    * aggregation to the df table (gram-space-sized, never corpus-row-
+    * sized), one join back on xxhash64(gram) — 8-byte keys, the gram
+    * strings never shuffle twice — then a per-doc count. Linear in
+    * corpus token count; a hot gram costs its row count (no self-join
+    * fan-out, same argument as [[dupSpans]]).
+    *
+    * Returns (id, n_grams, n_boiler, boiler_r). */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Int = 5): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    val docs = df.select(col(idCol).as("id"), w.as("w"))
+    val grams = docs.where(size(col("w")) >= n)
+      .withColumn("i", explode(sequence(lit(1), size(col("w")) - (n - 1))))
+      .select(col("id"),
+        xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(col("w"), col("i") + k)): _*)).as("gh"))
+    val boiler = grams.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("gh"), lit(true).as("hot"))
+    grams.join(boiler, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_boiler"))
+      .join(docs.select(col("id")), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast(DoubleType),
+          6).as("boiler_r"))
+  }
+
+  /** CANONICAL SELECTION: resolve near-dup clusters ([[components]] over
+    * a pair list) and keep exactly one representative per cluster — the
+    * member with the best `scoreCol` (quality-aware dedup: drop the
+    * low-quality copies, not an arbitrary one). Ties break to the
+    * smallest id, and singletons (docs in no cluster) keep themselves.
+    *
+    * The caller pre-ROUNDS the score so argmax cannot flip on a
+    * last-ulp float difference between engines. The per-cluster pick is
+    * a row_number window PARTITIONED BY root — parallel across
+    * clusters, and a cluster's size bounds its window, so the 100 TB
+    * cost is the components fixpoint itself, not this ranking.
+    *
+    * Returns (id, root, keep, score). */
+  def canonicalKeep(docs: DataFrame, idCol: String, scoreCol: Column,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(pairs)
+      .select(col("id"), col("comp").as("root"))
+    val member = docs.select(col(idCol).as("id"), scoreCol.as("score"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"), col("score"))
+    val rn = row_number().over(
+      Window.partitionBy(col("root")).orderBy(col("score").desc, col("id")))
+    member.withColumn("keep", rn === 1)
+      .select(col("id"), col("root"), col("keep"), col("score"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * thrNum/thrDen of their word n-grams with ANY benchmark document
     * (the GPT-3/FLAN-style n-gram overlap check; long n-grams — default

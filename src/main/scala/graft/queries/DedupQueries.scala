@@ -285,6 +285,84 @@ object DedupQueries {
       |  CAST(COALESCE(m.dup_token_mass, 0) AS BIGINT) AS dup_token_mass
       |FROM tok t LEFT JOIN mass m USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** T11: cross-document BOILERPLATE fraction — word-3-grams appearing
+    * in >= 5 distinct documents are template/chrome text; each document
+    * reports the boilerplate share of its gram stream
+    * (Dedup.boilerplateStats: one explode, one gram-space df agg, one
+    * 8-byte-key join back — linear, never a self-join). Fully exact. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateStats(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, minDf = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val boilerplateSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |      FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |hot AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM g)
+      |        GROUP BY sh HAVING COUNT(*) >= 5),
+      |per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+      |          SUM(CASE WHEN hot.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      |        FROM g LEFT JOIN hot ON g.sh = hot.sh GROUP BY g.doc_id)
+      |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_boiler, 0) AS n_boiler,
+      |  round(CAST(COALESCE(n_boiler, 0) AS DOUBLE)
+      |        / GREATEST(COALESCE(n_grams, 0), 1), 6) AS boiler_r
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** D12: QUALITY-AWARE CANONICAL SELECTION — d7's near-dup clusters
+    * resolved to one kept representative each, picked by the t2 quality
+    * score (rounded to 6 dp BEFORE the argmax so the pick can't flip on
+    * a last-ulp engine difference; ties to the smallest doc_id).
+    * Singletons keep themselves. The exact oracle recomputes clusters
+    * via the recursive CTE and the pick via the same rounded window. */
+  def canonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.canonicalKeep(docs, "doc_id",
+        round(graft.functions.Text.qualityScore(col("text")), 6),
+        Dedup.jaccardPairs(
+          Dedup.shingles(docs, "doc_id", "text", 3),
+          thrNum = 4, thrDen = 5, maxDocFreq = 500))
+      .select(col("id").as("doc_id"), col("root"), col("keep"),
+        col("score").as("q_r"))
+      .orderBy("doc_id")
+  }
+
+  val canonicalKeepSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT ida, idb FROM ov
+      |      JOIN sizes na ON ida = na.doc_id JOIN sizes nb ON idb = nb.doc_id
+      |      WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4),
+      |e AS (SELECT ida AS src, idb AS dst FROM p
+      |      UNION ALL SELECT idb, ida FROM p),
+      |reach(member, root) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.member),
+      |comp AS (SELECT member, MIN(root) AS root FROM reach GROUP BY member),
+      |m AS (SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root,
+      |  round(
+      |    0.4 * LEAST((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |                / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 5.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                / CAST(length(text) AS DOUBLE)) * 20.0, 1.0))
+      |    + 0.3 * LEAST(CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) / 100.0, 1.0)
+      |  , 6) AS q
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.member)
+      |SELECT doc_id, root,
+      |  row_number() OVER (PARTITION BY root ORDER BY q DESC, doc_id) = 1 AS keep,
+      |  q AS q_r
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val semDedupSql: String =
     """SELECT
       |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,

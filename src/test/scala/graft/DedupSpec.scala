@@ -104,6 +104,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).exists(_ <= 10))
   }
 
+  test("boilerplateStats: template grams light up, unique prose stays clean") {
+    // grams shared by >= 3 of 4 docs = boilerplate ("subscribe to our newsletter")
+    val corp = Seq(
+      (0L, "subscribe to our newsletter for more and visit us daily"),
+      (1L, "subscribe to our newsletter great recipes inside today folks"),
+      (2L, "subscribe to our newsletter breaking news headline report item"),
+      (3L, "entirely original writing with no repeated template at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(corp, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))).toMap
+    // "subscribe to our" and "to our newsletter" appear in docs 0-2
+    assert(out(0L)._2 == 2 && out(1L)._2 == 2 && out(2L)._2 == 2)
+    assert(out(3L)._2 == 0)
+    assert(out(0L)._1 == 8) // 10 words -> 8 3-grams
+    // a doc shorter than n grams reports zeros, not a missing row
+    val tiny = Dedup.boilerplateStats(
+      Seq((9L, "ab cd")).toDF("doc_id", "text"), "doc_id", "text", 3, 2)
+      .collect()
+    assert(tiny.length == 1 && tiny(0).getAs[Long]("n_grams") == 0L)
+  }
+
+  test("canonicalKeep keeps the best-scored member per cluster; singletons keep themselves") {
+    val pairs = Seq((0L, 1L), (1L, 4L)).toDF("ida", "idb") // chain {0,1,4}
+    val scored = Seq(
+      (0L, 0.2), (1L, 0.9), (2L, 0.5), (3L, 0.5), (4L, 0.9)
+    ).toDF("doc_id", "q")
+    val out = Dedup.canonicalKeep(scored, "doc_id", col("q"), pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("root"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L) == (0L, false)) // in cluster, low quality
+    assert(out(1L) == (0L, true))  // best quality, tie broken to id 1 < 4
+    assert(out(4L) == (0L, false))
+    assert(out(2L) == (2L, true))  // singletons
+    assert(out(3L) == (3L, true))
+    assert(out.size == 5)
+  }
+
   test("components resolves chains transitively, not just direct neighbors") {
     // chain 10-20, 20-30 (one component rooted at 10), isolated pair 40-50,
     // and a triangle 1-2, 2-3, 1-3

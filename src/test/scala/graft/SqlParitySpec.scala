@@ -63,7 +63,9 @@ class SqlParitySpec extends SparkSpec {
     "pipe9_chunk", "pipe10_dsir", "sim11_cluster_sample",
     // round-5: string_split (pipe11), list_filter +
     // list_cosine_similarity (search3)
-    "pipe11_ppl_filter", "search3_rrf_fusion")
+    "pipe11_ppl_filter", "search3_rrf_fusion",
+    // t11/d12: string_split + UNNEST(range) lateral (+ recursive CTE)
+    "t11_boilerplate", "d12_canonical_keep")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
