@@ -498,4 +498,43 @@ object PipelineQueries {
       |       WHEN n.nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
       |FROM nll n CROSS JOIN thr
       |ORDER BY doc_id""".stripMargin
+
+  /** PIPE12: deterministic TRAINING-ORDER SHUFFLE + SHARD PACKING — the
+    * last batch step of a corpus build: give every document a
+    * reproducible pseudo-random global order (so training runs are
+    * repeatable and restartable) and pack that order into fixed shard
+    * files. Order key = salted md5 of the doc id (the one hash both
+    * engines compute identically); shard = hex-prefix bucket of the
+    * same hash, position = rank within the shard.
+    *
+    * Scale shape: shard assignment is map-side; the ONLY shuffle is the
+    * partition-by-shard window, and each shard sorts independently —
+    * exactly the "hash-bucket then sort-within-bucket" layout a 100 TB
+    * corpus writer uses (numShards scales with corpus size; a shard's
+    * window never sees another shard's rows). No global sort, no
+    * single-partition window, no driver state. */
+  def orderShard(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val h = md5(concat(lit("ord:"), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(h, 1, 4), 16, 10).cast(LongType) % nShards).as("shard"),
+        h.as("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_chars"))
+      .orderBy("shard", "pos")
+  }
+
+  val orderShardSql: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |s AS (SELECT doc_id, n_chars, h,
+      |    CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  n_chars
+      |FROM s ORDER BY shard, pos""".stripMargin
 }

@@ -311,6 +311,52 @@ object Scalar {
       |        / (n1 / t.t1 + n2 / t.t2), 6) AS drift_term
       |FROM c, t ORDER BY bin""".stripMargin
 
+  /** DQ3: ROBUST OUTLIER DETECTION — per-event-type median/MAD scoring
+    * (the resistant alternative to mean/stddev z-scores: a few huge
+    * values can't drag the threshold toward themselves). A value is an
+    * outlier when |v − median| > 3·1.4826·MAD (1.4826 scales MAD to σ
+    * under normality). Median and MAD are ROUNDED to 6 dp before the
+    * comparison on both sides, so the flag can only disagree if the
+    * engines' exact medians differ by ≥ 1e-6 (they interpolate the same
+    * order statistic).
+    *
+    * Scale note: `percentile` here is the EXACT aggregate (per-group
+    * value buffering) because the oracle needs exactness; the 100 TB
+    * path swaps in `approx_percentile` (mergeable sketch, same plan
+    * shape, a14's quantile-sketch story) — the robust-scoring pipeline
+    * around it is unchanged: two group-aggs + two broadcast joins of
+    * a type-count-sized stats frame, corpus scanned twice. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med_r"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med_r), 0.5)"), 6).as("mad_r"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_r"), col("mad_r"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med_r")) >
+          lit(3.0) * lit(1.4826) * col("mad_r"), 1L).otherwise(0L)).as("n_out"))
+      .select(col("event_type"), col("n"), col("med_r"), col("mad_r"), col("n_out"))
+      .orderBy("event_type")
+  }
+
+  val outliersSql: String =
+    """WITH med AS (SELECT event_type, round(median(value), 6) AS med_r
+      |             FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, e.value, med_r
+      |      FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, round(median(abs(value - med_r)), 6) AS mad_r
+      |        FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  d.med_r AS med_r, mad.mad_r AS mad_r,
+      |  CAST(SUM(CASE WHEN abs(d.value - d.med_r) > 3.0 * 1.4826 * mad.mad_r
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type, d.med_r, mad.mad_r
+      |ORDER BY event_type""".stripMargin
+
   /** PROFILE1: one-pass data profile of the fact table (the dataset-card
     * step of a corpus build, and C3's describe extended from schema to
     * data): row count, per-column null counts, min/max, and exact

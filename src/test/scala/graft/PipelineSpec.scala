@@ -128,6 +128,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("orderShard: every doc exactly once, shards dense from 1, order is the salted hash") {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit}
+    val out = PipelineQueries.orderShard(spark, sf001)
+    val rows = out.collect()
+    val n = graft.Tables.documents(spark, sf001).count()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // positions are dense 1..|shard| within each shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.sameElements(1L to rs.length))
+    }
+    // within a shard, increasing pos follows increasing md5 order
+    val byHash = out
+      .withColumn("h", md5(concat(lit("ord:"), col("doc_id").cast("string"))))
+      .collect().groupBy(_.getAs[Long]("shard"))
+    byHash.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("h"))
+      assert(sorted.sameElements(sorted.sorted))
+    }
+  }
+
+  test("dq3 outliers: planted spike is flagged, clean series is not") {
+    import org.apache.spark.sql.functions._
+    val ev = (Seq.tabulate(99)(i => ("a", 10.0 + (i % 10))) :+ ("a", 10000.0))
+      .toDF("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med_r"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med_r), 0.5)"), 6).as("mad_r"))
+    val out = dev.join(broadcast(mad), Seq("event_type"))
+      .where(abs(col("value") - col("med_r")) >
+        lit(3.0) * lit(1.4826) * col("mad_r"))
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Double]("value") == 10000.0)
+  }
+
   test("dsir: target-domain docs score and select above the rest") {
     // The importance scorer must actually discriminate toward the
     // target (en) slice: under JM smoothing the mean en score sits

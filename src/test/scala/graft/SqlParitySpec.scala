@@ -65,7 +65,9 @@ class SqlParitySpec extends SparkSpec {
     // list_cosine_similarity (search3)
     "pipe11_ppl_filter", "search3_rrf_fusion",
     // t11/d12: string_split + UNNEST(range) lateral (+ recursive CTE)
-    "t11_boilerplate", "d12_canonical_keep")
+    "t11_boilerplate", "d12_canonical_keep",
+    // pipe12: '0x'-prefixed hex cast (dq3's median SQL is ANSI, stays in)
+    "pipe12_order_shard")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
