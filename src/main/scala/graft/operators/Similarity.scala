@@ -582,6 +582,71 @@ object Similarity {
     * style JL embedding): outDim rows of ±1/√outDim, signs from
     * xxhash64 of the flat (plane, dim) index — no RNG, same planes on
     * every executor and every run. */
+  /** Per-dimension [min, max] quantization range for SCALAR (int8)
+    * quantization — ONE pass, 2·dim agg columns, map-side combined (no
+    * explode, no shuffle of vector rows). */
+  private[graft] def sqTrain(emb: DataFrame, vecCol: String,
+      dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
+      max(element_at(col(vecCol), i + 1)).as(s"mx$i")))
+    val row = emb.agg(aggs.head, aggs.tail: _*).head
+    val mn = Array.tabulate(dim)(i => row.getAs[Float](s"mn$i").toDouble)
+    val mx = Array.tabulate(dim)(i => row.getAs[Float](s"mx$i").toDouble)
+    (mn, mx)
+  }
+
+  /** Top-k by exact cosine with candidate generation in SCALAR-QUANTIZED
+    * (SQ8) space — the FAISS ScalarQuantizer tier between sim8's random
+    * projection (dim reduction) and sim9's product quantization (vector
+    * codebooks): each dimension maps to an 8-bit code on its trained
+    * [min, max] grid, candidates rank by the cosine of the DEQUANTIZED
+    * codes, and the top `candidates` exact-verify at full width.
+    *
+    * Scale shape: training is one 2·dim-column aggregation; encoding and
+    * ranking are map-side; at 100 TB the code column (dim bytes — ¼ of
+    * float32, composable with IVF cells like sim10's PQ codes) is
+    * PERSISTED next to the corpus and the scan reads only it — here it
+    * is computed inline since the corpus fits a scan (sim8's argument).
+    * Codes materialize through separate projections (no nested HOFs —
+    * composed transform/element_at re-evaluates the inner array).
+    * Deterministic end to end, so sim12 shares sim1's exact oracle. */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, candidates: Int = 300,
+      dim: Int = 64): DataFrame = {
+    val (mn, mx) = sqTrain(emb, vecCol, dim)
+    val delta = Array.tabulate(dim)(i =>
+      if (mx(i) > mn(i)) (mx(i) - mn(i)) / 255.0 else 1.0)
+    val mnL = typedlit(mn)
+    val dL = typedlit(delta)
+    val coded = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), (x, i) =>
+        least(greatest(round(
+          (x.cast(DoubleType) - element_at(mnL, i + 1)) / element_at(dL, i + 1)),
+          lit(0.0)), lit(255.0)).cast("int")).as("code"))
+    val deq = coded.select(col("id"),
+      transform(col("code"), (c, i) =>
+        element_at(mnL, i + 1) + c.cast(DoubleType) * element_at(dL, i + 1))
+        .as("vhat"))
+    val q = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol)).as("qv"))
+    val qv = q.head.getSeq[Double](0).toArray
+    // query norm is constant across rows — dividing by ||vhat|| alone
+    // preserves the candidate order
+    val cand = deq.where(col("id") =!= queryId)
+      .select(col("id"),
+        (VectorOps.dot(col("vhat"), typedlit(qv)) /
+          sqrt(VectorOps.normSq(col("vhat")))).as("acos"))
+      .orderBy(col("acos").desc, col("id"))
+      .limit(candidates)
+      .select(col("id"))
+    emb.join(broadcast(cand), emb(idCol) === cand("id"))
+      .join(broadcast(q))
+      .select(col("id"), cosine(toDouble(col(vecCol)), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   private[graft] def rpPlanes(inDim: Int, outDim: Int): Array[Array[Double]] = {
     val s = 1.0 / math.sqrt(outDim)
     Array.tabulate(outDim)(j => Array.tabulate(inDim) { i =>

@@ -67,6 +67,21 @@ object SimilarityQueries {
       .orderBy(col("cos_r").desc, col("id"))
   }
 
+  /** SIM12: top-10 served through SCALAR-QUANTIZATION (SQ8) candidates —
+    * per-dimension 8-bit codes on a trained [min, max] grid (¼ the
+    * float32 bytes; the FAISS SQ tier between sim8's projection and
+    * sim9's PQ codebooks), dequantized-cosine ranking, exact verify of
+    * the top 300. Training, encoding, and ranking are all one-pass /
+    * map-side; deterministic, so it shares sim1's exact oracle — the
+    * gate proves code-space recall of the true top-10 (8-bit error is
+    * ~1e-2 per dim on this range, far inside the 300-candidate
+    * headroom; measured in SimilaritySpec). */
+  def sqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sqTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryId = 0L, k = 10, candidates = 300)
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+
   /** SIM10: top-10 served from a PERSISTED IVF-PQ index — the composed
     * FAISS-style stack: coarse cells partition the index on disk (probe
     * = partition pruning), rows inside hold only (id, 16-byte PQ code)

@@ -256,6 +256,38 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.forall(v => math.abs(v) == 1.0 / math.sqrt(32.0)))
   }
 
+  test("SQ8 top-k equals brute force; codes are tight and recall has headroom (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val viaSq = Similarity.sqTopK(emb, "vec_id", "embedding", 0L, 10,
+      candidates = 300).collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaSq == brute)
+    // measured headroom: the true top-10's worst rank in dequantized
+    // code space must sit far inside the 300-candidate budget
+    val (mn, mx) = Similarity.sqTrain(emb, "embedding", 64)
+    val delta = Array.tabulate(64)(i =>
+      if (mx(i) > mn(i)) (mx(i) - mn(i)) / 255.0 else 1.0)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def enc(v: Array[Double]): Array[Double] = Array.tabulate(64) { i =>
+      val c = math.max(0.0, math.min(255.0, math.round((v(i) - mn(i)) / delta(i)).toDouble))
+      mn(i) + c * delta(i)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val q = rows.find(_._1 == 0L).get._2
+    val ranked = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(enc(v), q) }
+      .sortBy { case (id, c) => (-c, id) }.map(_._1)
+    val worst = brute.map(id => ranked.indexOf(id)).max
+    assert(worst < 60, s"true top-10 worst SQ rank $worst — 8-bit error too large")
+  }
+
   test("PQ: codes are m bytes, training is deterministic, ADC rerank equals brute force (sf0.001)") {
     import graft.operators.Pq
     val emb = graft.Tables.embeddings(spark, sf001)

@@ -67,7 +67,9 @@ class SqlParitySpec extends SparkSpec {
     // t11/d12: string_split + UNNEST(range) lateral (+ recursive CTE)
     "t11_boilerplate", "d12_canonical_keep",
     // pipe12: '0x'-prefixed hex cast (dq3's median SQL is ANSI, stays in)
-    "pipe12_order_shard")
+    "pipe12_order_shard",
+    // sim12 shares sim1's list_cosine_similarity oracle
+    "sim12_sq_topk")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
