@@ -74,6 +74,49 @@ object CrossCheck {
     text.toLowerCase.split(" ").iterator.filter(_.nonEmpty)
       .map(w => bpeEncodeRef(w, rank).length.toLong).sum
 
+  /** Independent unigram-LM Viterbi formulation (t13 gate): memoized
+    * top-down recursion over split points, vs the expression's
+    * bottom-up iterative DP. Same semantics: maximize summed piece
+    * log-prob, ties prefer the smallest split point (longest final
+    * piece), unknown single chars cost [[graft.functions.Unigram.UnkLogP]]. */
+  def unigramSegRef(word: String, logp: Map[String, Double],
+      maxPieceLen: Int = 16): List[String] = {
+    val memo = scala.collection.mutable.HashMap.empty[Int, (Double, Int)]
+    def solve(j: Int): (Double, Int) =
+      if (j == 0) (0.0, -1)
+      else memo.getOrElseUpdate(j, {
+        var bestS = Double.NegativeInfinity
+        var bestI = -1
+        // descending i: the LAST strict improvement is the smallest i,
+        // mirroring the DP's strict-> keep-first rule
+        var i = j - 1
+        val lo = math.max(0, j - maxPieceLen)
+        while (i >= lo) {
+          val piece = word.substring(i, j)
+          val lp = logp.getOrElse(piece,
+            if (j - i == 1) graft.functions.Unigram.UnkLogP
+            else Double.NegativeInfinity)
+          if (lp > Double.NegativeInfinity) {
+            val (si, _) = solve(i)
+            if (si + lp >= bestS && si + lp > Double.NegativeInfinity) {
+              bestS = si + lp; bestI = i
+            }
+          }
+          i -= 1
+        }
+        (bestS, bestI)
+      })
+    val parts = List.newBuilder[(Int, Int)]
+    var k = word.length
+    while (k > 0) { val i = solve(k)._2; parts += ((i, k)); k = i }
+    parts.result().reverse.map { case (a, b) => word.substring(a, b) }
+  }
+
+  /** Total reference unigram piece count of a space-separated text. */
+  def unigramCountRef(text: String, logp: Map[String, Double]): Long =
+    text.toLowerCase.split(" ").iterator.filter(_.nonEmpty)
+      .map(w => unigramSegRef(w, logp).length.toLong).sum
+
   // ---- sequential Lloyd k-means (sim7 gate) ----
 
   /** Sequential driver-side re-run of the exact k-means recipe

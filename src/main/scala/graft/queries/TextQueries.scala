@@ -199,6 +199,42 @@ object TextQueries {
       |  TRUE AS bpe_parity_ok, TRUE AS bpe_bounds_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** T13: UNIGRAM-LM tokenize (SentencePiece's alternative to BPE) —
+    * learn a 200-piece inventory from the corpus word histogram (one
+    * distributed count + driver EM over the histogram,
+    * graft.functions.Unigram), then Viterbi-segment every document
+    * map-side. Learned probabilities are iterative float math → not
+    * SQL-expressible; the gate mirrors t9's: SQL-derivable word and
+    * char counts plus (a) `uni_parity_ok` — the expression's count
+    * equals [[graft.functions.CrossCheck.unigramCountRef]] (an
+    * independent memoized-recursion Viterbi), and (b) `uni_bounds_ok`
+    * — n_words <= n_pieces <= n_chars_nospace. DuckDB asserts both
+    * flags as literal TRUE. */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.functions.Unigram.learn(docs, "text", vocabSize = 200)
+    val refUdf = udf((text: String) =>
+      graft.functions.CrossCheck.unigramCountRef(text, model))
+    docs.select(col("doc_id"), col("text"),
+        graft.functions.Unigram.encodeCount(split(lower(col("text")), " "), model)
+          .as("n_uni"),
+        Text.nTokens(col("text")).cast(LongType).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast(LongType)
+          .as("n_chars_nospace"))
+      .select(col("doc_id"), col("n_words"), col("n_chars_nospace"),
+        (col("n_uni") === refUdf(col("text"))).as("uni_parity_ok"),
+        (col("n_words") <= col("n_uni") && col("n_uni") <= col("n_chars_nospace"))
+          .as("uni_bounds_ok"))
+      .orderBy("doc_id")
+  }
+
+  val unigramEncodeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+      |  TRUE AS uni_parity_ok, TRUE AS uni_bounds_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** T10: heavy hitters through a COUNT-MIN SKETCH — completes the
     * sketch family (HLL a11, MinHash d2, SimHash d3, Bloom d8, winnow
     * t6). The sketch folds distributively (mergeable per-partition

@@ -69,7 +69,9 @@ class SqlParitySpec extends SparkSpec {
     // pipe12: '0x'-prefixed hex cast (dq3's median SQL is ANSI, stays in)
     "pipe12_order_shard",
     // sim12 shares sim1's list_cosine_similarity oracle
-    "sim12_sq_topk")
+    "sim12_sq_topk",
+    // t13: len-of-regexp-list (t9's SQL shape)
+    "t13_unigram_encode")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)

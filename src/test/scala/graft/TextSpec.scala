@@ -153,4 +153,41 @@ class TextSpec extends SparkSpec {
       .limit(10).collect()
     chars.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("c").toLong))
   }
+
+  test("Unigram: Viterbi picks high-prob pieces; DP and memoized ref agree; learn is deterministic") {
+    import graft.functions.{CrossCheck, Unigram}
+    // hand model: "ab" is cheap, chars are expensive -> "abab" = [ab, ab]
+    val m = Map("a" -> math.log(0.05), "b" -> math.log(0.05),
+      "ab" -> math.log(0.4), "ba" -> math.log(0.4), "c" -> math.log(0.1))
+    assert(Unigram.segment("abab", m) == Vector("ab", "ab"))
+    assert(CrossCheck.unigramSegRef("abab", m) == List("ab", "ab"))
+    // tie: "abab" via [ab,ab] vs [ab,a,b]... construct an exact tie:
+    // p(ab)=p(a)*p(b) => scores equal; longest-last-piece rule must win
+    val tie = Map("a" -> math.log(0.2), "b" -> math.log(0.2),
+      "ab" -> math.log(0.04))
+    assert(Unigram.segment("ab", tie) == Vector("ab"))
+    assert(CrossCheck.unigramSegRef("ab", tie) == List("ab"))
+    // unknown chars segment as single UNK pieces, never fail
+    assert(Unigram.segment("axb", m).length == 3)
+    assert(CrossCheck.unigramSegRef("axb", m) == Unigram.segment("axb", m).toList)
+    // corpus learn: deterministic, chars retained, and the expression
+    // matches the independent reference on real docs
+    val docs = graft.Tables.documents(spark, sf001)
+    val model = Unigram.learn(docs, "text", vocabSize = 200)
+    assert(model == Unigram.learn(docs, "text", vocabSize = 200))
+    assert(model.keysIterator.exists(_.length > 1), "no multi-char pieces learned")
+    val out = docs.select(col("doc_id"), col("text"),
+        Unigram.encodeCount(split(lower(col("text")), " "), model).as("n"))
+      .orderBy("doc_id").limit(25).collect()
+    out.foreach { r =>
+      val text = r.getAs[String]("text")
+      assert(r.getAs[Long]("n") == CrossCheck.unigramCountRef(text, model),
+        s"doc ${r.getLong(0)}")
+      val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val n = r.getAs[Long]("n")
+      assert(n >= words.length && n <= words.map(_.length).sum)
+      // multi-char pieces actually fire (compression below char count)
+      assert(n < words.map(_.length).sum)
+    }
+  }
 }
