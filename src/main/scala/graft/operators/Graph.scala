@@ -84,6 +84,66 @@ object Graph {
       .crossJoin(tris.select(count(lit(1)).as("n_triangles")))
   }
 
+  /** k-CORE decomposition by iterative peeling: repeatedly drop nodes
+    * with fewer than k neighbors among the survivors until the fixpoint
+    * — the maximal subgraph where every node keeps degree >= k (the
+    * standard graph-density filter: in a link graph, the k-core is the
+    * well-embedded region and the peeled fringe is the spam/orphan
+    * tail). The k-core is UNIQUE, so the result is exactly
+    * oracle-able — unlike float centralities it needs no tolerance.
+    *
+    * Scale shape: each round is two semi joins of the edge list
+    * against the (node-sized) survivor set plus one map-side-combined
+    * degree count — linear in |E| per round, and rounds are bounded by
+    * the peeling depth (typically small; degeneracy ordering converges
+    * in O(peel depth), not O(V)). `checkpointDir` pins each round's
+    * survivor set reliably ([[graft.operators.Dedup.components]]'
+    * story: `localCheckpoint` only truncates lineage — an executor
+    * loss mid-fixpoint kills the job on a real cluster); `maxRounds`
+    * turns a convergence regression into a clear error.
+    *
+    * Returns every node of the graph with an `in_core` flag. */
+  def kcore(edges: DataFrame, k: Int,
+      checkpointDir: Option[String] = None,
+      maxRounds: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint()
+      else { val d = df.localCheckpoint(); d }
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+      .persist()
+    val nodes = sym.select(col("v").as("id")).distinct().persist()
+    var alive = nodes
+    var aliveN = nodes.count()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
+          "exceeds the bound — raise maxRounds)")
+      val next = pin(sym
+        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+        .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select(col("v").as("id")))
+      val n = next.count()
+      // survivors only shrink: equal counts == fixpoint
+      converged = n == aliveN
+      alive = next
+      aliveN = n
+    }
+    val out = nodes
+      .join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
+    sym.unpersist()
+    out
+  }
+
   /** The skew-proof variant: DEGREE-ORIENTED triangle counting.
     * Each edge directs toward its higher-(degree, id) endpoint, wedges
     * generate only among OUT-neighbors — so a hub of degree d with

@@ -54,6 +54,50 @@ object GraphQueries {
     Graph.triangleCountOriented(edges)
   }
 
+  /** G3: 5-CORE of the sparse supplier co-purchase graph (g2's edge
+    * definition at a stronger order filter, so peeling actually bites:
+    * ~15-20% of nodes peel off over 2-3 rounds at test SFs). The
+    * k-core is unique, so the oracle is EXACT: the SQL side unrolls 8
+    * peel rounds (plain CTE chain — each round recomputes survivor
+    * degrees); peeling only shrinks, so extra unrolled rounds past the
+    * fixpoint are no-ops, and if convergence ever needed more than 8
+    * the hash gate fails rather than silently truncating. */
+  def supplierKcore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 200 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+    Graph.kcore(edges, k = 5)
+      .orderBy("id")
+  }
+
+  val supplierKcoreSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""a$r AS (
+         |  SELECT v AS id FROM (
+         |    SELECT s.v, COUNT(*) AS d
+         |    FROM sym s JOIN $prev x ON s.v = x.id JOIN $prev y ON s.u = y.id
+         |    GROUP BY s.v)
+         |  WHERE d >= 5)""".stripMargin
+    val rounds = (1 to 8).map(r => round(s"a${r - 1}", r)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+       |  WHERE x.l_orderkey % 200 = 0),
+       |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT v AS id FROM sym),
+       |a0 AS (SELECT id FROM nodes),
+       |$rounds
+       |SELECT n.id, a8.id IS NOT NULL AS in_core
+       |FROM nodes n LEFT JOIN a8 ON n.id = a8.id
+       |ORDER BY n.id""".stripMargin
+  }
+
   val supplierTrianglesSql: String =
     """WITH e AS (
       |  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b

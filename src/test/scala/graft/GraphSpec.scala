@@ -69,6 +69,55 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kcore: cascading peel matches sequential peeling; core property holds") {
+    // path 1-2-3 hangs off a 4-clique {4,5,6,7}: for k=2 the whole
+    // path peels over MULTIPLE rounds (1 first, then 2, then 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L))
+      .toDF("a", "b")
+    val out = Graph.kcore(edges, k = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("in_core")).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true, 6L -> true, 7L -> true))
+    // k=4: even the clique dissolves (internal degree 3)
+    val out4 = Graph.kcore(edges, k = 4).collect()
+    assert(out4.forall(!_.getAs[Boolean]("in_core")))
+    // reliable-checkpoint path produces the same labeling
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore_ckpt_")
+    val outCk = Graph.kcore(edges, k = 2, checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("in_core")).toMap
+    assert(outCk == out)
+    // sf0.001 core property: every in-core node has >= k in-core
+    // neighbors, every peeled node has < k (necessary conditions of
+    // the unique maximal core; the exact-set gate lives in the oracle)
+    val li = graft.Tables.lineitem(spark, sf001)
+      .where(col("l_orderkey") % 200 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+    val core = Graph.kcore(e, k = 5).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("in_core")).toMap
+    val adj = e.collect().flatMap(r =>
+        Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    core.foreach { case (v, kept) =>
+      val coreDeg = adj.getOrElse(v, Set.empty).count(core.getOrElse(_, false))
+      if (kept) assert(coreDeg >= 5, s"node $v kept with core degree $coreDeg")
+    }
+    // sequential reference peel on the same collected graph
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(v => adj(v).count(alive) < 5)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    assert(core.filter(_._2).keySet == alive)
+  }
+
   test("pagerank conserves mass up to integer-division dust") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
