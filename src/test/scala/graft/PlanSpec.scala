@@ -217,4 +217,57 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Join") && plan.contains("__b"), plan)
   }
+
+  test("t11: boilerplate df join keys on the 8-byte gram hash, not the gram string") {
+    val p = executed(graft.queries.DedupQueries.boilerplate(spark, sf001)) match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // the df->stream join keys must be the xxhash64 column (LongType)
+    val hashJoin = joins.filter(j => j.leftKeys.exists(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    assert(hashJoin.nonEmpty, p.toString)
+    assert(!p.toString.contains("NestedLoop"), p.toString)
+  }
+
+  test("pipe12: shard order has no global sort before the per-shard windows") {
+    val p = executed(graft.queries.PipelineQueries.orderShard(spark, sf001))
+    // exactly one hash exchange (the shard partition); the only range
+    // exchange is the final deterministic ORDER BY for the oracle
+    val hash = "Exchange hashpartitioning".r.findAllIn(p.toString).size
+    val range = "Exchange rangepartitioning".r.findAllIn(p.toString).size
+    assert(hash == 1 && range == 1, p.toString)
+    // the window must partition by shard, not run single-partition
+    assert(!p.toString.contains("Window [") ||
+      p.toString.contains("windowspecdefinition(shard"), p.toString)
+  }
+
+  test("sim12: SQ candidate generation is one TakeOrdered over the scan; rerank broadcasts") {
+    val p = executed(graft.queries.SimilarityQueries.sqTopK(spark, sf001))
+    val s = p.toString
+    assert("TakeOrderedAndProject".r.findAllIn(s).size >= 1, s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("g3: each peel round is semi joins + a partial agg, never a nested loop") {
+    val li = graft.Tables.lineitem(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("l_orderkey") % 200 === 0)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"))
+    val e = li.as("x").join(li.as("y"),
+        org.apache.spark.sql.functions.col("x.l_orderkey") ===
+          org.apache.spark.sql.functions.col("y.l_orderkey") &&
+          org.apache.spark.sql.functions.col("x.l_suppkey") <
+            org.apache.spark.sql.functions.col("y.l_suppkey"))
+      .select(org.apache.spark.sql.functions.col("x.l_suppkey").as("a"),
+        org.apache.spark.sql.functions.col("y.l_suppkey").as("b"))
+      .distinct()
+    val p = executed(graft.operators.Graph.kcore(e, k = 5)).toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
