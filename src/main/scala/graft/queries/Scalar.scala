@@ -520,6 +520,39 @@ object Scalar {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** IVM2: incrementally-maintained equi-JOIN view (sources.JoinView —
+    * the join face beside ivm1's aggregate face): three interleaved
+    * delta batches on BOTH sides (orders split 3 ways, lineitem 2 ways,
+    * one empty-side refresh) fold through the Δ(L⋈R) algebra; the gate
+    * is the full-join oracle — the accumulated view must equal joining
+    * the complete tables, proving no pair is dropped or double-counted
+    * across any refresh interleaving. Each refresh joins only
+    * delta-sized inputs against the accumulated other side. */
+  def joinViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_jv_").toString + "/jv"
+    val o = Tables.orders(spark, dir).where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val v = new graft.sources.JoinView(spark, path, "o_orderkey", "l_orderkey")
+    v.refresh(o.where(col("o_orderkey") % 3 === 0),
+      l.where(col("l_orderkey") % 2 === 0), "b1")
+    v.refresh(o.where(col("o_orderkey") % 3 === 1),
+      l.where(col("l_orderkey") % 2 === 1), "b2")
+    v.refresh(o.where(col("o_orderkey") % 3 === 2), l.limit(0), "b3")
+    v.read()
+      .select(col("o_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("o_custkey"), col("l_quantity"))
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  val joinViewRefreshSql: String =
+    """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  o_custkey, l_quantity
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey % 10 = 0
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -444,6 +444,31 @@ class ZTableSpec extends SparkSpec {
       sample.count() + cycles)
   }
 
+  test("JoinView: delta algebra covers all pairs once; replayed batch overwrites, never doubles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_jv_spec_").toString + "/v"
+    val v = new graft.sources.JoinView(spark, dir, "k", "k2")
+    def L(rows: (Long, String)*) = rows.toDF("k", "lv")
+    def R(rows: (Long, String)*) = rows.toDF("k2", "rv")
+    // batch 1: pair (1,1) matches within the batch (ΔL⋈ΔR term)
+    v.refresh(L(1L -> "a"), R(1L -> "x"), "b1")
+    // batch 2: new left matches OLD right (ΔL⋈R), new right matches OLD left (L⋈ΔR)
+    v.refresh(L(1L -> "b"), R(1L -> "y"), "b2")
+    val got = v.read().select(col("lv"), col("rv")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    // replaying batch 2 (crash recovery) must not double any pair
+    v.refresh(L(1L -> "b"), R(1L -> "y"), "b2")
+    val replayed = v.read().collect()
+    assert(replayed.length == 4, replayed.mkString(","))
+    // empty-side refresh only joins against the accumulation
+    v.refresh(L(2L -> "c"), R().limit(0), "b3")
+    assert(v.read().count() == 4) // key 2 has no right match yet
+    v.refresh(L().limit(0), R(2L -> "z"), "b4")
+    assert(v.read().where(col("lv") === "c").count() == 1)
+  }
+
   test("open restores spec from meta; firstTs/lastTs/symbols") {
     val path = tmp()
     ZTable.create(spark, path,
