@@ -543,7 +543,7 @@ object Scalar {
     v.read()
       .select(col("o_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("o_custkey"), col("l_quantity"))
-      .orderBy("o_orderkey", "l_linenumber")
+      .orderBy("o_orderkey", "l_linenumber", "l_quantity")
   }
 
   val joinViewRefreshSql: String =
@@ -551,7 +551,7 @@ object Scalar {
       |  o_custkey, l_quantity
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey % 10 = 0
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
