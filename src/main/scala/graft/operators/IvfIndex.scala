@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.VectorOps
@@ -61,13 +61,13 @@ object IvfIndex {
   /** Map-side cell assignment: argmax of centroid cosine, ties to the
     * first (lowest-cell) maximum — one codegen'd pass, zero shuffle. */
   private def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Centroid]): DataFrame = {
+      cents: Array[Centroid], metaCols: Seq[String] = Nil): DataFrame = {
     val cellIds = typedlit(cents.map(_.cell))
     val simCols = cents.map { c =>
       VectorOps.dot(col("vec"), typedlit(c.vec)) / (col("vnorm") * lit(c.norm))
     }
-    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
+    emb.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(VectorOps.normSq(col(vecCol))).as("vnorm")) ++ metaCols.map(col): _*)
       .withColumn("sims", array(simCols.toIndexedSeq: _*))
       .withColumn("cell",
         element_at(cellIds, array_position(col("sims"), array_max(col("sims"))).cast("int")))
@@ -83,9 +83,10 @@ object IvfIndex {
   }
 
   def build(emb: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, path: String, quantize: Boolean = false): Unit = {
+      numCells: Int, path: String, quantize: Boolean = false,
+      metaCols: Seq[String] = Nil): Unit = {
     val cents = centroids(emb, idCol, vecCol, numCells)
-    val assigned = assignCells(emb, idCol, vecCol, cents)
+    val assigned = assignCells(emb, idCol, vecCol, cents, metaCols)
     val stored =
       if (!quantize) assigned
       else assigned
@@ -140,9 +141,10 @@ object IvfIndex {
     * the cell list); within them one codegen'd dot per row feeds
     * TakeOrdered. nProbe = numCells ⇒ exact. */
   def search(spark: SparkSession, path: String, queryVec: Array[Double],
-      k: Int, nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+      k: Int, nProbe: Int, excludeId: Option[Long] = None,
+      filter: Option[Column] = None): DataFrame = {
     val (probed, qnorm) = probeCells(path, queryVec, nProbe)
-    scanCells(spark, path, probed, queryVec, qnorm, k, excludeId)
+    scanCells(spark, path, probed, queryVec, qnorm, k, excludeId, filter)
   }
 
   /** [[search]] with the probe count derived from a RECALL TARGET
@@ -176,10 +178,11 @@ object IvfIndex {
 
   private def scanCells(spark: SparkSession, path: String, probed: Array[Long],
       queryVec: Array[Double], qnorm: Double, k: Int,
-      excludeId: Option[Long]): DataFrame = {
+      excludeId: Option[Long], filter: Option[Column] = None): DataFrame = {
     val probedScan = spark.read.parquet(path)
       .where(col("cell").isin(probed.toIndexedSeq: _*))
-    val filtered = excludeId.fold(probedScan)(x => probedScan.where(col("id") =!= x))
+    val metaFiltered = filter.fold(probedScan)(probedScan.where)
+    val filtered = excludeId.fold(metaFiltered)(x => metaFiltered.where(col("id") =!= x))
     // quantized index: dot(q, codes)·scale == dot(q, dequantized), one
     // codegen'd int8 loop per row reading 1/4 the bytes
     val dot =

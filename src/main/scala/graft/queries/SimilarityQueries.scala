@@ -67,6 +67,39 @@ object SimilarityQueries {
       .orderBy(col("cos_r").desc, col("id"))
   }
 
+  /** SIM13: FILTERED ANN — top-10 among vectors satisfying a metadata
+    * predicate (label = 3), served from the IVF index built WITH the
+    * label as an index payload column. This is hybrid vector search's
+    * core primitive (every vector DB exposes it): the predicate applies
+    * INSIDE the probed-cell scan — parquet pushes it down beside the
+    * cell pruning — so candidates are pre-filtered, never a post-filter
+    * of an unfiltered top-k (which under-fills k when the predicate is
+    * selective). Full probe degrades to the exact filtered scan, so the
+    * gate shares sim1's oracle shape with the filter applied; the
+    * selective-predicate recall story is spec'd in SimilaritySpec. */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_f_")
+      .toString + "/idx"
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+      numCells = 16, path, metaCols = Seq("label"))
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    graft.operators.IvfIndex.search(spark, path, qv, k = 10, nProbe = 16,
+        excludeId = Some(0L), filter = Some(col("label") === 3))
+      .select(col("id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("id"))
+  }
+
+  val filteredAnnSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id AS id,
+      |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_r
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0 AND e.label = 3
+      |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
   /** SIM12: top-10 served through SCALAR-QUANTIZATION (SQ8) candidates —
     * per-dimension 8-bit codes on a trained [min, max] grid (¼ the
     * float32 bytes; the FAISS SQ tier between sim8's projection and

@@ -256,6 +256,44 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.forall(v => math.abs(v) == 1.0 / math.sqrt(32.0)))
   }
 
+  test("filtered ANN: predicate applies inside the probed scan; full probe is exact (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_fspec_")
+      .toString + "/idx"
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+      numCells = 16, path, metaCols = Seq("label"))
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    // full probe + filter == exact filtered brute force
+    val got = graft.operators.IvfIndex.search(spark, path, qv, k = 10,
+        nProbe = 16, excludeId = Some(0L), filter = Some(col("label") === 3))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = graft.operators.Similarity.bruteForceTopK(
+        emb.where(col("label") === 3 || col("vec_id") === 0L),
+        "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == brute)
+    // every hit satisfies the predicate, and k is FILLED (pre-filter,
+    // not post-filter of an unfiltered top-k)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(labels(_) == 3) && got.length == 10)
+    // partial probe still returns only predicate-satisfying rows
+    val partial = graft.operators.IvfIndex.search(spark, path, qv, k = 10,
+        nProbe = 4, excludeId = Some(0L), filter = Some(col("label") === 3))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(partial.forall(labels(_) == 3))
+    // the unfiltered index still answers unfiltered queries identically
+    val unfiltered = graft.operators.IvfIndex.search(spark, path, qv, k = 10,
+        nProbe = 16, excludeId = Some(0L))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val bruteAll = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(unfiltered == bruteAll)
+  }
+
   test("SQ8 top-k equals brute force; codes are tight and recall has headroom (sf0.001)") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf001)

@@ -71,7 +71,9 @@ class SqlParitySpec extends SparkSpec {
     // sim12 shares sim1's list_cosine_similarity oracle
     "sim12_sq_topk",
     // t13: len-of-regexp-list (t9's SQL shape)
-    "t13_unigram_encode")
+    "t13_unigram_encode",
+    // sim13: list_cosine_similarity filtered oracle
+    "sim13_filtered_ann")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
