@@ -520,6 +520,56 @@ object Scalar {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** DQ4: REFERENTIAL-INTEGRITY audit across the star schema — one rule
+    * row per foreign key with the child count, ORPHAN count (child keys
+    * with no parent — broken FK) and UNREFERENCED-parent count (parents
+    * no child points at — coverage, not a violation; nonzero here:
+    * idle customers exist, q22's subject). Each rule is two anti joins
+    * (dimension side broadcasts) + counts — one scan per table pair,
+    * no row output, the shape a 100 TB nightly contract check runs. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def rule(name: String, child: DataFrame, ckey: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(ckey).as("k"))
+      val p = parent.select(col(pkey).as("k"))
+      val nChild = c.count()
+      val nOrphan = c.join(broadcast(p), Seq("k"), "left_anti").count()
+      val nUnref = p.join(c, Seq("k"), "left_anti").count()
+      Seq((name, nChild, nOrphan, nUnref))
+        .toDF("fk", "n_child", "n_orphan", "n_unref_parent")
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val cu = Tables.customer(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val na = Tables.nation(spark, dir)
+    rule("customer_nation", cu, "c_nationkey", na, "n_nationkey")
+      .unionByName(rule("lineitem_orders", li, "l_orderkey", o, "o_orderkey"))
+      .unionByName(rule("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"))
+      .unionByName(rule("orders_customer", o, "o_custkey", cu, "c_custkey"))
+      .unionByName(rule("supplier_nation", su, "s_nationkey", na, "n_nationkey"))
+      .orderBy("fk")
+  }
+
+  val refIntegritySql: String = {
+    def rule(name: String, child: String, ckey: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$name' AS fk,
+         |  (SELECT COUNT(*) FROM $child) AS n_child,
+         |  (SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+         |     (SELECT 1 FROM $parent p WHERE p.$pkey = c.$ckey)) AS n_orphan,
+         |  (SELECT COUNT(*) FROM $parent p WHERE NOT EXISTS
+         |     (SELECT 1 FROM $child c WHERE c.$ckey = p.$pkey)) AS n_unref_parent""".stripMargin
+    Seq(
+      rule("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      rule("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rule("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      rule("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rule("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
   /** IVM2: incrementally-maintained equi-JOIN view (sources.JoinView —
     * the join face beside ivm1's aggregate face): three interleaved
     * delta batches on BOTH sides (orders split 3 ways, lineitem 2 ways,
