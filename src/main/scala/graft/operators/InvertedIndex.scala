@@ -50,6 +50,57 @@ object InvertedIndex {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** POSITIONAL index build: postings carry the sorted token-position
+    * list per (term, doc) — the Lucene-style layout phrase and
+    * proximity queries need. Same one-scan build and term-hash-bucket
+    * partitioning as [[build]]; the positions array adds ~tf ints per
+    * posting row (the standard positional-index overhead). */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numBuckets: Int = 256): Unit = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(numBuckets)))
+    postings.write.mode("overwrite").partitionBy("bkt").parquet(path)
+    Files.writeString(Paths.get(path, "_stats.json"),
+      s"""{"buckets":$numBuckets}""",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** PHRASE search over the positional index: documents containing the
+    * terms at CONSECUTIVE positions, ranked by phrase frequency. The
+    * classic posting-intersection: start from the first term's
+    * positions, and for each next term keep positions whose successor
+    * appears in that term's list (`array_intersect` of the shifted
+    * list — one non-nested HOF per step). Each join is posting-list ×
+    * posting-list on doc_id — bounded by the phrase terms' document
+    * frequencies, never corpus-sized — and the scan reads ONLY the
+    * query terms' bucket partitions, like [[search]]. */
+  def phraseSearch(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.length >= 2, "phrase needs at least two terms")
+    val buckets = Files.readString(Paths.get(path, "_stats.json"))
+    val nb = """"buckets":(\d+)""".r.findFirstMatchIn(buckets).get.group(1).toInt
+    val bkts = terms.map(t => termBucket(t, nb)).distinct
+    val scan = spark.read.parquet(path)
+      .where(col("bkt").isin(bkts: _*))
+    def postings(t: String) =
+      scan.where(col("term") === t).select(col("doc_id"), col("positions"))
+    var cur = postings(terms.head).select(col("doc_id"), col("positions").as("pos"))
+    terms.zipWithIndex.drop(1).foreach { case (t, _) =>
+      cur = cur
+        .join(postings(t).withColumnRenamed("positions", "p2"), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(transform(col("pos"), _ + 1), col("p2")).as("pos"))
+        .where(size(col("pos")) > 0)
+    }
+    cur.select(col("doc_id"), size(col("pos")).cast("long").as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Spark's xxhash64 for a string literal, driver-side (seed 42). */
   private def termBucket(term: String, numBuckets: Int): Long = {
     val u = UTF8String.fromString(term)

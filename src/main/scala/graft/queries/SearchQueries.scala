@@ -246,4 +246,33 @@ object SearchQueries {
         round(avg(-log((col("cb") + lit(1.0)) / (col("cu") + col("v")))), 6).as("nll"))
       .orderBy("doc_id")
   }
+
+  /** SEARCH4: PHRASE search ("fast table" at consecutive positions)
+    * served from the POSITIONAL inverted index
+    * (InvertedIndex.buildPositional/phraseSearch — Lucene's posting
+    * layout): the scan prunes to the query terms' hash-bucket
+    * partitions, and matching is posting-list intersection on shifted
+    * positions — bounded by the terms' document frequencies, never a
+    * corpus scan. The oracle recomputes phrase occurrences directly
+    * from the text, so the gate proves index build + intersection
+    * serve exactly what the definition says. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_posidx_")
+      .toString + "/idx"
+    graft.operators.InvertedIndex.buildPositional(
+      Tables.documents(spark, dir), "doc_id", "text", path)
+    graft.operators.InvertedIndex.phraseSearch(spark, path,
+        Seq("fast", "table"), k = 20)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |m AS (SELECT doc_id,
+      |        len(list_filter(range(1, len(w)),
+      |            i -> w[i] = 'fast' AND w[i+1] = 'table')) AS tf
+      |      FROM tok)
+      |SELECT doc_id, CAST(tf AS BIGINT) AS phrase_tf
+      |FROM m WHERE tf > 0
+      |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
 }

@@ -73,7 +73,9 @@ class SqlParitySpec extends SparkSpec {
     // t13: len-of-regexp-list (t9's SQL shape)
     "t13_unigram_encode",
     // sim13: list_cosine_similarity filtered oracle
-    "sim13_filtered_ann")
+    "sim13_filtered_ann",
+    // search4: string_split + list_filter lambda
+    "search4_phrase")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
