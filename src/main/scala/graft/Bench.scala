@@ -68,6 +68,13 @@ object Bench {
             None
           }
         }
+        // Session hygiene: several queries persist() intermediates or
+        // leave a small pinned survivor set (components, canonicalKeep)
+        // — over a 160-query sweep those cached blocks accumulate and
+        // late rows time 2-4× their isolated mins (r5 sweep: w2/w4/q7).
+        // Drop everything cached once a query's reps are done; queries
+        // share nothing, so this only removes dead weight.
+        spark.catalog.clearCache()
         name -> (if (times.size == reps) Some(times.min) else None)
       }
     }

@@ -161,11 +161,19 @@ object Dedup {
       .join(docs.select(col("id")), Seq("id"), "right")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        round(coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) /
-          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast(DoubleType),
-          6).as("boiler_r"))
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
   }
+
+  /** The boilerplate RATIO derived from [[boilerplateStats]]' exact
+    * integer pair. Kept OUT of the oracle-hashed surface on purpose:
+    * `round()` of an exact .5 tie at the last digit differs between
+    * engines (half-up vs half-even), so the cross-engine gate hashes
+    * the integers only and the ratio lives behind this helper + a
+    * spec assertion. */
+  def boilerplateRatio(stats: DataFrame): DataFrame =
+    stats.withColumn("boiler_r",
+      round(col("n_boiler").cast(DoubleType) /
+        greatest(col("n_grams"), lit(1L)).cast(DoubleType), 6))
 
   /** CANONICAL SELECTION: resolve near-dup clusters ([[components]] over
     * a pair list) and keep exactly one representative per cluster — the

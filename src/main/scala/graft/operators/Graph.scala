@@ -111,6 +111,11 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint()
       else { val d = df.localCheckpoint(); d }
+    // unpin only the LOCAL variant's cached blocks: reliable checkpoint
+    // files stay until the checkpoint dir is cleaned, local blocks would
+    // otherwise leak for the session's lifetime (components' discipline)
+    def unpin(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) df.unpersist()
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
       .persist()
@@ -132,15 +137,24 @@ object Graph {
         .where(col("d") >= k)
         .select(col("v").as("id")))
       val n = next.count()
+      // pin() materialized `next` eagerly, so the previous round's
+      // survivor blocks are dead weight now — drop them (nodes, the
+      // round-0 "alive", is still needed for the final join)
+      if (alive ne nodes) unpin(alive)
       // survivors only shrink: equal counts == fixpoint
       converged = n == aliveN
       alive = next
       aliveN = n
     }
+    // release sym + nodes (the big caches): the output joins the final
+    // pinned survivor set against nodes, which lineage recomputes from
+    // `edges` on materialization — only the core-sized `alive` pin
+    // survives this call, matching components' discipline
     val out = nodes
       .join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
     sym.unpersist()
+    nodes.unpersist()
     out
   }
 

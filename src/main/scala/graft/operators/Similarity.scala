@@ -426,7 +426,17 @@ object Similarity {
     * the cost of occasionally co-seeding one cluster. */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, spherical: Boolean = true,
-      init: String = "farthest"): Array[Array[Double]] = {
+      init: String = "farthest"): Array[Array[Double]] =
+    kmeansFit(emb, idCol, vecCol, k, iters, spherical, init)._2
+
+  /** [[kmeans]] that also returns the SEED centroids (post-init,
+    * pre-Lloyd), so callers can assert the monotone-improvement
+    * property (SSE(trained) <= SSE(seeds)) without re-deriving the
+    * init — the sim7 gate's distributed sse_ok flag. */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, spherical: Boolean = true,
+      init: String = "farthest")
+      : (Array[Array[Double]], Array[Array[Double]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
     def unit(c: Array[Double]): Array[Double] = {
@@ -467,6 +477,7 @@ object Similarity {
         }
         cents.toArray
     }
+    val seeds = cs.map(_.clone())
     for (_ <- 1 to iters) {
       val byCell = kmeansAssign(base.drop("id"), "vf", cs)
         .select(col("cell"), col("vf")).as[(Int, Array[Float])]
@@ -477,7 +488,32 @@ object Similarity {
       if (spherical) cs = cs.map(unit)
     }
     base.unpersist()
-    cs
+    (seeds, cs)
+  }
+
+  /** The Lloyd objective Σ_v min_c ‖v − c‖² computed DISTRIBUTED: one
+    * map-side pass (array_min over the codegen'd per-centroid distance
+    * expressions) folded into a scalar sum — k×dim literals ship with
+    * the plan and ONE double comes back, so the sse gate runs at corpus
+    * scale with no driver collect (unlike CrossCheck.kmeansSse, the
+    * bounded-sample spec reference). */
+  def kmeansSseDistributed(emb: DataFrame, idCol: String, vecCol: String,
+      cs: Array[Array[Double]], spherical: Boolean = true): Double = {
+    val prepped =
+      if (!spherical) emb
+      else emb.select(col(idCol),
+        transform(col(vecCol),
+          x => x.cast("double") / sqrt(VectorOps.normSq(col(vecCol))))
+          .cast("array<float>").as(vecCol))
+    val d2s = cs.map { c =>
+      var cn = 0.0
+      c.foreach(x => cn += x * x)
+      col("vnormsq") - lit(2.0) * VectorOps.dot(col("vf"), typedlit(c)) + lit(cn)
+    }
+    prepped.select(col(vecCol).as("vf"), VectorOps.normSq(col(vecCol)).as("vnormsq"))
+      .select(array_min(array(d2s.toIndexedSeq: _*)).as("d"))
+      .agg(sum(col("d")))
+      .head.getDouble(0)
   }
 
   /** Map-side hard assignment to the nearest centroid (1-based cell =
@@ -578,21 +614,20 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
-  /** Deterministic sparse-sign random projection planes (Achlioptas-
-    * style JL embedding): outDim rows of ±1/√outDim, signs from
-    * xxhash64 of the flat (plane, dim) index — no RNG, same planes on
-    * every executor and every run. */
   /** Per-dimension [min, max] quantization range for SCALAR (int8)
     * quantization — ONE pass, 2·dim agg columns, map-side combined (no
-    * explode, no shuffle of vector rows). */
+    * explode, no shuffle of vector rows). Elements cast to double
+    * inside the aggregate so float AND double embedding columns both
+    * work (the loaders schema-sniff; VectorOps is type-tolerant the
+    * same way). */
   private[graft] def sqTrain(emb: DataFrame, vecCol: String,
       dim: Int): (Array[Double], Array[Double]) = {
     val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
-      max(element_at(col(vecCol), i + 1)).as(s"mx$i")))
+      min(element_at(col(vecCol), i + 1).cast(DoubleType)).as(s"mn$i"),
+      max(element_at(col(vecCol), i + 1).cast(DoubleType)).as(s"mx$i")))
     val row = emb.agg(aggs.head, aggs.tail: _*).head
-    val mn = Array.tabulate(dim)(i => row.getAs[Float](s"mn$i").toDouble)
-    val mx = Array.tabulate(dim)(i => row.getAs[Float](s"mx$i").toDouble)
+    val mn = Array.tabulate(dim)(i => row.getAs[Double](s"mn$i"))
+    val mx = Array.tabulate(dim)(i => row.getAs[Double](s"mx$i"))
     (mn, mx)
   }
 
@@ -647,6 +682,10 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic sparse-sign random projection planes (Achlioptas-
+    * style JL embedding): outDim rows of ±1/√outDim, signs from
+    * xxhash64 of the flat (plane, dim) index — no RNG, same planes on
+    * every executor and every run. */
   private[graft] def rpPlanes(inDim: Int, outDim: Int): Array[Array[Double]] = {
     val s = 1.0 / math.sqrt(outDim)
     Array.tabulate(outDim)(j => Array.tabulate(inDim) { i =>

@@ -289,7 +289,11 @@ object DedupQueries {
     * in >= 5 distinct documents are template/chrome text; each document
     * reports the boilerplate share of its gram stream
     * (Dedup.boilerplateStats: one explode, one gram-space df agg, one
-    * 8-byte-key join back — linear, never a self-join). Fully exact. */
+    * 8-byte-key join back — linear, never a self-join). Fully exact.
+    * The hashed surface is the integer pair (n_grams, n_boiler) only:
+    * the derived ratio is engine-rounding-sensitive (half-up vs
+    * half-even on exact .5 ties) and lives in Dedup.boilerplateRatio
+    * + DedupSpec instead. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     Dedup.boilerplateStats(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, minDf = 5)
@@ -306,9 +310,7 @@ object DedupQueries {
       |          SUM(CASE WHEN hot.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
       |        FROM g LEFT JOIN hot ON g.sh = hot.sh GROUP BY g.doc_id)
       |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
-      |  COALESCE(n_boiler, 0) AS n_boiler,
-      |  round(CAST(COALESCE(n_boiler, 0) AS DOUBLE)
-      |        / GREATEST(COALESCE(n_grams, 0), 1), 6) AS boiler_r
+      |  COALESCE(n_boiler, 0) AS n_boiler
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
 

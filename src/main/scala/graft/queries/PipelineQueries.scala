@@ -449,21 +449,31 @@ object PipelineQueries {
     *
     * Calibration is the scale-honest part: CCNet computes its cut
     * points ONCE on a sample, then filters the corpus with constant
-    * thresholds. Here the 5% sample (doc_id % 20 — deterministic, no
-    * RNG) collects to the driver and the thresholds are the sample's
-    * exact 1/3- and 2/3-order STATISTICS — plain values picked from the
-    * sorted sample, no interpolation arithmetic, so DuckDB derives the
-    * bit-identical thresholds from the same sample and the bucket
-    * comparison can never flake on float math. The corpus pass is then
-    * map-side: nll <= thr against two literal doubles.
+    * thresholds. The sample is a fixed COUNT, not a fixed fraction:
+    * the [[CalSampleK]] docs with the smallest (md5("cal:"+doc_id),
+    * doc_id) — deterministic, no RNG, and O(K) driver state at ANY
+    * corpus size (a fraction would collect 5 TB of nll at 100 TB; a
+    * TakeOrdered of K hashes collects K doubles always). The
+    * thresholds are the sample's exact 1/3- and 2/3-order STATISTICS —
+    * plain values picked from the sorted sample, no interpolation
+    * arithmetic, so DuckDB derives the bit-identical thresholds from
+    * the same hash-selected sample and the bucket comparison can never
+    * flake on float math. The corpus pass is then map-side: nll <= thr
+    * against two literal doubles.
     *
     * At 100 TB: the nll scoring joins a broadcast model (lm1's plan),
-    * the sample is fixed-fraction (bounded driver state), and the
-    * bucketing adds zero shuffles to the scoring pass. */
+    * the calibration is a TakeOrdered of K ids + a broadcast semi-join
+    * for their nll (bounded driver state for real), and the bucketing
+    * adds zero shuffles to the scoring pass. */
   def pplFilter(spark: SparkSession, dir: String): DataFrame = {
     val nll = SearchQueries.bigramPpl(spark, dir)
       .select(col("doc_id"), col("nll"))
-    val sample = nll.where(col("doc_id") % 20 === 0)
+    val calIds = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("cal:"), col("doc_id").cast("string"))).as("ch"))
+      .orderBy(col("ch"), col("doc_id")).limit(CalSampleK)
+      .select(col("doc_id"))
+    val sample = nll.join(broadcast(calIds), Seq("doc_id"))
       .select(col("nll")).collect().map(_.getDouble(0)).sorted
     require(sample.nonEmpty, "empty calibration sample")
     val thrHead = sample(math.ceil(sample.length / 3.0).toInt - 1)
@@ -475,8 +485,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Calibration-sample size: 256 docs regardless of corpus size —
+    * order-statistic thresholds from a hash-selected fixed-count
+    * sample (CCNet's "calibrate once on a sample" with O(K) driver
+    * state). */
+  private val CalSampleK = 256
+
   val pplFilterSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
       |        FROM tok, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
       |uni AS (SELECT wd, COUNT(*) AS cu
@@ -486,8 +502,11 @@ object PipelineQueries {
       |nll AS (SELECT doc_id, round(AVG(-ln((cb + 1.0) / (cu + v))), 6) AS nll
       |        FROM big JOIN bc USING (w1, w2) JOIN uni ON big.w1 = uni.wd CROSS JOIN v
       |        GROUP BY doc_id),
-      |samp AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rn FROM nll
-      |         WHERE doc_id % 20 = 0),
+      |cal AS (SELECT doc_id FROM documents
+      |        ORDER BY md5('cal:' || CAST(doc_id AS VARCHAR)), doc_id
+      |        LIMIT $CalSampleK),
+      |samp AS (SELECT nll, row_number() OVER (ORDER BY nll) AS rn
+      |         FROM nll JOIN cal USING (doc_id)),
       |ks AS (SELECT CAST(CEIL(COUNT(*) / 3.0) AS BIGINT) AS k1,
       |              CAST(CEIL(2 * COUNT(*) / 3.0) AS BIGINT) AS k2 FROM samp),
       |thr AS (SELECT

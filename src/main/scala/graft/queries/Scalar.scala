@@ -525,17 +525,34 @@ object Scalar {
     * with no parent — broken FK) and UNREFERENCED-parent count (parents
     * no child points at — coverage, not a violation; nonzero here:
     * idle customers exist, q22's subject). Each rule is two anti joins
-    * (dimension side broadcasts) + counts — one scan per table pair,
-    * no row output, the shape a 100 TB nightly contract check runs. */
+    * + counts — one scan per table pair, no row output, the shape a
+    * 100 TB nightly contract check runs. Only GENUINELY small parents
+    * (nation, supplier — the fixed-cardinality dimensions) carry a
+    * broadcast hint; fact-scale parents (orders, customer grow with SF)
+    * are left to the planner — a forced broadcast there would OOM at
+    * scale, and AQE still picks broadcast when the run-time size
+    * permits (PlanSpec pins that lineitem_orders does NOT force-
+    * broadcast orders). */
+  /** The child-minus-parent anti join with dq4's broadcast policy:
+    * hint only when the parent is a fixed-cardinality dimension.
+    * Package-visible so PlanSpec can pin that a fact-scale parent is
+    * NOT force-broadcast. */
+  private[graft] def orphanJoin(child: DataFrame, ckey: String,
+      parent: DataFrame, pkey: String, smallParent: Boolean): DataFrame = {
+    val c = child.select(col(ckey).as("k"))
+    val p0 = parent.select(col(pkey).as("k"))
+    c.join(if (smallParent) broadcast(p0) else p0, Seq("k"), "left_anti")
+  }
+
   def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def rule(name: String, child: DataFrame, ckey: String,
-        parent: DataFrame, pkey: String): DataFrame = {
+        parent: DataFrame, pkey: String, smallParent: Boolean): DataFrame = {
       val c = child.select(col(ckey).as("k"))
-      val p = parent.select(col(pkey).as("k"))
+      val p0 = parent.select(col(pkey).as("k"))
       val nChild = c.count()
-      val nOrphan = c.join(broadcast(p), Seq("k"), "left_anti").count()
-      val nUnref = p.join(c, Seq("k"), "left_anti").count()
+      val nOrphan = orphanJoin(child, ckey, parent, pkey, smallParent).count()
+      val nUnref = p0.join(c, Seq("k"), "left_anti").count()
       Seq((name, nChild, nOrphan, nUnref))
         .toDF("fk", "n_child", "n_orphan", "n_unref_parent")
     }
@@ -544,13 +561,18 @@ object Scalar {
     val cu = Tables.customer(spark, dir)
     val su = Tables.supplier(spark, dir)
     val na = Tables.nation(spark, dir)
-    rule("customer_nation", cu, "c_nationkey", na, "n_nationkey")
-      .unionByName(rule("lineitem_orders", li, "l_orderkey", o, "o_orderkey"))
-      .unionByName(rule("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"))
-      .unionByName(rule("orders_customer", o, "o_custkey", cu, "c_custkey"))
-      .unionByName(rule("supplier_nation", su, "s_nationkey", na, "n_nationkey"))
+    rule("customer_nation", cu, "c_nationkey", na, "n_nationkey", smallParent = true)
+      .unionByName(rule("lineitem_orders", li, "l_orderkey", o, "o_orderkey",
+        smallParent = false))
+      .unionByName(rule("lineitem_supplier", li, "l_suppkey", su, "s_suppkey",
+        smallParent = true))
+      .unionByName(rule("orders_customer", o, "o_custkey", cu, "c_custkey",
+        smallParent = false))
+      .unionByName(rule("supplier_nation", su, "s_nationkey", na, "n_nationkey",
+        smallParent = true))
       .orderBy("fk")
   }
+
 
   val refIntegritySql: String = {
     def rule(name: String, child: String, ckey: String,

@@ -228,39 +228,41 @@ object SimilarityQueries {
     * argmin assignment, VecCentroid updates (one scan per iteration,
     * driver holds k×dim doubles). Iterative + hash-seeded → not
     * SQL-expressible; the oracle gate emits the SQL-derivable corpus
-    * size plus two TRUE flags:
-    *  - `parity_ok`: the distributed run's cell-size histogram equals
-    *    a sequential driver re-run (CrossCheck.kmeansRef) up to a
-    *    2-vector L1 slack (cross-partition double-sum order can flip
-    *    exactly-equidistant boundary points; nothing else may move);
+    * size plus two TRUE flags, BOTH derived from the distributed path
+    * alone (nothing data-sized ever reaches the driver — the plan here
+    * is the one you'd run at 100 TB):
     *  - `sse_ok`: the Lloyd objective did not increase from the seed
-    *    centroids to the trained ones (monotone-improvement property).
-    * DuckDB asserts both as literal TRUE. */
+    *    centroids to the trained ones (monotone-improvement property),
+    *    both objectives computed by Similarity.kmeansSseDistributed —
+    *    map-side array_min + scalar sum, one double back per pass;
+    *  - `cells_ok`: every one of the k cells is non-empty under the
+    *    trained centroids (k bounded rows to the driver).
+    * The sequential-parity cross-check (distributed centroids == a
+    * same-math driver Lloyd, CrossCheck.kmeansRef) lives in
+    * SimilaritySpec on the bounded sf0.001 corpus — the ml1 precedent:
+    * the gate measures the operator, not the oracle. DuckDB asserts
+    * both flags as literal TRUE. */
   def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val k = 8
-    val cs = graft.operators.Similarity.kmeans(
+    val (seeds, cs) = graft.operators.Similarity.kmeansFit(
       emb, "vec_id", "embedding", k = k, iters = 3)
-    val sizes = graft.operators.Similarity
+    val sseT = graft.operators.Similarity.kmeansSseDistributed(
+      emb, "vec_id", "embedding", cs)
+    val sse0 = graft.operators.Similarity.kmeansSseDistributed(
+      emb, "vec_id", "embedding", seeds)
+    val nonEmpty = graft.operators.Similarity
       .kmeansAssignments(emb, "vec_id", "embedding", cs)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val rows = graft.functions.CrossCheck.collectVectors(emb, "vec_id", "embedding")
-    val (seeds, refCs, refAssign) = graft.functions.CrossCheck.kmeansRef(rows, k, 3)
-    val refSizes = refAssign.groupBy(identity).map { case (c, a) => (c + 1) -> a.length.toLong }
-    val l1 = (1 to k).map(c =>
-      math.abs(sizes.getOrElse(c, 0L) - refSizes.getOrElse(c, 0L))).sum
-    val parityOk = l1 <= 4 // <= 2 boundary vectors moving cells
-    val sseOk = graft.functions.CrossCheck.kmeansSse(rows, cs) <=
-      graft.functions.CrossCheck.kmeansSse(rows, seeds) * (1 + 1e-9)
-    Seq((rows.length.toLong, k.toLong, parityOk, sseOk))
-      .toDF("n_vecs", "k", "parity_ok", "sse_ok")
+      .select(col("cell")).distinct().count()
+    val n = emb.count()
+    Seq((n, k.toLong, sseT <= sse0 * (1 + 1e-9), nonEmpty == k.toLong))
+      .toDF("n_vecs", "k", "sse_ok", "cells_ok")
   }
 
   val kmeansSql: String =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(8 AS BIGINT) AS k,
-      |  TRUE AS parity_ok, TRUE AS sse_ok
+      |  TRUE AS sse_ok, TRUE AS cells_ok
       |FROM embeddings""".stripMargin
 
   /** Exact ≥0.3 cosine truth pairs, persisted ONCE per scale factor and
@@ -272,18 +274,17 @@ object SimilarityQueries {
     * carries a fingerprint of the source table (row count + vec_id sum)
     * and rebuilds itself if the driver regenerates the testdata, so the
     * gate can never compare against a stale truth set. */
-  private def truthPairs(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val emb = Tables.embeddings(spark, dir)
-    // fingerprint from FILE METADATA plus a FOOTER digest, not a data
-    // scan: validating the fixture must not cost a full pass over the
-    // source table — at scale that scan would dwarf the ANN path being
-    // timed. The print keys on (a) the ABSOLUTE source path, so a
-    // basename collision across roots can't alias two corpora; (b)
-    // name/size/mtime per file; (c) an md5 of each file's parquet
-    // FOOTER tail (row counts + column stats live there), so even an
-    // mtime/size-preserving swap (`cp -p`, tar round-trip) of different
-    // data rebuilds the fixture.
+  /** Fingerprint of the embeddings source from FILE METADATA plus a
+    * FOOTER digest, not a data scan: validating a fixture must not cost
+    * a full pass over the source table — at scale that scan would dwarf
+    * the ANN path being timed. The print keys on (a) the ABSOLUTE
+    * source path, so a basename collision across roots can't alias two
+    * corpora; (b) name/size/mtime per file; (c) an md5 of each file's
+    * parquet FOOTER tail (row counts + column stats live there), so
+    * even an mtime/size-preserving swap (`cp -p`, tar round-trip) of
+    * different data rebuilds the fixture. */
+  private def embPrint(dir: String, tag: String): String = {
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "embeddings.parquet").toAbsolutePath.normalize
     val files =
       if (Files.isDirectory(src)) {
@@ -304,25 +305,33 @@ object SimilarityQueries {
         md.digest().map("%02x".format(_)).mkString
       } finally ch.close()
     }
-    val print = files.map(p =>
+    files.map(p =>
         s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}" +
           s":${footerMd5(p)}")
-      .mkString(s"thr=0.3|src=$src|", "|", "")
+      .mkString(s"$tag|src=$src|", "|", "")
+  }
+
+  /** Build-once artifact (truth set, serving index) keyed by the
+    * embeddings fingerprint: rebuilt only when the source data changes,
+    * so the queries that READ it time their own path, never the
+    * oracle's. Built in a temp sibling then RENAMED into place — a
+    * concurrent reader of the fixture dir never sees a half-written
+    * overwrite. Returns the artifact path. */
+  private def cachedArtifact(dir: String, tag: String, name: String)(
+      build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val print = embPrint(dir, tag)
     val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
-    val name = Paths.get(dir).getFileName.toString
-    val data = Paths.get(root, s"truthpairs-$name")
-    val mark = Paths.get(root, s"truthpairs-$name.fingerprint")
+    val sf = Paths.get(dir).getFileName.toString
+    val data = Paths.get(root, s"$name-$sf")
+    val mark = Paths.get(root, s"$name-$sf.fingerprint")
     val fresh = Files.exists(mark) && Files.exists(data) &&
       new String(Files.readAllBytes(mark)) == print
     if (!fresh) {
-      // build in a temp sibling, then RENAME into place: a concurrent
-      // reader of the fixture dir never sees a half-written overwrite
       Files.createDirectories(data.getParent)
       val tmp = data.resolveSibling(
         s"${data.getFileName}.build-${ProcessHandle.current.pid}")
-      Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.3)
-        .select(col("ida"), col("idb"))
-        .write.mode("overwrite").parquet(tmp.toString)
+      build(tmp.toString)
       Files.deleteIfExists(mark) // invalidate before the swap, not after
       if (Files.exists(data)) {
         def rm(p: java.nio.file.Path): Unit = {
@@ -337,8 +346,104 @@ object SimilarityQueries {
       Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
       Files.write(mark, print.getBytes) // marker last: no torn fixture
     }
-    spark.read.parquet(data.toString)
+    data.toString
   }
+
+  private def truthPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cachedArtifact(dir, "thr=0.3", "truthpairs") { tmp =>
+      Similarity.cosinePairs(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("ida"), col("idb"))
+        .write.mode("overwrite").parquet(tmp)
+    })
+
+  /** The serving panel for sim14: fixed query ids, k=10 (10 queries =
+    * 100 truth rows, so one boundary miss moves measured recall by
+    * 0.01 and the 0.9 gate keeps a multi-hit margin under the 0.92+
+    * measured floor). */
+  private val ServePanel: Seq[Long] = (0L to 9L).toSeq
+  private val ServeCells = 16
+
+  /** SIM14: PRUNED-PROBE ANN SERVING from the persisted IVF index — the
+    * row that measures the index doing its JOB. sim6/sim10/sim13 probe
+    * every cell so the exact oracle can hash-gate the build+layout
+    * roundtrip; this query is the other half of the serving story (the
+    * reference's "seek, don't scan" thesis): the index is a build-once
+    * artifact (fingerprint-keyed like the sim2/sim3 truth sets — a
+    * serving system builds once and answers many queries), and each of
+    * the 10 panel queries is answered by [[graft.operators.IvfIndex
+    * .searchAdaptive]] probing only the smallest centroid-ranked cell
+    * prefix whose estimated neighbor-mass share reaches the 0.95
+    * target — strictly fewer than all 16 cell directories (pruned_ok
+    * asserts it for every query; partition pruning reaching the scan is
+    * PlanSpec-pinned). The gate is measured panel recall@10 against the
+    * persisted exact-top-10 truth fixture: >= [[PrunedRecallBound]],
+    * set below the measured floor (see the bound's doc) so the flag
+    * tests "adaptive pruning did not collapse recall", not run noise —
+    * deterministic planes/centroids make it exact at a fixed SF.
+    * This query's timed cost is index probes ONLY: no index build, no
+    * exact scan, no corpus-sized collect. */
+  def prunedAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val idxPath = cachedArtifact(dir, s"ivf=$ServeCells", "ivfidx") { tmp =>
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding",
+        numCells = ServeCells, tmp)
+    }
+    val truthPath = cachedArtifact(dir,
+        s"topk=10|panel=${ServePanel.mkString(",")}", "truthtopk") { tmp =>
+      Similarity.topKBatch(emb, "vec_id", "embedding", ServePanel, k = 10)
+        .select(col("qid"), col("id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val truth = spark.read.parquet(truthPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    // panel query vectors: |panel| rows to the driver, dimension-sized
+    val qvs = emb.where(col("vec_id").isin(ServePanel: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    var hits = 0
+    var allPruned = true
+    ServePanel.foreach { qid =>
+      val qv = qvs(qid)
+      val (cells, _) = graft.operators.IvfIndex.adaptiveProbeCells(
+        idxPath, qv, PrunedRecallTarget, beta = PrunedBeta)
+      allPruned &&= cells.length < ServeCells
+      val got = graft.operators.IvfIndex.searchAdaptive(spark, idxPath, qv,
+          k = 10, recallTarget = PrunedRecallTarget, excludeId = Some(qid),
+          beta = PrunedBeta)
+        .select(col("id")).collect().map(_.getLong(0))
+      hits += got.count(truth(qid).contains)
+    }
+    val recall = hits.toDouble / (10 * ServePanel.size)
+    Seq((emb.count(), ServePanel.size.toLong,
+        recall >= PrunedRecallBound, allPruned))
+      .toDF("n_vecs", "n_queries", "recall_ok", "pruned_ok")
+  }
+
+  /** Adaptive-probe mass-share target for sim14 (see
+    * IvfIndex.searchAdaptive's calibration notes); beta 5 probes one
+    * cell more conservatively than the default 6 — serving rows favor
+    * recall margin over the last probe saved. */
+  private val PrunedRecallTarget = 0.95
+  private val PrunedBeta = 5.0
+
+  /** Measured sim14 panel recall@10 (target 0.95, beta 5, 16 cells,
+    * 10-query panel; tools/Sim14Measure is the harness): 0.92
+    * (sf0.001) / 0.99 (sf0.01) / 0.97 (sf0.1), probing 13.2-14.2 of
+    * 16 cells on average — one easy query probed just 4-5 cells, the
+    * adaptivity a fixed nProbe lacks (isotropic corpus is the worst
+    * case for cell concentration; clustered real embeddings prune far
+    * harder). Gate below the floor; deterministic at a fixed SF. */
+  private val PrunedRecallBound = 0.9
+
+  val prunedAnnSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(${ServePanel.size} AS BIGINT) AS n_queries,
+      |  TRUE AS recall_ok, TRUE AS pruned_ok
+      |FROM embeddings""".stripMargin
 
   /** SIM2: LSH-bucketed ANN pairs — the 100 TB scale path. Recall < 1
     * by construction (bucket collisions only), so the oracle gate is a

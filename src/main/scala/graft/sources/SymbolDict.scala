@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared symbol dictionary across tables — the reference pre-materializes
@@ -16,9 +15,10 @@ import org.apache.spark.sql.functions._
   * sort-merge joins (paid once at write, like the reference's dictionary
   * build).
   *
-  * Scale: the dictionary is dimension-sized (distinct symbols), so the
-  * id-assignment window and the encode/decode broadcast joins are all
-  * bounded by |dict|, never by fact size. Ids are dense, deterministic
+  * Scale: the dictionary is dimension-sized (distinct symbols), and id
+  * assignment is a distributed sort + zipWithIndex (no single-partition
+  * ceiling even at Symbol32 cardinalities); the encode/decode broadcast
+  * joins are bounded by |dict|, never fact size. Ids are dense, deterministic
   * (lexicographic), and STABLE: extending never renumbers existing
   * symbols, so previously-written member tables stay valid.
   */
@@ -30,28 +30,44 @@ class SymbolDictionary(val spark: SparkSession, val path: String) {
   /** The mapping: (sym string, sym_id long), dense from 1. */
   def df: DataFrame = spark.read.parquet(path)
 
+  /** Dense ids starting at `offset + 1` in lexicographic sym order —
+    * a distributed sort + zipWithIndex, NOT a single-partition window:
+    * the sorted RDD stays range-partitioned and zipWithIndex numbers
+    * it with one tiny per-partition-count job, so id assignment scales
+    * with the dictionary instead of funneling it through one task
+    * (same total order as row_number over ORDER BY sym — binary UTF8
+    * comparison both ways — so ids are unchanged). */
+  private def denseIds(syms: DataFrame, offset: Long): DataFrame = {
+    val sp = syms.sparkSession
+    val rows = syms.select(col("sym")).sort("sym").rdd
+      .map(_.getString(0)).zipWithIndex()
+      .map { case (s, i) => org.apache.spark.sql.Row(s, offset + i + 1L) }
+    sp.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sym",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sym_id",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Register symbols from a column; new symbols get ids after the
     * current max, existing ids never change. Idempotent. */
   def extend(data: DataFrame, colName: String): Unit = {
     val incoming = data.select(col(colName).cast("string").as("sym"))
       .where(col("sym").isNotNull).distinct()
-    // dictionary-sized single-partition window — bounded by |dict|
-    val w = Window.orderBy(col("sym"))
     if (!exists) {
       // an empty/all-null first batch must NOT create a zero-row dict:
       // the next extend would read max(sym_id) as null and NPE, leaving
       // the dictionary permanently bricked
       if (incoming.limit(1).count() > 0)
-        incoming.select(col("sym"), row_number().over(w).cast("long").as("sym_id"))
-          .coalesce(1).write.parquet(path)
+        denseIds(incoming, 0L).coalesce(1).write.parquet(path)
     } else {
       val existing = df
       // coalesce: tolerate an empty dict written by an external party
       val maxId = existing.agg(coalesce(max(col("sym_id")), lit(0L)))
         .head.getLong(0)
       val novel = incoming.join(existing.select("sym"), Seq("sym"), "left_anti")
-        .select(col("sym"), (row_number().over(w) + maxId).cast("long").as("sym_id"))
-      if (novel.limit(1).count() > 0) novel.coalesce(1).write.mode("append").parquet(path)
+      if (novel.limit(1).count() > 0)
+        denseIds(novel, maxId).coalesce(1).write.mode("append").parquet(path)
     }
   }
 

@@ -124,6 +124,12 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "ab cd")).toDF("doc_id", "text"), "doc_id", "text", 3, 2)
       .collect()
     assert(tiny.length == 1 && tiny(0).getAs[Long]("n_grams") == 0L)
+    // the derived ratio (kept off the cross-engine hashed surface)
+    val ratios = Dedup.boilerplateRatio(
+        Dedup.boilerplateStats(corp, "doc_id", "text", n = 3, minDf = 3))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("boiler_r")).toMap
+    assert(math.abs(ratios(0L) - 2.0 / 8.0) < 1e-9)
+    assert(ratios(3L) == 0.0)
   }
 
   test("canonicalKeep keeps the best-scored member per cluster; singletons keep themselves") {

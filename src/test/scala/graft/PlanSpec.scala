@@ -270,4 +270,21 @@ class PlanSpec extends SparkSpec {
     val p = executed(graft.operators.Graph.kcore(e, k = 5)).toString
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("dq4: fact-scale FK parents are never force-broadcast; dimensions are") {
+    // lineitem→orders: parent grows with SF — a broadcast HINT here is
+    // an OOM at 100 TB even if AQE would broadcast at this SF. The
+    // logical plan must carry no ResolvedHint.
+    val fact = graft.queries.Scalar.orphanJoin(
+      graft.Tables.lineitem(spark, sf001), "l_orderkey",
+      graft.Tables.orders(spark, sf001), "o_orderkey", smallParent = false)
+    assert(!fact.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      fact.queryExecution.analyzed.toString)
+    // supplier→nation: fixed-cardinality dimension — the hint belongs
+    val dim = graft.queries.Scalar.orphanJoin(
+      graft.Tables.supplier(spark, sf001), "s_nationkey",
+      graft.Tables.nation(spark, sf001), "n_nationkey", smallParent = true)
+    assert(dim.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      dim.queryExecution.analyzed.toString)
+  }
 }

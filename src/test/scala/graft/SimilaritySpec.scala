@@ -525,6 +525,13 @@ class SimilaritySpec extends SparkSpec {
     assert(adapt == fixed)
   }
 
+  test("sim14: pruned-probe serving passes its recall gate AND actually prunes (sf0.001)") {
+    val out = graft.queries.SimilarityQueries.prunedAnn(spark, sf001).head
+    assert(out.getAs[Boolean]("recall_ok"), out.toString)
+    assert(out.getAs[Boolean]("pruned_ok"),
+      "adaptive probe read every cell — the serving row stopped pruning")
+  }
+
   test("IvfIndex int8 quantization: high recall, bounded cosine error, smaller files") {
     import graft.operators.IvfIndex
     val emb = graft.Tables.embeddings(spark, sf001)
@@ -610,6 +617,41 @@ class SimilaritySpec extends SparkSpec {
         assert(math.abs(x - y) < 1e-6, s"centroid $i: $x vs $y")
       }
     }
+  }
+
+  test("kmeans parity + SSE vs CrossCheck reference (sim7's relocated oracle, sf0.001)") {
+    // The sequential cross-check that USED to run inside the registered
+    // sim7 query (an O(N) driver collect — wrong place for it; the ml1
+    // precedent): cell-size histogram of the distributed run equals the
+    // same-math driver Lloyd's up to a 2-vector L1 slack, and both SSE
+    // computations (distributed map-side vs driver replay) agree on the
+    // monotone-improvement property. Bounded here: sf0.001 only.
+    import graft.functions.CrossCheck
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val k = 8
+    val (seeds, cs) = Similarity.kmeansFit(emb, "vec_id", "embedding", k, iters = 3)
+    val sizes = Similarity.kmeansAssignments(emb, "vec_id", "embedding", cs)
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = CrossCheck.collectVectors(emb, "vec_id", "embedding")
+    val (refSeeds, _, refAssign) = CrossCheck.kmeansRef(rows, k, 3)
+    val refSizes = refAssign.groupBy(identity)
+      .map { case (c, a) => (c + 1) -> a.length.toLong }
+    val l1 = (1 to k).map(c =>
+      math.abs(sizes.getOrElse(c, 0L) - refSizes.getOrElse(c, 0L))).sum
+    assert(l1 <= 4, s"cell-size histogram L1 drift $l1")
+    // seed parity: the distributed init picked the same vectors
+    seeds.zip(refSeeds).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-6) }
+    }
+    // SSE: driver replay agrees with the distributed objective, and
+    // training improved it (the registered query asserts the latter
+    // with kmeansSseDistributed alone)
+    val sseT = CrossCheck.kmeansSse(rows, cs)
+    val sse0 = CrossCheck.kmeansSse(rows, seeds)
+    assert(sseT <= sse0 * (1 + 1e-9))
+    val sseDistT = Similarity.kmeansSseDistributed(emb, "vec_id", "embedding", cs)
+    assert(math.abs(sseDistT - sseT) < 1e-6 * math.max(1.0, sseT))
   }
 
   test("VecCentroid matches a driver-side per-label mean (sf0.001)") {
