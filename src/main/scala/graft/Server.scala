@@ -21,6 +21,10 @@ import org.apache.spark.sql.SparkSession
   *     (`src/server/ohlcv.rs:47-65` path scheme incl. the
   *     symbols query param)
   *   - `GET /` — liveness hello
+  *   - `GET /chart/{table}` — the candlestick UI ([[ChartPage]]): a
+  *     dependency-free canvas page over the /symbols + /ohlcv JSON,
+  *     the frontend face the reference ships as `frontend/` (uPlot)
+  *     re-expressed without npm
   *
   * Table names resolve against a root directory (the reference's
   * ZDB_HOME). The shim is deliberately thin: every route lowers to one
@@ -151,6 +155,14 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
                 uplotOhlcv(QueryRunner.run(spark, mapper.writeValueAsString(req))))
             case _ => respond(ex, 400,
               """{"error":"url must be in format /ohlcv/{table}/{from}/{to}"}""")
+          }
+        case ("GET", p) if p.startsWith("/chart/") =>
+          p.stripPrefix("/chart/").split("/") match {
+            case Array(tbl) =>
+              respond(ex, 200, ChartPage.html(safeName(tbl), queryParams(ex)),
+                "text/html")
+            case _ => respond(ex, 400,
+              """{"error":"url must be in format /chart/{table}"}""")
           }
         case _ => respond(ex, 404, """{"error":"Not found"}""")
       }

@@ -30,6 +30,33 @@ object Classifier {
   def score(featCol: Column, w: Array[Double]): Column =
     lit(1.0) / (lit(1.0) + exp(-VectorOps.dot(featCol, typedlit(w))))
 
+  /** HASHED bag-of-words features — the fastText/DCLM trick that makes
+    * a text classifier corpus-scale: no vocabulary table, no dictionary
+    * broadcast — each unigram maps straight to bucket
+    * pmod(xxhash64(token), buckets), so featurization needs zero
+    * pre-passes and the feature width is a constant the operator picks,
+    * not a corpus property. One explode + one doc-keyed partial agg
+    * (`buckets` codegen'd sum(when) columns combine map-side; the
+    * shuffle carries one B-wide row per doc — linear, the pipe10/DSIR
+    * histogram shape). Returns (id, feats: array<float>[buckets]).
+    * Collisions are the standard hashing-trick tradeoff: pick buckets
+    * ≥ a few × active vocab; a colliding pair shares one feature and
+    * the classifier sees their summed count. */
+  def hashedBow(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("t"))
+      .where(col("t") =!= "")
+      .withColumn("b", pmod(xxhash64(col("t")), lit(buckets.toLong)))
+    val sums = (0 until buckets).map(i =>
+      sum(when(col("b") === i, 1.0).otherwise(0.0)).cast("float").as(s"f$i"))
+    toks.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        array((0 until buckets).map(i => col(s"f$i")): _*).as("feats"))
+  }
+
   /** Mean binary cross-entropy of σ(w·x) against a 0/1 label column —
     * one scan, clamped away from log(0). */
   def logLoss(df: DataFrame, featCol: String, labelCol: String,

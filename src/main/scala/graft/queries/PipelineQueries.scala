@@ -556,4 +556,85 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
       |  n_chars
       |FROM s ORDER BY shard, pos""".stripMargin
+
+  /** ML2: fastText/DCLM-style TEXT quality classifier — the
+    * classifier-based filtering stage (DataComp-LM, LLaMA's "looks like
+    * reference text" scorer) over RAW text, where ml1 trains on
+    * embedding features: hashed bag-of-words featurization
+    * (Classifier.hashedBow — no vocabulary table, constant feature
+    * width) into the same one-scan-per-iteration distributed Newton.
+    * Probed on a KNOWN planted linear target — y = (count("fast") >
+    * count("slow")) in the doc's token stream — because the corpus's
+    * `lang`/`source` labels are synthetic-random (no learnable signal;
+    * real quality labels plug into the identical call). The target is
+    * linear in RAW token counts; the hashed features recover it
+    * through bucket [xxhash64] collisions, which is the hashing
+    * trick's real tradeoff — at B=256 the two signal tokens land in
+    * unshared buckets here and measured training accuracy is 1.000 at
+    * all three SFs, loss ratio 0.02 (harness: tools/Ml2Measure).
+    * The gate emits SQL-derivable counts (n_docs, n_pos — DuckDB
+    * recomputes the planted label with list_filter) plus two
+    * distributed-path flags:
+    *  - `loss_ok`: trained log-loss beats the w=0 baseline (ln 2) by
+    *    >50% (strongly separable target);
+    *  - `acc_ok`: training accuracy >= [[TextClfAccBound]].
+    * Every stage is map-side or a doc-keyed partial agg; nothing
+    * data-sized reaches the driver (featurize: one explode + B-wide
+    * agg; train: LogRegStep partials; score: codegen dot). */
+  def textClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (n, nPos, acc, lossT, loss0) = textClfStats(spark, dir)
+    Seq((n, nPos, lossT <= loss0 * 0.5, acc >= TextClfAccBound))
+      .toDF("n_docs", "n_pos", "loss_ok", "acc_ok")
+  }
+
+  /** ml2's raw training stats (n, n_pos, accuracy, trained loss, w=0
+    * loss) — package-visible for the Ml2Measure calibration harness and
+    * PipelineSpec. */
+  private[graft] def textClfStats(spark: SparkSession,
+      dir: String): (Long, Long, Double, Double, Double) = {
+    val docs = Tables.documents(spark, dir)
+    val feats = graft.operators.Classifier.hashedBow(
+      docs, "doc_id", "text", TextClfBuckets)
+    val toks = split(lower(col("text")), " ")
+    val labeled = docs.select(col("doc_id").as("id"),
+      (size(filter(toks, _ === "fast")) > size(filter(toks, _ === "slow")))
+        .cast("int").as("y"))
+    val data = feats.join(labeled, Seq("id"))
+      .select(concat(col("feats"), array(lit(1.0f))).as("x"), col("y"))
+      .persist()
+    val w = graft.operators.Classifier.trainLogRegNewton(data, "x", "y",
+      iters = 5)
+    val acc = data.select(avg(
+        ((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
+          === col("y")).cast("int")))
+      .head.getDouble(0)
+    val lossT = graft.operators.Classifier.logLoss(data, "x", "y", w)
+    val loss0 = graft.operators.Classifier.logLoss(data, "x", "y",
+      new Array[Double](w.length))
+    val n = data.count()
+    val nPos = data.agg(sum(col("y"))).head.getLong(0)
+    data.unpersist()
+    (n, nPos, acc, lossT, loss0)
+  }
+
+  /** Feature width for ml2's hashing trick: ~6× the corpus's active
+    * vocabulary, so the planted target's two signal tokens rarely
+    * share a bucket with a confounder. */
+  private val TextClfBuckets = 256
+
+  /** Measured ml2 training accuracy on the planted token-count target:
+    * see the scaladoc above (harness: tools/Ml2Measure); gated below
+    * the floor so the flag tests "the hashed-feature classifier
+    * learned the target", not boundary-row float noise. */
+  private val TextClfAccBound = 0.9
+
+  val textClassifierSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN
+      |        len(list_filter(string_split(lower(text), ' '), t -> t = 'fast'))
+      |      > len(list_filter(string_split(lower(text), ' '), t -> t = 'slow'))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  TRUE AS loss_ok, TRUE AS acc_ok
+      |FROM documents""".stripMargin
 }

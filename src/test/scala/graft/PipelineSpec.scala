@@ -149,6 +149,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hashedBow: exact bucket counts on a hand corpus; ml2 learns a toy target") {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val corp = Seq(
+      (0L, "fast fast slow table"),
+      (1L, "slow slow table"),
+      (2L, "fast table table")
+    ).toDF("doc_id", "text")
+    val B = 16
+    val feats = graft.operators.Classifier.hashedBow(corp, "doc_id", "text", B)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Float](1)).toMap
+    // bucket of each token, computed with the same hash the operator uses
+    val bOf = Seq("fast", "slow", "table").map { t =>
+      t -> spark.range(1).select(pmod(xxhash64(lit(t)), lit(B.toLong)))
+        .head.getLong(0).toInt
+    }.toMap
+    // exact counts (tokens may collide into a shared bucket — sum then)
+    def expected(counts: Map[String, Int]): Seq[Float] = {
+      val v = new Array[Float](B)
+      counts.foreach { case (t, c) => v(bOf(t)) += c.toFloat }
+      v.toSeq
+    }
+    assert(feats(0L) == expected(Map("fast" -> 2, "slow" -> 1, "table" -> 1)))
+    assert(feats(1L) == expected(Map("slow" -> 2, "table" -> 1)))
+    assert(feats(2L) == expected(Map("fast" -> 1, "table" -> 2)))
+    // every feature vector sums to the doc's token count
+    assert(feats(0L).sum == 4f && feats(1L).sum == 3f && feats(2L).sum == 3f)
+    // end to end on the real corpus: the planted linear target is
+    // learnable from hashed features (registered ml2's acc gate, plus
+    // the loss-descent property, checked at the bounded sf0.001)
+    val (n, nPos, acc, lossT, loss0) =
+      PipelineQueries.textClfStats(spark, sf001)
+    assert(n > 0 && nPos > 0 && nPos < n, s"degenerate target: $nPos/$n")
+    assert(lossT < loss0 * 0.5, s"loss did not descend: $lossT vs $loss0")
+    assert(acc >= 0.9, s"accuracy $acc below gate")
+  }
+
   test("dq3 outliers: planted spike is flagged, clean series is not") {
     import org.apache.spark.sql.functions._
     val ev = (Seq.tabulate(99)(i => ("a", 10.0 + (i % 10))) :+ ("a", 10000.0))

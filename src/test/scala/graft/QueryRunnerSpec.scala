@@ -243,6 +243,19 @@ class QueryRunnerSpec extends SparkSpec {
       // dot-segment table names must not escape the root dir
       val (tc, tb) = get("/symbols/%2e%2e/sym")
       assert(tc == 400 && tb.contains("invalid table name"), s"$tc $tb")
+      // GET /chart/{table} — the candlestick UI page: real HTML whose
+      // JS drives exactly the two endpoints golden-tested above (the
+      // rendering itself is a browser concern; the contract here is
+      // that the page ships, targets this table, and calls the
+      // /symbols + /ohlcv routes with the passthrough params)
+      val (cc, cb) = get(s"/chart/$name?col=sym&price=v&size=v")
+      assert(cc == 200 && cb.startsWith("<!DOCTYPE html>"), s"$cc")
+      assert(cb.contains(s"""const TABLE = "$name""""), "table not bound")
+      assert(cb.contains("/symbols/") && cb.contains("/ohlcv/"), "endpoints missing")
+      assert(cb.contains("col=sym") && cb.contains("price=v"), "params not forwarded")
+      assert(cb.contains("<canvas"), "no canvas")
+      val (cc2, _) = get("/chart/%2e%2e")
+      assert(cc2 == 400, "chart route must reject dot-segment tables")
     } finally server.stop()
   }
 }
