@@ -126,6 +126,59 @@ object Dedup {
         coalesce(col("dup_token_mass"), lit(0L)).as("dup_token_mass"))
   }
 
+  /** The REMOVAL half of ExactSubstr dedup — [[dupSpans]] detects,
+    * this REWRITES the corpus the way Lee et al. 2021 actually ship it:
+    * every cross-document duplicated K-token window keeps its
+    * FIRST-OWNER copy (the smallest doc id containing the window —
+    * deterministic, engine-replayable attribution) and is stripped from
+    * every other document; a document's surviving tokens re-join into
+    * the cleaned text. One copy of every span survives corpus-wide, so
+    * no verbatim region trains twice, and no document loses ALL copies.
+    *
+    * Scale shape: the same linear machinery as dupSpans — one window
+    * explode, a gram-space agg now carrying (df, min-id owner), a
+    * join-back on the 8-byte hash, a ×K position explode of only the
+    * REMOVED windows, and a per-doc mask agg. The final rebuild filters
+    * each doc's token array against its sorted removal mask — per-doc
+    * O(len · |mask|) inside one map-side HOF, bounded by document
+    * length (pretraining docs are chunk-bounded; pipe9 is the chunker).
+    *
+    * Returns (id, n_tokens, n_removed, text_clean). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val w = split(lower(col(textCol)), " ")
+    val toks = df.select(col(idCol).as("id"), w.as("w"),
+      size(w).cast(LongType).as("n_tokens"))
+    val wins = toks.where(size(col("w")) >= k)
+      .withColumn("s", explode(sequence(lit(1), size(col("w")) - (k - 1))))
+      .select(col("id"), col("s"),
+        xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(col("w"), col("s") + j)): _*)).as("gh"))
+    // gram-space: duplicated grams with their first owner
+    val owners = wins.groupBy(col("gh"))
+      .agg(count_distinct(col("id")).as("df"), min(col("id")).as("owner"))
+      .where(col("df") >= minDocs)
+      .select(col("gh"), col("owner"))
+    // windows REMOVED: duplicated gram in a non-owner doc -> its K
+    // covered positions; distinct mask per doc
+    val mask = wins.join(owners, Seq("gh"))
+      .where(col("id") =!= col("owner"))
+      .select(col("id"),
+        explode(sequence(col("s"), col("s") + (k - 1))).as("t"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("t"))).as("mask"))
+    toks.join(mask, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(size(col("mask")), lit(0)).cast(LongType).as("n_removed"),
+        concat_ws(" ",
+          filter(zip_with(col("w"),
+              sequence(lit(1), size(col("w"))),
+              (tok, pos) => struct(tok.as("tok"), pos.as("pos"))),
+            p => coalesce(
+              !array_contains(col("mask"), p.getField("pos")), lit(true)))
+            .getField("tok")).as("text_clean"))
+  }
+
   /** Cross-document BOILERPLATE profiling (the corpus-level half of the
     * C4/RefinedWeb repetition filters, which t7 covers within-document):
     * a word n-gram is boilerplate when it appears in >= `minDf` distinct
@@ -140,7 +193,9 @@ object Dedup {
     * corpus token count; a hot gram costs its row count (no self-join
     * fan-out, same argument as [[dupSpans]]).
     *
-    * Returns (id, n_grams, n_boiler, boiler_r). */
+    * Returns (id, n_grams, n_boiler) — integers only; the derived
+    * ratio lives in [[boilerplateRatio]], off the cross-engine-hashed
+    * surface. */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDf: Int = 5): DataFrame = {
     val w = split(lower(col(textCol)), " ")

@@ -285,6 +285,34 @@ object DedupQueries {
       |  CAST(COALESCE(m.dup_token_mass, 0) AS BIGINT) AS dup_token_mass
       |FROM tok t LEFT JOIN mass m USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** D13: ExactSubstr span REMOVAL (Lee et al. 2021's actual rewrite,
+    * where d11 only measures): every duplicated 8-token window keeps
+    * its first-owner copy (smallest doc_id) and is stripped elsewhere;
+    * cleaned text re-joined from the surviving tokens. The oracle
+    * replays ownership and the indexed-lambda rebuild on raw gram
+    * strings, so the full rewritten corpus text is hash-gated. */
+  def spanRemove(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val spanRemoveSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |wins AS (SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS g
+      |         FROM tok, UNNEST(range(1, len(w) - 6)) AS u(i)),
+      |own AS (SELECT g, MIN(doc_id) AS owner
+      |        FROM (SELECT DISTINCT doc_id, g FROM wins)
+      |        GROUP BY g HAVING COUNT(*) >= 2),
+      |rem AS (SELECT DISTINCT w.doc_id, t.p
+      |        FROM wins w JOIN own o ON w.g = o.g AND w.doc_id <> o.owner,
+      |             UNNEST(range(w.s, w.s + 8)) AS t(p)),
+      |msk AS (SELECT doc_id, list(p ORDER BY p) AS mask FROM rem GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(len(mask), 0) AS BIGINT) AS n_removed,
+      |  COALESCE(array_to_string(list_filter(w,
+      |    (x, i) -> NOT list_contains(COALESCE(mask, []), i)), ' '), '') AS text_clean
+      |FROM tok t LEFT JOIN msk USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** T11: cross-document BOILERPLATE fraction — word-3-grams appearing
     * in >= 5 distinct documents are template/chrome text; each document
     * reports the boilerplate share of its gram stream

@@ -132,6 +132,32 @@ class DedupSpec extends SparkSpec {
     assert(ratios(3L) == 0.0)
   }
 
+  test("removeDupSpans: first owner keeps the span, later docs lose exactly its tokens") {
+    // k=4; docs 0 and 2 share the window "a b c d"; doc 1 is clean
+    val corp = Seq(
+      (0L, "a b c d tail0 tail1"),
+      (1L, "clean words only here"),
+      (2L, "head0 a b c d tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corp, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(out(0L) == ((6L, 0L, "a b c d tail0 tail1"))) // owner keeps
+    assert(out(1L) == ((4L, 0L, "clean words only here")))
+    assert(out(2L) == ((6L, 4L, "head0 tail2"))) // span stripped, rest joined
+    // overlapping duplicated windows merge into one mask (no double count)
+    val corp2 = Seq(
+      (0L, "x y z w v u"),
+      (5L, "pre x y z w v u post") // 3 overlapping dup windows cover 6 tokens
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.removeDupSpans(corp2, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))).toMap
+    assert(out2(0L) == ((0L, "x y z w v u")))
+    assert(out2(5L) == ((6L, "pre post")))
+  }
+
   test("canonicalKeep keeps the best-scored member per cluster; singletons keep themselves") {
     val pairs = Seq((0L, 1L), (1L, 4L)).toDF("ida", "idb") // chain {0,1,4}
     val scored = Seq(

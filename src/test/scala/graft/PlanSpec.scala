@@ -180,6 +180,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("d13: span removal stays linear — hash-keyed joins, no nested loop, no cartesian") {
+    val p = executed(graft.queries.DedupQueries.spanRemove(spark, sf001))
+    val plan = p.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // ownership is a gram-space agg with map-side combine
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+  }
+
   test("ANN candidate joins carry ids+signatures, never the dim-width vectors") {
     // the replicated LSH bucket self-join must not ship the 64-double
     // vector arrays through its exchange — candidates join the vectors

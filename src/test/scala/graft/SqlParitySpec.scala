@@ -75,7 +75,11 @@ class SqlParitySpec extends SparkSpec {
     // sim13: list_cosine_similarity filtered oracle
     "sim13_filtered_ann",
     // search4: string_split + list_filter lambda
-    "search4_phrase")
+    "search4_phrase",
+    // round-6: d13 string_split + list(ORDER BY) + indexed list_filter
+    // lambda; ml2 string_split + list_filter (sim14's SQL is ANSI,
+    // stays in)
+    "d13_span_remove", "ml2_text_classifier")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
