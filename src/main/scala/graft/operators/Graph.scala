@@ -146,15 +146,20 @@ object Graph {
       alive = next
       aliveN = n
     }
-    // release sym + nodes (the big caches): the output joins the final
-    // pinned survivor set against nodes, which lineage recomputes from
-    // `edges` on materialization — only the core-sized `alive` pin
-    // survives this call, matching components' discipline
+    // materialize the NODE-sized output, then release every loop cache
+    // (sym — edge-sized — plus nodes and the final survivor pin): only
+    // the output's own cache survives this call, the same node-sized
+    // residue components leaves in its returned labeling. Recomputing
+    // nodes from edges instead would re-scan the edge list on every
+    // downstream action (measured 1.25× on g3).
     val out = nodes
       .join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
+      .persist()
+    out.count()
     sym.unpersist()
     nodes.unpersist()
+    if (alive ne nodes) unpin(alive)
     out
   }
 
