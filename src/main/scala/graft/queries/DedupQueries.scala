@@ -285,6 +285,49 @@ object DedupQueries {
       |  CAST(COALESCE(m.dup_token_mass, 0) AS BIGINT) AS dup_token_mass
       |FROM tok t LEFT JOIN mass m USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** D14: CROSS-SOURCE DUPLICATION MATRIX — which sources copy from
+    * which: every exact near-dup pair (d4's >= 0.8 word-3-gram Jaccard
+    * inverted-index path, identical machinery) attributed to the
+    * UNORDERED pair of its documents' sources. The diagonal is
+    * within-source redundancy; off-diagonal mass tells a corpus build
+    * where cross-source dedup (and which keep-priority) actually
+    * matters before picking per-source policy. Pair mining is the d4
+    * plan; attribution adds two id-keyed joins against the (doc_id,
+    * source) projection and an output-sized group — nothing new
+    * shuffles at corpus scale. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3),
+      thrNum = 4, thrDen = 5, maxDocFreq = 500)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), Seq("ida"))
+      .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), Seq("idb"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |       FROM tok, UNNEST(range(1, len(w) - 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS ninter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT ida, idb FROM ov
+      |       JOIN sizes na ON ida = na.doc_id JOIN sizes nb ON idb = nb.doc_id
+      |       WHERE ninter * 5 >= (na.n + nb.n - ninter) * 4)
+      |SELECT LEAST(da.source, db.source) AS src_a,
+      |  GREATEST(da.source, db.source) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pr JOIN documents da ON pr.ida = da.doc_id
+      |        JOIN documents db ON pr.idb = db.doc_id
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   /** D13: ExactSubstr span REMOVAL (Lee et al. 2021's actual rewrite,
     * where d11 only measures): every duplicated 8-token window keeps
     * its first-owner copy (smallest doc_id) and is stripped elsewhere;

@@ -302,4 +302,53 @@ object TextQueries {
   val fingerprintSql: String =
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T14: PER-SOURCE LEXICAL PROFILE — the corpus-health report a
+    * multi-source mix is tuned against: vocabulary size (distinct
+    * types), token volume, hapax count (frequency-1 types — the Zipf
+    * tail; collapsing hapax share flags boilerplate/templated sources),
+    * and top-10 type mass (head concentration — the Zipf head; a
+    * too-heavy head flags chrome/navigation text). All INTEGER outputs
+    * by construction, so the cross-engine gate is exact with no float
+    * rounding surface at all (the t11 lesson, applied at design time).
+    *
+    * Scale shape: one explode + a map-side-combined (source, term)
+    * count — the shuffle carries term-frequency rows (vocab-sized per
+    * source, never corpus-row-sized); the ranking window partitions by
+    * source over those same vocab-sized rows. Linear in token count. */
+  def lexicalStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+    val topMass = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("f").desc, col("t"))))
+      .where(col("rk") <= 10)
+      .groupBy(col("source")).agg(sum(col("f")).as("top10_mass"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .join(topMass, Seq("source"))
+      .orderBy("source")
+  }
+
+  val lexicalStatsSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT source, t, COUNT(*) AS f FROM tok WHERE t <> ''
+      |       GROUP BY 1, 2),
+      |top AS (SELECT source, SUM(f) AS top10_mass FROM (
+      |          SELECT source, f,
+      |            row_number() OVER (PARTITION BY source
+      |                               ORDER BY f DESC, t) AS rk
+      |          FROM tf) WHERE rk <= 10 GROUP BY source)
+      |SELECT tf.source, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(ANY_VALUE(top.top10_mass) AS BIGINT) AS top10_mass
+      |FROM tf JOIN top ON tf.source = top.source
+      |GROUP BY tf.source ORDER BY tf.source""".stripMargin
 }

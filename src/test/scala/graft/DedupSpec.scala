@@ -158,6 +158,20 @@ class DedupSpec extends SparkSpec {
     assert(out2(5L) == ((6L, "pre post")))
   }
 
+  test("d14: source matrix partitions d4's pair set, unordered keys normalized (sf0.001)") {
+    val matrix = graft.queries.DedupQueries.sourceOverlap(spark, sf001).collect()
+    val total = matrix.map(_.getAs[Long]("n_pairs")).sum
+    val d4 = graft.queries.DedupQueries.ngramJaccard(spark, sf001).count()
+    assert(total == d4, s"matrix mass $total != pair count $d4")
+    matrix.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"),
+        "unordered pair not normalized")
+    }
+    // keys are unique (one row per unordered source pair)
+    val keys = matrix.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("canonicalKeep keeps the best-scored member per cluster; singletons keep themselves") {
     val pairs = Seq((0L, 1L), (1L, 4L)).toDF("ida", "idb") // chain {0,1,4}
     val scored = Seq(

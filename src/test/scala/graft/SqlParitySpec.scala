@@ -77,9 +77,10 @@ class SqlParitySpec extends SparkSpec {
     // search4: string_split + list_filter lambda
     "search4_phrase",
     // round-6: d13 string_split + list(ORDER BY) + indexed list_filter
-    // lambda; ml2 string_split + list_filter (sim14's SQL is ANSI,
-    // stays in)
-    "d13_span_remove", "ml2_text_classifier")
+    // lambda; ml2 string_split + list_filter; d14/t14 string_split +
+    // unnest (sim14's SQL is ANSI, stays in)
+    "d13_span_remove", "ml2_text_classifier", "d14_source_overlap",
+    "t14_lexical_stats")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)

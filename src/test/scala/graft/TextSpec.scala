@@ -190,4 +190,22 @@ class TextSpec extends SparkSpec {
       assert(n < words.map(_.length).sum)
     }
   }
+
+  test("t14: per-source lexical profile matches a driver-side replay (sf0.001)") {
+    val got = graft.queries.TextQueries.lexicalStats(spark, sf001)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("top10_mass")))).toMap
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val tf = rows.flatMap(_._2.toLowerCase.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+      val top10 = tf.toSeq.sortBy { case (t, f) => (-f, t) }.take(10).map(_._2).sum
+      src -> ((tf.size.toLong, tf.values.sum, tf.count(_._2 == 1L).toLong, top10))
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (src, v) => assert(v == expect(src), s"source $src") }
+  }
 }
