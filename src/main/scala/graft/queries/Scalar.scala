@@ -454,6 +454,37 @@ object Scalar {
       |WHERE NOT (event_type = 'error' AND value > 50.0)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** DEL2: right-to-be-forgotten by KEY LIST — the deletion request as
+    * it actually arrives (a table of user ids, not a predicate):
+    * ZTable.deleteMatching anti-joins the key set through the same
+    * copy-on-write machinery as del1 (probe semi-join finds touched
+    * partitions; only those rewrite, once, ts-sorted; two-rename swap +
+    * recovery). Key list here = every user with user_id % 7 == 3, so
+    * the oracle is the complement aggregate. */
+  def forgetUsers(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_del2_").toString
+    deleteRecursively(Paths.get(path))
+    val t = ZTable.create(spark, path,
+      ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day, strictOrder = false))
+    t.append(Tables.events(spark, dir))
+    val keys = Tables.events(spark, dir)
+      .where(col("user_id") % 7 === 3)
+      .select(col("user_id")).distinct()
+    t.deleteMatching(keys, "user_id")
+    t.df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val forgetUsersSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id % 7 <> 3
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** UP1: MERGE upsert round-trip — append events to a ZTable, merge a
     * delta that UPDATES every user_id<50 row (value doubled, same
     * event_id) and INSERTS shifted-key copies of the user_id∈[50,60)

@@ -438,6 +438,54 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     deleted.get
   }
 
+  /** Copy-on-write deletion by KEY LIST — the GDPR/right-to-be-
+    * forgotten request as it actually arrives: "remove every row for
+    * THESE ids", where the ids come from another table/query, not a
+    * predicate. [[deleteWhere]]'s machinery with the probe and rewrite
+    * swapped to joins: the probe is a left_semi against the distinct
+    * key set (planner picks broadcast for the typical bounded request
+    * list, shuffled-hash beyond it — no forced hint, the dq4 lesson),
+    * the rewrite a left_anti; ONLY partitions holding a matching key
+    * rewrite, once, ts-sorted. The key projection is persisted for the
+    * duration (one probe + up to one rewrite per touched partition
+    * re-read it) and released before returning. Returns rows deleted. */
+  def deleteMatching(keys: org.apache.spark.sql.DataFrame,
+      keyCol: String): Long = mutate {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return 0L
+    recoverSwaps()
+    val parts = lsDir(root).filter(d => Files.isDirectory(d) &&
+      d.getFileName.toString.startsWith(partCol + "="))
+    if (parts.isEmpty) return 0L
+    val k = keys.select(col(keyCol)).distinct().persist()
+    try {
+      val hitsByPart: Map[String, Long] = spark.read.parquet(path)
+        .join(k, Seq(keyCol), "left_semi")
+        .groupBy(col(partCol).cast("string").as("p__"))
+        .count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val jobs = parts
+        .filter(d => hitsByPart.contains(
+          d.getFileName.toString.stripPrefix(partCol + "=")))
+        .map { dir => Future {
+          val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
+          val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
+          spark.read.parquet(dir.toString)
+            .join(k, Seq(keyCol), "left_anti")
+            .sortWithinPartitions(col(spec.tsCol))
+            .write.mode("overwrite").parquet(tmp.toString)
+          swapIn(dir, tmp)
+          deleted.addAndGet(hits)
+        }}
+      Await.result(Future.sequence(jobs), Duration.Inf)
+      deleted.get
+    } finally k.unpersist()
+  }
+
   /** MERGE (copy-on-write upsert): every table row whose key matches a
     * source row is replaced by the source version; source rows with no
     * current match are inserted. The other half of the mutation story

@@ -195,6 +195,39 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 3)
   }
 
+  test("deleteMatching removes key-list rows, rewrites only affected partitions") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (ts("2024-01-01 10:00:00"), "A", 1.0),
+      (ts("2024-01-01 11:00:00"), "B", 2.0),
+      (ts("2024-01-02 10:00:00"), "A", 3.0),
+      (ts("2024-01-03 10:00:00"), "C", 4.0)).toDF("ts", "sym", "v"))
+    def fileNames(day: String): Set[String] = {
+      val s = Files.list(Paths.get(path, s"p_date=$day"))
+      try {
+        val l = scala.collection.mutable.Set[String]()
+        s.forEach(p => if (p.toString.endsWith(".parquet"))
+          l += p.getFileName.toString)
+        l.toSet
+      } finally s.close()
+    }
+    val day3Before = fileNames("2024-01-03")
+    // key list hits sym A (days 1 and 2) but not C (day 3)
+    val keys = Seq("A", "ZZZ").toDF("sym")
+    assert(t.deleteMatching(keys, "sym") == 2L)
+    assert(t.df.count() == 2)
+    assert(t.df.where(col("sym") === "A").count() == 0)
+    // surviving rows keep full schema + values
+    assert(t.df.orderBy("ts").collect().map(_.getDouble(2)).toSeq == Seq(2.0, 4.0))
+    // the keyless partition was never rewritten
+    assert(fileNames("2024-01-03") == day3Before)
+    // empty / no-match key list is a no-op
+    assert(t.deleteMatching(Seq.empty[String].toDF("sym"), "sym") == 0L)
+    assert(t.df.count() == 2)
+  }
+
   test("merge replaces matched keys, inserts new ones, rewrites only affected partitions") {
     import org.apache.spark.sql.functions._
     val path = tmp()
