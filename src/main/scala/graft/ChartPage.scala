@@ -23,20 +23,40 @@ package graft
 object ChartPage {
 
   /** The page HTML for one table. `col`/`price`/`size`/`width` query
-    * params forward to the /ohlcv fetch so encoded tables work too. */
+    * params forward to the /ohlcv fetch so encoded tables work too.
+    *
+    * Injection posture: everything interpolated into the page is either
+    * identifier-validated (`symCol` — the only param that lands in a
+    * URL path literal) or escaped for BOTH its JS-string and HTML
+    * contexts (`table` — `<`/`>`/quotes/backslash to \\uXXXX, which
+    * also kills `</script>` breakout; the title uses HTML entities).
+    * The passthrough params are URL-encoded, so only [A-Za-z0-9*_.-%+]
+    * reach the page. */
   def html(table: String, params: Map[String, String]): String = {
     val passthrough = Seq("col", "price", "size", "seq", "width")
       .flatMap(k => params.get(k).map(v =>
         s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}"))
       .mkString("&")
     val symCol = params.getOrElse("col", "sym")
-    // JSON-escape the table name into the JS literal
-    val tq = table.replace("\\", "\\\\").replace("\"", "\\\"")
+    require(symCol.matches("[A-Za-z0-9_]+"),
+      s"invalid column name '$symCol'")
+    // JS-string escape via unicode escapes: neutral in a quoted JS
+    // literal AND inert to the HTML parser (no </script> breakout)
+    def js(s: String): String = s.flatMap {
+      case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
+      case c => f"\\u${c.toInt}%04x"
+    }
+    def htmlEsc(s: String): String = s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+    val tq = js(table)
+    val titleTable = htmlEsc(table)
     s"""<!DOCTYPE html>
 <html>
 <head>
 <meta charset="utf-8">
-<title>graft &mdash; $table</title>
+<title>graft &mdash; $titleTable</title>
 <style>
   body { font: 13px sans-serif; margin: 12px; background: #fafafa; }
   #bar { margin-bottom: 8px; }
@@ -84,7 +104,7 @@ function priceToY(p) {
 function draw(hover) {
   const W = cv.width, H = cv.height;
   ctx.clearRect(0, 0, W, H);
-  if (!bars || bars.t.length === 0) return;
+  if (!bars || bars.t.length === 0) { geom = null; return; }
   const n = bars.t.length;
   const padL = 64, padR = 10, padTop = 10, padBot = 24, volH = H * 0.2;
   const priceH = H - padTop - padBot - volH - 8;

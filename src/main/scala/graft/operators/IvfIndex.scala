@@ -176,8 +176,12 @@ object IvfIndex {
     scanCells(spark, path, probed, queryVec, qnorm, k, excludeId)
   }
 
-  private def scanCells(spark: SparkSession, path: String, probed: Array[Long],
-      queryVec: Array[Double], qnorm: Double, k: Int,
+  /** The probe-execution half of [[search]]/[[searchAdaptive]]:
+    * scan exactly `probed` cell directories, rank by cosine, top-k.
+    * Package-visible so a caller that already ranked cells (e.g. to
+    * report the probe count) doesn't pay the centroid ranking twice. */
+  private[graft] def scanCells(spark: SparkSession, path: String,
+      probed: Array[Long], queryVec: Array[Double], qnorm: Double, k: Int,
       excludeId: Option[Long], filter: Option[Column] = None): DataFrame = {
     val probedScan = spark.read.parquet(path)
       .where(col("cell").isin(probed.toIndexedSeq: _*))

@@ -445,12 +445,7 @@ object Similarity {
       val s = math.sqrt(n)
       if (s > 0) c.map(_ / s) else c
     }
-    val prepped =
-      if (!spherical) emb
-      else emb.select(col(idCol),
-        transform(col(vecCol),
-          x => x.cast("double") / sqrt(VectorOps.normSq(col(vecCol))))
-          .cast("array<float>").as(vecCol))
+    val prepped = unitPrep(emb, idCol, vecCol, spherical)
     // reused k init rounds + iters times — cache instead of rescanning
     val base = prepped.select(col(idCol).as("id"), col(vecCol).as("vf"),
         VectorOps.normSq(col(vecCol)).as("vnormsq"))
@@ -491,6 +486,22 @@ object Similarity {
     (seeds, cs)
   }
 
+  /** Spherical prep shared by [[kmeansFit]]/[[kmeansSseDistributed]]:
+    * unit-normalize through Float (so distributed and driver-reference
+    * arithmetic agree bit-for-bit). The norm is HOISTED into its own
+    * projection column — referencing normSq inside the transform lambda
+    * would re-evaluate the full dot product per ELEMENT (O(dim²) per
+    * row); hoisted, it's one evaluation per row, same float math. */
+  private def unitPrep(emb: DataFrame, idCol: String, vecCol: String,
+      spherical: Boolean): DataFrame =
+    if (!spherical) emb
+    else emb
+      .select(col(idCol), col(vecCol),
+        sqrt(VectorOps.normSq(col(vecCol))).as("nrm__"))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double") / col("nrm__"))
+          .cast("array<float>").as(vecCol))
+
   /** The Lloyd objective Σ_v min_c ‖v − c‖² computed DISTRIBUTED: one
     * map-side pass (array_min over the codegen'd per-centroid distance
     * expressions) folded into a scalar sum — k×dim literals ship with
@@ -499,12 +510,7 @@ object Similarity {
     * bounded-sample spec reference). */
   def kmeansSseDistributed(emb: DataFrame, idCol: String, vecCol: String,
       cs: Array[Array[Double]], spherical: Boolean = true): Double = {
-    val prepped =
-      if (!spherical) emb
-      else emb.select(col(idCol),
-        transform(col(vecCol),
-          x => x.cast("double") / sqrt(VectorOps.normSq(col(vecCol))))
-          .cast("array<float>").as(vecCol))
+    val prepped = unitPrep(emb, idCol, vecCol, spherical)
     val d2s = cs.map { c =>
       var cn = 0.0
       c.foreach(x => cn += x * x)

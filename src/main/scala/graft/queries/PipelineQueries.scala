@@ -629,12 +629,19 @@ object PipelineQueries {
     * learned the target", not boundary-row float noise. */
   private val TextClfAccBound = 0.9
 
+  /** The corpus ml2 trains on is "documents with >= 1 non-empty
+    * token" on BOTH sides: hashedBow's explode produces no feature row
+    * for a token-less doc (Spark side drops it via the join), so the
+    * oracle filters identically — the counts stay aligned even on a
+    * corpus with empty/whitespace-only text. */
   val textClassifierSql: String =
-    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    """WITH d AS (SELECT text FROM documents WHERE
+      |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) > 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CASE WHEN
       |        len(list_filter(string_split(lower(text), ' '), t -> t = 'fast'))
       |      > len(list_filter(string_split(lower(text), ' '), t -> t = 'slow'))
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
       |  TRUE AS loss_ok, TRUE AS acc_ok
-      |FROM documents""".stripMargin
+      |FROM d""".stripMargin
 }

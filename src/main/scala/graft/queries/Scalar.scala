@@ -478,11 +478,14 @@ object Scalar {
       .orderBy("event_type")
   }
 
+  /** NULL-safe complement: deleteMatching's left_anti KEEPS a NULL-key
+    * row (no key can equal NULL), so the oracle keeps it too — plain
+    * `user_id % 7 <> 3` would silently drop NULLs and diverge. */
   val forgetUsersSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |WHERE user_id % 7 <> 3
+      |WHERE user_id % 7 <> 3 OR user_id IS NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** UP1: MERGE upsert round-trip — append events to a ZTable, merge a

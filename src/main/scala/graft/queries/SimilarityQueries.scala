@@ -408,12 +408,13 @@ object SimilarityQueries {
     var allPruned = true
     ServePanel.foreach { qid =>
       val qv = qvs(qid)
-      val (cells, _) = graft.operators.IvfIndex.adaptiveProbeCells(
+      // rank cells ONCE; scanCells executes the same probe searchAdaptive
+      // would, without re-ranking the centroid sidecar
+      val (cells, qnorm) = graft.operators.IvfIndex.adaptiveProbeCells(
         idxPath, qv, PrunedRecallTarget, beta = PrunedBeta)
       allPruned &&= cells.length < ServeCells
-      val got = graft.operators.IvfIndex.searchAdaptive(spark, idxPath, qv,
-          k = 10, recallTarget = PrunedRecallTarget, excludeId = Some(qid),
-          beta = PrunedBeta)
+      val got = graft.operators.IvfIndex.scanCells(spark, idxPath, cells,
+          qv, qnorm, k = 10, excludeId = Some(qid))
         .select(col("id")).collect().map(_.getLong(0))
       hits += got.count(truth(qid).contains)
     }

@@ -7,8 +7,9 @@ import graft.Tables
 import graft.operators.IvfIndex
 import graft.operators.Similarity
 
-/** One-off measurement of sim14's serving panel (queries 0-4, k=10,
-  * target 0.95, beta 6, 16 cells) across SFs — the numbers documented
+/** One-off measurement of sim14's serving panel (queries 0-9, k=10,
+  * target 0.95, beta 5, 16 cells — keep in sync with ServePanel /
+  * PrunedRecallTarget / PrunedBeta) across SFs — the numbers documented
   * on SimilarityQueries.PrunedRecallBound.
   * `sbt "Test/runMain graft.tools.Sim14Measure"` */
 object Sim14Measure {
