@@ -95,7 +95,21 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val fl = ch.lock()
+        // FileChannel.lock blocks on OTHER processes but THROWS
+        // OverlappingFileLockException if any thread of THIS JVM holds
+        // the region through a different channel (e.g. a monitoring
+        // probe tryLock-ing the sidecar, or a second ZTable handle
+        // opened on the same path object-identity-independently).
+        // Mutations among ZTable instances already serialize on the
+        // JVM monitor above, so such a hold is transient — retry
+        // rather than surface a spurious failure.
+        def acquire(): java.nio.channels.FileLock =
+          try ch.lock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(1); acquire()
+          }
+        val fl = acquire()
         ZTable.processLocksHeld.add(key)
         try f
         finally { ZTable.processLocksHeld.remove(key); fl.release() }
