@@ -557,6 +557,47 @@ object PipelineQueries {
       |  n_chars
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** PIPE13: WEIGHTED sampling without replacement (Efraimidis &
+    * Spirtakis 2006, A-ES) — the "sample proportional to quality/size"
+    * step of a curation pipeline, where pipe2/pipe6 sample uniformly:
+    * each document draws an exponential key -ln(u)/w (u from the md5
+    * hash both engines compute identically, mapped to (0,1) as
+    * (x+0.5)/2^32 so ln never sees 0; w = n_chars — longer docs
+    * proportionally likelier), and the K smallest keys ARE a weighted
+    * sample without replacement. One map-side key expression +
+    * TakeOrdered — no per-stratum state, no global sort, the one-pass
+    * 100 TB shape (and keys are mergeable across shards by
+    * construction).
+    *
+    * Engine determinism: the key is ROUNDED to 9 dp before ordering
+    * (ties to doc_id), the d12 pre-rounded-argmax trick — ln differs
+    * by ulps across libms, and 1e-9 granularity absorbs that while the
+    * hash-spread keys make a rounding-boundary collision vanishingly
+    * unlikely. The oracle replays hash, key, and ranking exactly. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val x = conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("double")
+    val u = (x + 0.5) / 4294967296.0
+    val key = round(-log(u) / col("n_chars"), 9)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("key_r"))
+      .orderBy(col("key_r"), col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("key_r"), col("doc_id"))).cast(LongType))
+      .orderBy("rk")
+  }
+
+  val weightedSampleSql: String =
+    """WITH keyed AS (SELECT doc_id, n_chars,
+      |    round(-ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |               AS UBIGINT) + 0.5) / 4294967296.0) / n_chars, 9) AS key_r
+      |  FROM documents)
+      |SELECT doc_id, n_chars, key_r,
+      |  CAST(row_number() OVER (ORDER BY key_r, doc_id) AS BIGINT) AS rk
+      |FROM keyed ORDER BY key_r, doc_id LIMIT 100""".stripMargin
+
   /** ML2: fastText/DCLM-style TEXT quality classifier — the
     * classifier-based filtering stage (DataComp-LM, LLaMA's "looks like
     * reference text" scorer) over RAW text, where ml1 trains on

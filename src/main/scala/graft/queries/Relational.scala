@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -302,6 +302,58 @@ object Relational {
     """SELECT l_returnflag,
       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
       |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A15: APPROXIMATE percentiles with a measured rank-error gate —
+    * the swap a8/dq3 document for 100 TB, made testable. The exact
+    * `percentile` sorts every group value; `approx_percentile` is the
+    * one-pass mergeable sketch (map-side combine, bounded memory) a
+    * corpus-scale pipeline actually runs. The gate:
+    *  - hashes the EXACT p50/p95 (a8's surface — DuckDB quantile_cont);
+    *  - asserts the sketch honored its RANK contract directly: the
+    *    value approx_percentile returns at quantile p with accuracy A
+    *    must have rank within n·(p ± 1/A); the per-group <=/< counts
+    *    of that literal value bracket its true rank range exactly, so
+    *    the flag is `le >= n(p−1/A)−1 AND lt <= n(p+1/A)+1` (±1 for
+    *    rank discretization) — rigorous at ANY group size, unlike a
+    *    value-space bracket, which collapses below one inter-value gap
+    *    when n·(2/A) < 1 (it mis-fired at sf0.001's ~2k-row groups).
+    * Two scans: sketch pass (group-count rows to the driver — bounded),
+    * then one agg computing exact percentiles + the rank counts of the
+    * sketch answers as literal comparisons. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000 // rank error <= 1e-4 of n
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
+    val ap = li.groupBy(col("f"))
+      .agg(expr(s"approx_percentile(x, array(0.5D, 0.95D), $acc)").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def v(i: Int) = ap.foldLeft(lit(Double.NaN)) { case (e, (flag, vs)) =>
+      when(col("f") === flag, lit(vs(i))).otherwise(e)
+    }
+    def rankOk(le: Column, lt: Column, n: Column, p: Double): Column =
+      le >= n * (p - 1.0 / acc) - 1.0 && lt <= n * (p + 1.0 / acc) + 1.0
+    li.groupBy(col("f"))
+      .agg(
+        expr("percentile(x, array(0.5D, 0.95D))").as("ex"),
+        count(lit(1)).as("n"),
+        sum(when(col("x") <= v(0), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < v(0), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= v(1), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("x") < v(1), 1L).otherwise(0L)).as("lt95"))
+      .select(col("f").as("l_returnflag"),
+        round(element_at(col("ex"), 1), 4).as("p50"),
+        round(element_at(col("ex"), 2), 4).as("p95"),
+        (rankOk(col("le50"), col("lt50"), col("n"), 0.5) &&
+         rankOk(col("le95"), col("lt95"), col("n"), 0.95)).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val approxPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** J7: range join — line items shipped within 30 days of a late-1997

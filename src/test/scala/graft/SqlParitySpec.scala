@@ -80,7 +80,10 @@ class SqlParitySpec extends SparkSpec {
     // lambda; ml2 string_split + list_filter; d14/t14 string_split +
     // unnest (sim14's SQL is ANSI, stays in)
     "d13_span_remove", "ml2_text_classifier", "d14_source_overlap",
-    "t14_lexical_stats")
+    "t14_lexical_stats",
+    // pipe13: '0x'-prefixed hex cast + UBIGINT (pipe12's class);
+    // a15: quantile_cont (a8's class)
+    "pipe13_weighted_sample", "a15_approx_percentiles")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)
