@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  * SPARK_GRAFT_SF_DIR and prints the result JSON line for the driver
+  * (first AND last, with short chunk lines between, so a bounded
+  * head- or tail-capture always holds a complete parseable copy).
   * Each query is fully materialized through the noop sink (count() would
   * let Catalyst prune the payload columns and under-measure scans). */
 object Bench {
@@ -83,14 +85,42 @@ object Bench {
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) =>
-      jstr(k) + ":" + v.map(_.toString).getOrElse("null")
-    }.mkString("{", ",", "}")
+    // Millisecond precision keeps the line SHORT — the driver captures
+    // only a bounded output tail, and r5/r6 proved a full-double-
+    // precision 171-entry map overruns it ("parsed": null both rounds).
+    def sec3(v: Double): String = f"$v%.3f"
+    val qEntries = results.map { case (k, v) =>
+      jstr(k) + ":" + v.map(sec3).getOrElse("null")
+    }
+    val qs = qEntries.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v.take(300)) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
+    val full =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
+    // The driver keeps only the LAST ~2000 chars of output (BENCH_r06's
+    // "tail" is exactly 2000 chars and both r5/r6 ended "parsed": null
+    // because the 171-entry map overruns it). So: the complete line goes
+    // out FIRST for the log, then short "queries_part" chunk lines, and
+    // the FINAL line is a compact summary that always fits the tail
+    // window — that line is what the driver's parse must land on. If
+    // the full map happens to fit the window too, prefer it as the
+    // final line so the driver gets everything.
+    println(full)
+    if (full.length <= 1700) {
+      println(full)
+    } else {
+      val chunks = qEntries.grouped(12).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+      }
+      val slowest = results.collect { case (k, Some(v)) => (k, v) }
+        .sortBy(-_._2).take(10)
+        .map { case (k, v) => jstr(k) + ":" + sec3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
+    }
     spark.stop()
     // A failed query can never again post rc=0: the driver (and any
     // human) sees the breakage even without parsing the errors map.

@@ -35,26 +35,34 @@ object Classifier {
     * broadcast — each unigram maps straight to bucket
     * pmod(xxhash64(token), buckets), so featurization needs zero
     * pre-passes and the feature width is a constant the operator picks,
-    * not a corpus property. One explode + one doc-keyed partial agg
-    * (`buckets` codegen'd sum(when) columns combine map-side; the
-    * shuffle carries one B-wide row per doc — linear, the pipe10/DSIR
-    * histogram shape). Returns (id, feats: array<float>[buckets]).
+    * not a corpus property. The aggregation is SPARSE — one explode,
+    * a (doc, bucket) count with map-side combine, then per-doc entry
+    * lists densified by the codegen'd [[graft.plans.SparseFill]]
+    * expression (O(width + entries) per doc) — so the plan's column
+    * count and codegen size are CONSTANT in the bucket width:
+    * realistic hashing-trick widths (2^15–2^21; the fastText default
+    * is 2^21 bigram buckets) plan exactly like B=256, where a dense
+    * per-bucket `sum(when)` column list would blow up planning/codegen
+    * at tens of thousands of aggregate expressions long before data
+    * size matters. The shuffles carry (doc, bucket, count) triples
+    * then per-doc sparse entry lists — ≤ min(#tokens, B) entries per
+    * doc, never a dense B-wide buffer.
+    * Returns (id, feats: array<float>[buckets]).
     * Collisions are the standard hashing-trick tradeoff: pick buckets
     * ≥ a few × active vocab; a colliding pair shares one feature and
     * the classifier sees their summed count. */
   def hashedBow(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
-    val toks = df
+    val counts = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), " ")).as("t"))
       .where(col("t") =!= "")
-      .withColumn("b", pmod(xxhash64(col("t")), lit(buckets.toLong)))
-    val sums = (0 until buckets).map(i =>
-      sum(when(col("b") === i, 1.0).otherwise(0.0)).cast("float").as(s"f$i"))
-    toks.groupBy(col("id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        array((0 until buckets).map(i => col(s"f$i")): _*).as("feats"))
+      .groupBy(col("id"),
+        pmod(xxhash64(col("t")), lit(buckets.toLong)).cast("int").as("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    counts.groupBy(col("id"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("e"))
+      .select(col("id"), VectorOps.sparseFill(col("e"), buckets).as("feats"))
   }
 
   /** Mean binary cross-entropy of σ(w·x) against a 0/1 label column —

@@ -158,8 +158,15 @@ object Graph {
       .persist()
     out.count()
     sym.unpersist()
-    nodes.unpersist()
-    if (alive ne nodes) unpin(alive)
+    nodes.unpersist() // plain persist: lineage back to edges recomputes fine
+    // The final survivor pin stays ALIVE in the local-checkpoint path:
+    // out's lineage runs through alive's localCheckpoint blocks, and
+    // those blocks are unrecomputable — dropping them here would turn a
+    // later executor loss on one of out's cached partitions into a
+    // missing-checkpoint-block failure instead of a recompute. The
+    // residue is node-sized (the same residue components leaves). With
+    // a reliable checkpointDir the files persist anyway and unpin is a
+    // no-op by construction.
     out
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -104,6 +104,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Densify sparse (index, value) entries into a fixed-width
+  * array<float> — the hashing-trick feature-assembly step
+  * ([[graft.operators.Classifier.hashedBow]]).
+  *
+  * Why a custom Expression: the declarative alternatives are all
+  * super-linear per row — `element_at` over a `map_from_entries` map is
+  * a LINEAR SCAN of the map per probed index (O(width × entries) per
+  * doc), and an `aggregate` HOF rebuilding an immutable array per entry
+  * is O(width × entries) allocations — where this is one float[width]
+  * allocation and one pass over the entries, O(width + entries), inside
+  * whole-stage codegen. Entries out of [0, width) are ignored (callers
+  * pmod first); duplicate indices accumulate. */
+case class SparseFill(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(f0, f1)), _)
+        if f0.dataType == IntegerType && f1.dataType == DoubleType =>
+      if (width > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"width must be positive, got $width")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SparseFill requires array<struct<int,double>> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val entries = a.asInstanceOf[ArrayData]
+    val out = new Array[Float](width)
+    var i = 0
+    val n = entries.numElements()
+    while (i < n) {
+      val e = entries.getStruct(i, 2)
+      val b = e.getInt(0)
+      if (b >= 0 && b < width) out(b) += e.getDouble(1).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val e = ctx.freshName("e")
+      val b = ctx.freshName("b")
+      s"""
+         |float[] $out = new float[$width];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $e = $a.getStruct($i, 2);
+         |  int $b = $e.getInt(0);
+         |  if ($b >= 0 && $b < $width) $out[$b] += (float) $e.getDouble(1);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SparseFill =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
@@ -111,4 +175,7 @@ object VectorOps {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def normSq(a: Column): Column = dot(a, a)
+
+  def sparseFill(entries: Column, width: Int): Column =
+    ColumnBridge.column(SparseFill(ColumnBridge.expression(entries), width))
 }

@@ -380,8 +380,8 @@ object DedupQueries {
       |per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
       |          SUM(CASE WHEN hot.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
       |        FROM g LEFT JOIN hot ON g.sh = hot.sh GROUP BY g.doc_id)
-      |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
-      |  COALESCE(n_boiler, 0) AS n_boiler
+      |SELECT d.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
 

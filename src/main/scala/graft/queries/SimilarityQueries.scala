@@ -224,9 +224,13 @@ object SimilarityQueries {
       .orderBy(col("cos_r").desc, col("id"))
   }
 
-  /** SIM7: distributed spherical k-means — farthest-point init, map-side
-    * argmin assignment, VecCentroid updates (one scan per iteration,
-    * driver holds k×dim doubles). Iterative + hash-seeded → not
+  /** SIM7: distributed spherical k-means — HASH init (one TakeOrdered
+    * picks all k seeds in a single pass; the farthest-point alternative
+    * costs k sequential full-corpus scans before training even starts,
+    * so it stays an opt-in for quality-sensitive small-k fits, never
+    * the registered corpus-scale path), map-side argmin assignment,
+    * VecCentroid updates (one scan per iteration, driver holds k×dim
+    * doubles). Iterative + hash-seeded → not
     * SQL-expressible; the oracle gate emits the SQL-derivable corpus
     * size plus two TRUE flags, BOTH derived from the distributed path
     * alone (nothing data-sized ever reaches the driver — the plan here
@@ -247,7 +251,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val k = 8
     val (seeds, cs) = graft.operators.Similarity.kmeansFit(
-      emb, "vec_id", "embedding", k = k, iters = 3)
+      emb, "vec_id", "embedding", k = k, iters = 3, init = "hash")
     val sseT = graft.operators.Similarity.kmeansSseDistributed(
       emb, "vec_id", "embedding", cs)
     val sse0 = graft.operators.Similarity.kmeansSseDistributed(

@@ -102,14 +102,22 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         // opened on the same path object-identity-independently).
         // Mutations among ZTable instances already serialize on the
         // JVM monitor above, so such a hold is transient — retry
-        // rather than surface a spurious failure.
-        def acquire(): java.nio.channels.FileLock =
-          try ch.lock()
+        // rather than surface a spurious failure. Iterative (not
+        // recursive: scalac can't TCO a call inside a catch block, so
+        // a long-held region would overflow the stack) and bounded —
+        // a probe holding the region for minutes is a bug worth
+        // surfacing, not spinning on forever.
+        var fl: java.nio.channels.FileLock = null
+        var tries = 0
+        while (fl == null) {
+          try fl = ch.lock()
           catch {
-            case _: java.nio.channels.OverlappingFileLockException =>
-              Thread.sleep(1); acquire()
+            case e: java.nio.channels.OverlappingFileLockException =>
+              tries += 1
+              if (tries > 60000) throw e // ~60s of 1ms retries
+              Thread.sleep(1)
           }
-        val fl = acquire()
+        }
         ZTable.processLocksHeld.add(key)
         try f
         finally { ZTable.processLocksHeld.remove(key); fl.release() }

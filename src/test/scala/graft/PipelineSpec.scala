@@ -185,6 +185,28 @@ class PipelineSpec extends SparkSpec {
     assert(acc >= 0.9, s"accuracy $acc below gate")
   }
 
+  test("SparseFill: dup indices accumulate, out-of-range ignored, width fixed") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq(
+      (1L, Seq((0, 2.0), (3, 1.5), (0, 1.0))),   // dup index 0 accumulates
+      (2L, Seq((-1, 9.0), (4, 1.0), (99, 9.0))), // out-of-range dropped
+      (3L, Seq.empty[(Int, Double)])             // empty → all-zero row
+    ).toDF("id", "e")
+      .select(col("id"),
+        expr("transform(e, x -> struct(x._1 as b, x._2 as c))").as("e"))
+    val got = df.select(col("id"), graft.plans.VectorOps.sparseFill(col("e"), 5))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L) == Seq(3.0f, 0f, 0f, 1.5f, 0f))
+    assert(got(2L) == Seq(0f, 0f, 0f, 0f, 1.0f))
+    assert(got(3L) == Seq(0f, 0f, 0f, 0f, 0f))
+    // type check rejects bad shapes
+    val bad = Seq((1L, Seq(1.0))).toDF("id", "e")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.plans.VectorOps.sparseFill(col("e"), 5)).collect()
+    }
+    assert(err.getMessage.contains("SparseFill requires"))
+  }
+
   test("dq3 outliers: planted spike is flagged, clean series is not") {
     import org.apache.spark.sql.functions._
     val ev = (Seq.tabulate(99)(i => ("a", 10.0 + (i % 10))) :+ ("a", 10000.0))

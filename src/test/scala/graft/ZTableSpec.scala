@@ -502,6 +502,94 @@ class ZTableSpec extends SparkSpec {
     assert(v.read().where(col("lv") === "c").count() == 1)
   }
 
+  test("concurrent mutators + adversarial lock probe: no lost rows, no debris, no overflow") {
+    // The r6 OverlappingFileLockException fix shipped without a spec
+    // that actually HAMMERS the race it closes; this is it. Three
+    // mutator threads drive append/compact/deleteWhere/merge cycles
+    // against one table while a probe thread repeatedly grabs and
+    // HOLDS the _lock region through an independent FileChannel —
+    // exactly the intra-JVM hold that makes FileChannel.lock() THROW
+    // OverlappingFileLockException instead of blocking. Pre-fix, any
+    // mutation landing under a held probe lock surfaced the exception
+    // (or, with the recursive retry, could overflow the stack under a
+    // long hold); post-fix every mutation retries iteratively until
+    // the region frees. Mutations themselves are mutually serialized
+    // by the per-path monitor + file lock, so the final state must be
+    // exactly the sum of the per-thread deterministic edits.
+    import java.nio.channels.FileChannel
+    import java.nio.file.StandardOpenOption._
+    val path = tmp() + "/t"
+    val t0 = ZTable.create(spark, path, Spec(strictOrder = false))
+    t0.append(sample) // creates the _lock sidecar
+    val lockFile = Paths.get(path, "_lock")
+    assert(Files.exists(lockFile))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probe = new Thread(() => {
+      val ch = FileChannel.open(lockFile, WRITE)
+      try
+        while (!stop.get) {
+          val fl = ch.tryLock()
+          if (fl != null) {
+            held.incrementAndGet()
+            Thread.sleep(8) // hold long enough for a mutator to collide
+            fl.release()
+          }
+          Thread.sleep(2)
+        }
+      finally ch.close()
+    })
+    probe.setDaemon(true)
+    probe.start()
+    val cyclesPerThread = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { i =>
+      new Thread(() => {
+        try {
+          // each thread opens its OWN handle — cross-instance, same path
+          val t = ZTable.open(spark, path)
+          for (c <- 1 to cyclesPerThread) {
+            t.append(Seq((ts(s"2024-01-0${c} 0$i:30:00"), s"T$i", c.toDouble))
+              .toDF("ts", "sym", "v"))
+            i % 3 match {
+              case 0 => t.compact()
+              case 1 => assert(t.deleteWhere(org.apache.spark.sql.functions.col("sym") === "NOPE") == 0L)
+              case 2 => // replace this thread's own rows in place
+                t.merge(Seq((ts(s"2024-01-0${c} 0$i:30:00"), s"T$i", c + 100.0))
+                  .toDF("ts", "sym", "v"), Seq("ts", "sym"))
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    stop.set(true)
+    probe.join(5000)
+    assert(errs.isEmpty, s"concurrent mutation failed: ${errs.peek()}")
+    assert(held.get > 0, "probe never held the lock — the race was not exercised")
+    // every appended row survived the interleaved compact/delete/merge
+    val t = ZTable.open(spark, path)
+    val all = t.scan("2024-01-01 00:00:00", "2024-01-03 23:59:59")
+    assert(all.count() == sample.count() + 3 * cyclesPerThread)
+    // thread 2's merge replaced values, never duplicated keys
+    val t2 = all.where(org.apache.spark.sql.functions.col("sym") === "T2").collect()
+    assert(t2.length == cyclesPerThread)
+    assert(t2.forall(_.getAs[Double]("v") > 100.0))
+    // no half-swap debris left behind
+    val s = Files.list(Paths.get(path))
+    try {
+      val names = s.iterator()
+      var debris = List.empty[String]
+      while (names.hasNext) {
+        val n = names.next().getFileName.toString
+        if (Seq(".compacting", ".deleting", ".merging", ".retiring")
+            .exists(n.endsWith)) debris ::= n
+      }
+      assert(debris.isEmpty, s"swap debris: $debris")
+    } finally s.close()
+  }
+
   test("open restores spec from meta; firstTs/lastTs/symbols") {
     val path = tmp()
     ZTable.create(spark, path,

@@ -35,7 +35,23 @@ def main():
             n_fail += 1
             continue
         try:
-            o = con.sql(sql).df()
+            rel = con.sql(sql)
+            # Type-lint: the driver hashes the oracle result, and DuckDB-only
+            # types (HUGEINT from bare integer SUM, UBIGINT, DECIMAL) render
+            # differently from Spark's BIGINT/DOUBLE under the driver's
+            # canonicalization even when pandas value-compare passes (this is
+            # exactly how t11 stayed red for three rounds). Reject them here.
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                if ("HUGEINT" in str(t).upper() or "UBIGINT" in str(t).upper()
+                    or "DECIMAL" in str(t).upper())
+            ]
+            if bad_types:
+                print(f"FAIL {name}: oracle type-lint (cast to BIGINT/DOUBLE): "
+                      + ", ".join(bad_types))
+                n_fail += 1
+                continue
+            o = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
