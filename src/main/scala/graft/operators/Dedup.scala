@@ -360,7 +360,8 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       thrNum: Int, thrDen: Int,
-      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      maxDocFreq: Int = 0, maxBucket: Int = 0): DataFrame = {
     val words = split(lower(col(textCol)), " ")
     // band strings emitted by ONE expression evaluation per row —
     // element_at-per-band would let CollapseProject re-evaluate the
@@ -369,9 +370,37 @@ object Dedup {
         graft.plans.TextOps.minhashBands(words, shingleN, bands, rowsPerBand)
           .as("bsig"))
       .where(col("bsig").isNotNull)
-    val sh = shingles(docs, idCol, textCol, shingleN)
-    val bucketed = sig.select(col("id"),
+    // `maxDocFreq` prunes stop-shingles from the VERIFY sets — the same
+    // guard (and the same pruned-Jaccard semantics) as [[jaccardPairs]],
+    // so d2 and d4 agree pair-for-pair on any corpus. Without it, a
+    // boilerplate-heavy corpus pays the hot-shingle fan-out in the
+    // verify join even when the candidate stage behaved (the 10×
+    // adversarial stress run: capped d4 7 s, uncapped d2 verify 204 s).
+    val sh0 = shingles(docs, idCol, textCol, shingleN)
+    val sh = if (maxDocFreq > 0) {
+      val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDocFreq).select(col("sh"))
+      sh0.join(hot, Seq("sh"), "left_anti")
+    } else sh0
+    val bucketed0 = sig.select(col("id"),
         posexplode(col("bsig")).as(Seq("band", "sig")))
+    // `maxBucket` (opt-in) drops band buckets holding more than that
+    // many docs BEFORE the self-join. A (band, sig) bucket of B docs
+    // expands to B² candidate pairs, and a mega-cluster of near-
+    // identical boilerplate docs lands in the SAME bucket in ~every
+    // band — quadratic candidate mass from one key, the LSH analogue
+    // of jaccardPairs' hot-shingle blowup. The trade is explicit:
+    // pairs INSIDE a dropped mega-bucket are missed, so enable this
+    // only where mega-clusters are handled by a cheaper contract first
+    // (exact dedup / minhashFilter / components) — which is how
+    // production near-dup pipelines sequence it anyway. Default off:
+    // the registered d2 keeps exact parity with its oracle.
+    val bucketed = if (maxBucket > 0) {
+      val big = bucketed0.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") > maxBucket).select(col("band"), col("sig"))
+      bucketed0.join(big, Seq("band", "sig"), "left_anti")
+    } else bucketed0
     val cand = bucketed.select(col("id").as("ida"), col("band"), col("sig"))
       .join(bucketed.select(col("id").as("idb"), col("band"), col("sig")), Seq("band", "sig"))
       .where(col("ida") < col("idb"))

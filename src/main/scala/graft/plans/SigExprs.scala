@@ -131,10 +131,35 @@ private[graft] object SigEval {
     mins
   }
 
+  /** Splitmix64 finalizer — the standard deterministic scrambler for
+    * turning an index into an unstructured 64-bit constant. */
+  private def splitmix(x: Long): Long = {
+    var z = x * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Universal-hash multipliers, pseudo-random in [1, PRIME-1].
+    *
+    * These were originally the tiny odd constants 2j+1, which makes the
+    * family `(h·a_j + b_j) mod P` STRUCTURALLY correlated across j:
+    * a_0 = 1 is the identity, and for a small shingle set the 72 argmin
+    * draws share algebraic structure (a vs 2a vs 3a orderings), so a
+    * boundary-jaccard pair can be missed DETERMINISTICALLY — the 30×
+    * scale-stress run caught exactly one such pair (union of 10
+    * shingles at jaccard 0.800) missed in every replica of one corpus
+    * copy, where the independence model predicts a 3.4e-8 miss rate.
+    * Unstructured full-range multipliers are the textbook
+    * `(a·x + b) mod p` universal family (datasketch's construction) —
+    * same single multiply per (gram, j), no structural coupling.
+    * |h| < 2^31 and a < 2^31 keep `h·a` within a signed Long. */
   def coeffA(numHashes: Int): Array[Long] =
-    Array.tabulate(numHashes)(j => 2L * j + 1)
+    Array.tabulate(numHashes)(j =>
+      java.lang.Math.floorMod(splitmix(j.toLong), PRIME - 1) + 1)
   def coeffB(numHashes: Int): Array[Long] =
-    Array.tabulate(numHashes)(j => 1099511628211L * (j + 1) % PRIME)
+    Array.tabulate(numHashes)(j =>
+      java.lang.Math.floorMod(splitmix(0x5DEECE66DL + j), PRIME))
 }
 
 /** MinHash signature over word n-grams: array of `numHashes` universal-

