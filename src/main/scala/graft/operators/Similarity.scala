@@ -224,9 +224,18 @@ object Similarity {
     * collision p), then candidates are verified with the exact cosine.
     * Vectors are replicated L-fold map-side (a table column rides the
     * shuffle key), pairs are distinct'd before verification so each
-    * candidate pays one dot product. At 100 TB this is the shape that
-    * holds: L×N bucket rows shuffle, never N² pairs; hot buckets are
-    * bounded by the signature width.
+    * candidate pays one dot product. The shuffle is L×N bucket rows,
+    * but the bucket SELF-JOIN emits ~N²/2^H pairs per table — so the
+    * construction scales only while 2^H tracks N. SCALE BOUNDARY
+    * (measured, STRESS.md #4): on isotropic vectors at the default
+    * 6-plane/12-table multiprobe banding, a random pair collides
+    * somewhere with p ≈ 0.75 — candidate mass ~0.75·N²/2, which
+    * exhausted 75 GB of spill at just 60 k vectors. Planes must grow
+    * ~log N (selectivity), tables buy the recall back — and at LOW
+    * cosine thresholds on unclustered data p₁/p₂ separation collapses
+    * (LSH ρ → 1), so no banding is cheap: corpus-scale pair mining in
+    * that regime belongs to the cell-blocked contracts ([[semDeDup]]
+    * per-cell pairs, [[topK]] bounded heaps, IVF candidates) instead.
     *
     * `multiProbe = true` turns on Hamming-1 multiprobe (Lv et al.,
     * VLDB'07): ONE side of the self-join additionally probes the
