@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim8: projection top-k plans as two TakeOrdered + broadcasts, zero hash shuffles") {
+    // Pins sim8's plan after the r6 driver-tail wobble (0.25→0.42 s):
+    // the code hasn't changed since r5 and the sub-second spread is run
+    // environment, not plan drift — this assertion makes any FUTURE
+    // drift (a TakeOrdered degrading to global Sort+Limit, a broadcast
+    // degrading to a shuffle join) fail CI instead of a bench ratio.
+    val p = executed(graft.queries.SimilarityQueries.rpTopK(spark, sf001))
+    val s = p.toString
+    val takeOrdered = "TakeOrderedAndProject".r.findAllIn(s).size
+    assert(takeOrdered >= 2, s"expected candidate+final TakeOrdered: $s")
+    assert(shuffles(p) == 0, s"sim8 should not hash/range-shuffle: $s")
+    assert("BroadcastExchange".r.findAllIn(s).size >= 2,
+      s"query vector + candidate set should broadcast: $s")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("ohlcv resample shuffles exactly once") {
     val p = executed(Events.ohlcvResample(spark, sf001))
     // partial agg -> single exchange on (window, type) -> final agg + sort
