@@ -747,4 +747,89 @@ object Similarity {
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
+
+  /** A sign-LSH banding sized for a corpus: `planes`/`tables` for
+    * [[lshNeighborPairsMulti]], with the predicted recall at the
+    * threshold and the predicted background candidate load that led to
+    * the choice. */
+  case class BandingPlan(planes: Int, tables: Int,
+      predictedRecall: Double, candidatesPerVector: Double)
+
+  /** Size a sign-LSH banding for corpus size `n` — the planner the 30×
+    * stress run proved necessary (STRESS.md #4: the fixed 6-plane
+    * banding's candidate mass is ~0.75·N²/2 on isotropic data and
+    * exhausted 75 GB of spill at 60 k vectors; planes must grow with
+    * log N and tables must buy the recall back).
+    *
+    * Model (standard sign-LSH): per-plane collision for cosine c is
+    * p(c) = 1 − acos(c)/π; per-table collision is p^H, or
+    * p^H + H·p^(H−1)(1−p) under the Hamming-1 multiprobe; a pair
+    * survives L tables with prob 1 − (1 − t)^L. The planner picks the
+    * SMALLEST H whose expected background candidates per vector
+    * (pairs at `backgroundCos`, the bulk of an unclustered corpus)
+    * fit `candidateBudgetPerVector`, then the smallest L reaching
+    * `targetRecall` at `threshold` — smallest H first because tables
+    * replicate the corpus L-fold, so excess selectivity is paid for
+    * in recall-restoring tables. Returns the plan UNFEASIBLE-honest:
+    * if no (H ≤ maxPlanes, L ≤ maxTables) meets both, the returned
+    * plan carries the best achievable predictedRecall so the caller
+    * sees the shortfall instead of silently losing pairs — at low
+    * thresholds p₁/p₂ separation collapses (ρ → 1) and the honest
+    * answer is "use a cell-blocked contract instead".
+    *
+    * SimilaritySpec gates the closed forms and checks the predicted
+    * background candidate count against a measured
+    * [[lshCandidates]].count() on the real corpus. */
+  def planBanding(n: Long, threshold: Double, targetRecall: Double,
+      candidateBudgetPerVector: Double = 32.0,
+      multiProbe: Boolean = true, backgroundCos: Double = 0.0,
+      maxPlanes: Int = 40, maxTables: Int = 512): BandingPlan = {
+    require(n > 1 && threshold > 0 && threshold < 1)
+    require(targetRecall > 0 && targetRecall < 1)
+    def pOf(c: Double): Double = 1.0 - math.acos(c) / math.Pi
+    def tableCollision(p: Double, h: Int): Double = {
+      val base = math.pow(p, h)
+      if (multiProbe) base + h * math.pow(p, h - 1) * (1 - p) else base
+    }
+    val p1 = pOf(threshold)
+    val p0 = pOf(backgroundCos)
+    def tablesFor(h: Int): Int = {
+      val t1 = tableCollision(p1, h)
+      if (t1 >= 1.0) 1
+      else math.min(maxTables,
+        math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-t1)).toInt))
+    }
+    def recall(h: Int, l: Int): Double =
+      1.0 - math.pow(1.0 - tableCollision(p1, h), l)
+    def candPerVec(h: Int, l: Int): Double =
+      (n - 1) / 2.0 * (1.0 - math.pow(1.0 - tableCollision(p0, h), l))
+    val feasible = (1 to maxPlanes).iterator.map { h =>
+      val l = tablesFor(h)
+      (h, l, recall(h, l), candPerVec(h, l))
+    }.find { case (_, l, r, c) =>
+      r >= targetRecall && c <= candidateBudgetPerVector && l <= maxTables
+    }
+    feasible match {
+      case Some((h, l, r, c)) => BandingPlan(h, l, r, c)
+      case None =>
+        // no feasible point: stay STRICTLY inside the candidate budget
+        // (that is the resource constraint; recall is the reported
+        // shortfall) — for each H that fits the budget at all, take the
+        // most tables that still fit, and return the best recall among
+        // those. If even one table busts the budget at every H, return
+        // the most selective configuration possible.
+        val inBudget = (1 to maxPlanes).flatMap { h =>
+          if (candPerVec(h, 1) > candidateBudgetPerVector) None
+          else {
+            val l = (1 to maxTables).takeWhile(l =>
+              candPerVec(h, l) <= candidateBudgetPerVector).last
+            Some((h, l, recall(h, l), candPerVec(h, l)))
+          }
+        }
+        val best =
+          if (inBudget.nonEmpty) inBudget.maxBy(_._3)
+          else (maxPlanes, 1, recall(maxPlanes, 1), candPerVec(maxPlanes, 1))
+        BandingPlan(best._1, best._2, best._3, best._4)
+    }
+  }
 }

@@ -34,6 +34,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhash LSH guards: pruned verify equals d4's semantics; maxBucket drops mega-buckets only") {
+    // hand corpus: a genuine near-dup pair (0,1) plus a 12-doc mega-
+    // cluster of IDENTICAL boilerplate (ids 100..111) whose shingles
+    // all exceed a tiny maxDocFreq — the adversarial shape STRESS.md
+    // measures at scale.
+    val boiler = (0 until 12).map(i =>
+      (100L + i, "copy paste template header body footer repeated everywhere"))
+    val corpus = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tomorrow"),
+      (2L, "completely different content about spark query engines")
+    ) ++ boiler).toDF("doc_id", "text")
+    // (a) pruned verify == jaccardPairs' pruned semantics, pair-for-pair
+    val viaD2 = Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 2,
+        bands = 24, rowsPerBand = 3, maxDocFreq = 5)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    val viaD4 = Dedup.jaccardPairs(
+        Dedup.shingles(corpus, "doc_id", "text", 3), 1, 2, maxDocFreq = 5)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(viaD2.contains((0L, 1L)))
+    // pruning drops the boiler docs' shingles entirely (df 12 > 5), so
+    // NEITHER contract reports boiler pairs — and they agree overall
+    assert(!viaD2.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(viaD2 == viaD4, s"d2=$viaD2 d4=$viaD4")
+    // (b) maxBucket: the 12-doc identical cluster shares every band
+    // bucket; capping buckets below 12 kills exactly its pairs and
+    // keeps the genuine (0,1) pair (whose buckets hold 2 docs)
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 2,
+        bands = 24, rowsPerBand = 3, maxBucket = 8)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(capped.contains((0L, 1L)))
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"mega-bucket pairs survived the cap: $capped")
+    // (c) uncapped, unpruned: the cluster's 66 pairs ARE found (the
+    // cost the caps exist to bound)
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 2,
+        bands = 24, rowsPerBand = 3)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(full.count { case (a, b) => a >= 100L && b >= 100L } == 66)
+  }
+
   test("single-pass signature expressions are bit-identical to the agg formulations (sf0.001)") {
     val corpus = graft.Tables.documents(spark, sf001)
     // SimHash64 expression vs exploded 64-way bit-count agg

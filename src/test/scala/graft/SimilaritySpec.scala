@@ -138,6 +138,51 @@ class SimilaritySpec extends SparkSpec {
     assert(probe6.size.toDouble / exact.size >= 0.95)
   }
 
+  test("planBanding: closed forms check out; background-candidate model matches measurement") {
+    import Similarity.{planBanding, BandingPlan}
+    // closed-form spot check at the registered sim2 config (H=6, L=12,
+    // multiprobe): per-table background collision t0 = (H+1)·2^-H =
+    // 7/64, so predicted candidate fraction = 1-(1-7/64)^12 ≈ 0.7504
+    val t0 = 7.0 / 64.0
+    val predFrac = 1.0 - math.pow(1.0 - t0, 12)
+    assert(math.abs(predFrac - 0.7504) < 0.001)
+    // ... which is the quadratic wall STRESS.md measured: the model must
+    // agree with a REAL lshCandidates count on the sf0.001 corpus
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val measured = Similarity.lshCandidates(emb, "vec_id", "embedding",
+      numPlanes = 6, numTables = 12, multiProbe = true).count()
+    val predicted = n * (n - 1) / 2.0 * predFrac
+    val ratio = measured / predicted
+    assert(ratio > 0.6 && ratio < 1.5,
+      s"candidate model off: measured=$measured predicted=$predicted")
+    // the planner refuses to hand back the wall: at n = 60k (the
+    // stress crash point) with the same threshold/recall ask, it must
+    // pick MORE planes than the fixed 6 and keep the predicted load
+    // within budget
+    val plan = planBanding(60000L, threshold = 0.3, targetRecall = 0.9,
+      candidateBudgetPerVector = 64.0)
+    assert(plan.planes > 6, plan.toString)
+    assert(plan.candidatesPerVector <= 64.0, plan.toString)
+    if (plan.predictedRecall >= 0.9) {
+      // feasible: recall priced in tables
+      assert(plan.tables >= 12, plan.toString)
+    }
+    // planes grow with corpus size at fixed budget (the log N law)
+    val p1 = planBanding(10000L, 0.5, 0.9, 32.0)
+    val p2 = planBanding(10000000L, 0.5, 0.9, 32.0)
+    assert(p2.planes >= p1.planes, s"$p1 vs $p2")
+    // high threshold is the EASY regime: feasible with high recall
+    val easy = planBanding(1000000L, 0.8, 0.95, 32.0)
+    assert(easy.predictedRecall >= 0.95, easy.toString)
+    // low threshold at huge n: the planner reports the shortfall
+    // honestly instead of silently losing pairs
+    val hard = planBanding(1000000000L, 0.3, 0.95, 32.0)
+    assert(hard.candidatesPerVector <= 33.0, hard.toString)
+    val _ = BandingPlan(hard.planes, hard.tables,
+      hard.predictedRecall, hard.candidatesPerVector) // exercise ctor
+  }
+
   test("semDeDup: one keeper per near-dup group, witnesses check out, outliers survive") {
     // two tight direction groups + a diagonal outlier; k=2 spherical
     // cells separate the groups, τ=0.95 prunes within them
