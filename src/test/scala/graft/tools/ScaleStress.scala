@@ -131,6 +131,12 @@ object ScaleStress {
     val base = "/root/testdata/sf0.1"
     val tmp = Files.createTempDirectory("graft_stress_").toString
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+    // SPARK_GRAFT_STRESS_OPS=d7,d11 reruns a subset without repaying
+    // the whole matrix (corpus builds are cheap; the ops are not)
+    val ops: String => Boolean = sys.env.get("SPARK_GRAFT_STRESS_OPS") match {
+      case Some(s) => s.split(",").map(_.trim).toSet
+      case None => (_: String) => true
+    }
     def d4(docs: DataFrame): Long =
       Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
         thrNum = 4, thrDen = 5, maxDocFreq = 500).count()
@@ -148,14 +154,41 @@ object ScaleStress {
             spark.read.parquet(s"$tmp/docsC$mult")
           }
         val nDocs = docs.count()
-        val (d4p, d4T) = timed(d4(docs))
-        println(f"STRESS clean d4 mult=$mult docs=$nDocs pairs=$d4p time=$d4T%.2fs")
-        val (d2p, d2T) = timed(d2(docs, 0))
-        println(f"STRESS clean d2 mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
+        if (ops("d4")) {
+          val (d4p, d4T) = timed(d4(docs))
+          println(f"STRESS clean d4 mult=$mult docs=$nDocs pairs=$d4p time=$d4T%.2fs")
+        }
+        if (ops("d2")) {
+          val (d2p, d2T) = timed(d2(docs, 0))
+          println(f"STRESS clean d2 mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
+        }
+        // iterative family on the same linear-truth corpus: connected
+        // components over the d4 pairs (cluster count must scale M×,
+        // rounds must NOT grow — cluster diameters are scale-invariant)
+        // and the linear-claim ExactSubstr span detector
+        if (ops("d7")) {
+          val (d7n, d7T) = timed {
+            Dedup.components(Dedup.jaccardPairs(
+                Dedup.shingles(docs, "doc_id", "text", 3),
+                thrNum = 4, thrDen = 5, maxDocFreq = 500))
+              .select(col("comp")).distinct().count()
+          }
+          println(f"STRESS clean d7 mult=$mult docs=$nDocs clusters=$d7n time=$d7T%.2fs")
+        }
+        if (ops("d11")) {
+          val d11n = docs.count()
+          val (_, d11T) = timed {
+            // noop write, not count(): count() lets Catalyst prune the
+            // span-union arithmetic; the sink materializes every column
+            Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"STRESS clean d11 mult=$mult docs=$nDocs rows=$d11n time=$d11T%.2fs")
+        }
         spark.catalog.clearCache()
 
         // ---- documents: ADVERSARIAL (mega-cluster) ----
-        if (mult > 1) {
+        if (mult > 1 && (ops("d4") || ops("d2"))) {
           docsAdv(spark, base, mult, s"$tmp/docsA$mult")
           val adv = spark.read.parquet(s"$tmp/docsA$mult")
           val (a4p, a4T) = timed(d4(adv))
@@ -168,6 +201,8 @@ object ScaleStress {
         }
 
         // ---- embeddings ----
+        if (!ops("sim2") && !ops("sim14")) { /* skip the build too */ }
+        else {
         val emb: DataFrame =
           if (mult == 1) Tables.embeddings(spark, base)
           else {
@@ -186,7 +221,7 @@ object ScaleStress {
         // design scale and recall-gated there. Plain row runs at ≤10×;
         // the "scaled" row (12 planes / 24 tables) runs at ≥10× to
         // measure the selectivity lever and its recall price.
-        if (mult <= 10) {
+        if (mult <= 10 && ops("sim2")) {
           val (sim2Out, sim2T) = timed {
             Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
               numPlanes = 6, numTables = 12, threshold = 0.3,
@@ -195,7 +230,7 @@ object ScaleStress {
           println(f"STRESS sim2 mult=$mult vecs=$nVecs pairs=$sim2Out time=$sim2T%.2fs")
           spark.catalog.clearCache()
         }
-        if (mult >= 10) {
+        if (mult >= 10 && ops("sim2")) {
           val (s2bOut, s2bT) = timed {
             Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
               numPlanes = 12, numTables = 24, threshold = 0.3,
@@ -206,7 +241,8 @@ object ScaleStress {
         }
 
         // sim14 serving — cells fixed (16) and cells ∝ N
-        for (cells <- (if (mult == 1) Seq(16) else Seq(16, 16 * mult))) {
+        for (cells <- (if (mult == 1) Seq(16) else Seq(16, 16 * mult));
+            if ops("sim14")) {
           val idx = s"$tmp/ivf_${mult}_$cells"
           val (_, buildT) = timed {
             IvfIndex.build(emb, "vec_id", "embedding", cells, idx)
@@ -228,6 +264,7 @@ object ScaleStress {
           println(f"STRESS sim14 mult=$mult vecs=$nVecs cells=$cells " +
             f"build=$buildT%.2fs serve10=$serveT%.2fs " +
             f"avgCellsProbed=${probed / 10.0}%.1f")
+        }
         }
         spark.catalog.clearCache()
       }
