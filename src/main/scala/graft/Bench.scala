@@ -88,7 +88,9 @@ object Bench {
     // Millisecond precision keeps the line SHORT — the driver captures
     // only a bounded output tail, and r5/r6 proved a full-double-
     // precision 171-entry map overruns it ("parsed": null both rounds).
-    def sec3(v: Double): String = f"$v%.3f"
+    def sec3(v: Double): String = // Locale.ROOT: f"%.3f" under a
+      // comma-decimal default locale would emit 0,123 — invalid JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qEntries = results.map { case (k, v) =>
       jstr(k) + ":" + v.map(sec3).getOrElse("null")
     }

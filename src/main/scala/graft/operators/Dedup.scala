@@ -371,11 +371,22 @@ object Dedup {
           .as("bsig"))
       .where(col("bsig").isNotNull)
     // `maxDocFreq` prunes stop-shingles from the VERIFY sets — the same
-    // guard (and the same pruned-Jaccard semantics) as [[jaccardPairs]],
-    // so d2 and d4 agree pair-for-pair on any corpus. Without it, a
-    // boilerplate-heavy corpus pays the hot-shingle fan-out in the
-    // verify join even when the candidate stage behaved (the 10×
-    // adversarial stress run: capped d4 7 s, uncapped d2 verify 204 s).
+    // guard and the same pruned-Jaccard THRESHOLD SEMANTICS as
+    // [[jaccardPairs]]: every pair d2 emits satisfies exactly d4's
+    // pruned-Jaccard test. Without it, a boilerplate-heavy corpus pays
+    // the hot-shingle fan-out in the verify join even when the
+    // candidate stage behaved (the 10× adversarial stress: capped d4
+    // 7 s, uncapped d2 verify 204 s). CANDIDATE RECALL, however, still
+    // follows RAW-space Jaccard — the minhash signatures are computed
+    // from the text in one scan, deliberately without a corpus df
+    // pre-pass — so where pruning actually bites, pairs whose pruned
+    // similarity clears the threshold but whose raw similarity is low
+    // may never become candidates (measured: 41 k of d4's 47 k pairs on
+    // the adversarial stress corpus, STRESS.md finding #2). On corpora
+    // where the cap is a dormant guard (every driver SF here: max df 25
+    // vs cap 500), pruning changes nothing and the documented LSH miss
+    // bound applies verbatim; where boilerplate makes it bite, d4 is
+    // the exact contract and d2 is the recall-documented fast path.
     val sh0 = shingles(docs, idCol, textCol, shingleN)
     val sh = if (maxDocFreq > 0) {
       val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))

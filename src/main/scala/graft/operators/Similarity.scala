@@ -427,12 +427,15 @@ object Similarity {
     * directional (cosine) structures; plain euclidean k-means splits
     * them on norm differences.
     *
-    * `init`: `"farthest"` (default) is deterministic farthest-point —
-    * best separation, but k−1 SEQUENTIAL driver rounds, so it is a
-    * small-k tool; `"hash"` seeds from the k smallest-xxhash64 ids in
-    * ONE TakeOrdered job — the init that survives large k at 100 TB
-    * (the k-means|| oversampling refinement would slot in here), at
-    * the cost of occasionally co-seeding one cluster. */
+    * `init`: `"farthest"` (default) is deterministic corpus-wide
+    * farthest-point — best separation, but k−1 SEQUENTIAL driver
+    * rounds (each a full scan), so it is a small-k tool; `"hash"` is
+    * the k-means||-style one-job init that survives large k at
+    * 100 TB: ONE TakeOrdered pulls an 8k hash-chosen oversample, and
+    * greedy farthest-point selection runs over that bounded candidate
+    * array on the driver — no extra scans, and the oversampled
+    * selection avoids plain first-k hash seeding's co-seeded-cluster
+    * risk (an empty post-Lloyd cell). */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, spherical: Boolean = true,
       init: String = "farthest"): Array[Array[Double]] =
@@ -466,9 +469,29 @@ object Similarity {
     }
     var cs: Array[Array[Double]] = init match {
       case "hash" =>
-        base.orderBy(xxhash64(col("id")), col("id")).limit(k)
-          .select(col("vf")).collect()
+        // k-means||-style oversampled seeding in ONE job: TakeOrdered
+        // pulls 8k hash-chosen candidates (bounded driver state —
+        // 8k×dim doubles), then greedy farthest-point selection runs
+        // over the candidate ARRAY on the driver (k·8k·dim flops, no
+        // extra scans). Plain take-the-first-k hash seeding can co-seed
+        // one tight cluster and leave a cell empty after Lloyd — which
+        // would flip sim7's cells_ok gate on an unlucky corpus draw;
+        // farthest selection among an oversample keeps the one-pass
+        // cost AND the separation property.
+        val pool = base.orderBy(xxhash64(col("id")), col("id"))
+          .limit(math.max(8 * k, k)).select(col("vf")).collect()
           .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        def d2(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+          s
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+        while (chosen.size < k && chosen.size < pool.length) {
+          val next = pool.maxBy(v => chosen.map(c => d2(v, c)).min)
+          chosen += next
+        }
+        chosen.toArray
       case _ =>
         val seed = base.orderBy(xxhash64(col("id")), col("id"))
           .select(col("vf")).head.getSeq[Float](0).toArray.map(_.toDouble)

@@ -136,9 +136,15 @@ case class SparseFill(child: Expression, width: Int)
     var i = 0
     val n = entries.numElements()
     while (i < n) {
-      val e = entries.getStruct(i, 2)
-      val b = e.getInt(0)
-      if (b >= 0 && b < width) out(b) += e.getDouble(1).toFloat
+      // null entries and null fields are SKIPPED (the type check can't
+      // forbid them — ArrayType/StructType nullability is advisory)
+      if (!entries.isNullAt(i)) {
+        val e = entries.getStruct(i, 2)
+        if (!e.isNullAt(0) && !e.isNullAt(1)) {
+          val b = e.getInt(0)
+          if (b >= 0 && b < width) out(b) += e.getDouble(1).toFloat
+        }
+      }
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
@@ -155,9 +161,13 @@ case class SparseFill(child: Expression, width: Int)
          |float[] $out = new float[$width];
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $e = $a.getStruct($i, 2);
-         |  int $b = $e.getInt(0);
-         |  if ($b >= 0 && $b < $width) $out[$b] += (float) $e.getDouble(1);
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.sql.catalyst.InternalRow $e = $a.getStruct($i, 2);
+         |    if (!$e.isNullAt(0) && !$e.isNullAt(1)) {
+         |      int $b = $e.getInt(0);
+         |      if ($b >= 0 && $b < $width) $out[$b] += (float) $e.getDouble(1);
+         |    }
+         |  }
          |}
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);

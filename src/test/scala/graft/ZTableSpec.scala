@@ -529,11 +529,18 @@ class ZTableSpec extends SparkSpec {
       val ch = FileChannel.open(lockFile, WRITE)
       try
         while (!stop.get) {
-          val fl = ch.tryLock()
-          if (fl != null) {
-            held.incrementAndGet()
-            Thread.sleep(8) // hold long enough for a mutator to collide
-            fl.release()
+          // tryLock THROWS (not null) when a thread of THIS JVM holds
+          // the region — the probe must survive that to keep creating
+          // contention, and the throw itself is contention evidence
+          try {
+            val fl = ch.tryLock()
+            if (fl != null) {
+              held.incrementAndGet()
+              Thread.sleep(8) // hold long enough for a mutator to collide
+              fl.release()
+            }
+          } catch {
+            case _: java.nio.channels.OverlappingFileLockException => ()
           }
           Thread.sleep(2)
         }
@@ -564,6 +571,8 @@ class ZTableSpec extends SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    // fail loudly on timeout rather than racing live mutators below
+    assert(!threads.exists(_.isAlive), "mutator threads still running after 120s")
     stop.set(true)
     probe.join(5000)
     assert(errs.isEmpty, s"concurrent mutation failed: ${errs.peek()}")

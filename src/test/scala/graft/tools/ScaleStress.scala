@@ -176,7 +176,7 @@ object ScaleStress {
           println(f"STRESS clean d7 mult=$mult docs=$nDocs clusters=$d7n time=$d7T%.2fs")
         }
         if (ops("d11")) {
-          val d11n = docs.count()
+          val d11n = nDocs
           val (_, d11T) = timed {
             // noop write, not count(): count() lets Catalyst prune the
             // span-union arithmetic; the sink materializes every column
