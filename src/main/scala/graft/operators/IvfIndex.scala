@@ -164,11 +164,15 @@ object IvfIndex {
     * at 16 cells: target 0.9 → avg recall 0.91/0.93 probing 11-12
     * cells, target 0.8 → 0.78/0.83 probing ~9, at sf0.001/sf0.1;
     * AdaptiveScan is the harness). Clustered real-world embeddings
-    * concentrate harder, so the same beta probes fewer cells there.
-    * Raise beta to probe less aggressively, lower it to be more
-    * conservative; per-query recall varies around the target, as in
-    * any unverified ANN serving path. recallTarget = 1 probes every
-    * cell ⇒ exact. */
+    * concentrate harder, so the same beta probes fewer cells there —
+    * but a beta calibrated for the isotropic worst case stays
+    * CONSERVATIVE on them: measured on a 16-cluster corpus
+    * (STRESS.md #5), beta 5 probed ~10/16 cells where beta 9-12
+    * probed 4-5/16 at recall 1.00. Beta is a corpus-separation
+    * parameter — recalibrate per corpus with AdaptiveScan. Raise beta
+    * to probe less aggressively, lower it to be more conservative;
+    * per-query recall varies around the target, as in any unverified
+    * ANN serving path. recallTarget = 1 probes every cell ⇒ exact. */
   def searchAdaptive(spark: SparkSession, path: String, queryVec: Array[Double],
       k: Int, recallTarget: Double, excludeId: Option[Long] = None,
       beta: Double = 6.0): DataFrame = {

@@ -119,6 +119,43 @@ object ScaleStress {
       .repartition(32).write.mode("overwrite").parquet(out)
   }
 
+  /** CLUSTERED ×M: 16 well-separated hash-gaussian cluster centers;
+    * vec i = normalize(center(i % 16) + 0.5·noise) → intra-cluster
+    * cos ≈ 0.89, cross-cluster ≈ 0 ± 0.13. The FAVORABLE IVF case the
+    * isotropic corpora cannot show — the probe-fraction claim
+    * ("prunes hard on clusterable data") measured, not asserted. */
+  private def embClustered(spark: SparkSession, mult: Int,
+      out: String): Unit = {
+    import spark.implicits._
+    val dim = 64
+    val n = 2000L * mult
+    def u(seed: Column, salt: Int): Column =
+      (pmod(xxhash64(seed, lit(salt)), lit(1000000L)).cast("double") + lit(0.5)) /
+        lit(1000000.0)
+    def gauss(key: Column): Column = {
+      val raw = transform(sequence(lit(0), lit(dim - 1)), i => {
+        val s = concat(key, lit("|"), i.cast("string"))
+        sqrt(lit(-2.0) * log(u(s, 1))) * cos(lit(2.0 * math.Pi) * u(s, 2))
+      })
+      raw
+    }
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        (col("id") % 16).cast("int").as("label"))
+      .withColumn("c", gauss(concat(lit("center|"), col("label").cast("string"))))
+      .withColumn("g", gauss(concat(lit("noise|"), col("vec_id").cast("string"))))
+      // vec = unit(c) + 0.5·unit(g), then unit-normalized
+      .withColumn("cn", sqrt(graft.plans.VectorOps.normSq(col("c").cast("array<float>"))))
+      .withColumn("gn", sqrt(graft.plans.VectorOps.normSq(col("g").cast("array<float>"))))
+      .withColumn("r", zip_with(col("c"), col("g"),
+        (a, b) => a / col("cn") + lit(0.5) * b / col("gn")))
+      .withColumn("rn", sqrt(graft.plans.VectorOps.normSq(col("r").cast("array<float>"))))
+      .select(col("vec_id"),
+        transform(col("r"), x => (x / col("rn")).cast("float")).as("embedding"),
+        col("label"))
+      .repartition(32).write.mode("overwrite").parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -265,6 +302,57 @@ object ScaleStress {
             f"build=$buildT%.2fs serve10=$serveT%.2fs " +
             f"avgCellsProbed=${probed / 10.0}%.1f")
         }
+        }
+
+        // sim14 on a CLUSTERED corpus — the favorable case: probe
+        // fraction should collapse (few cells per query), serving the
+        // recall target from a small slice of the data
+        if (ops("sim14c")) {
+          embClustered(spark, mult, s"$tmp/embK$mult")
+          val embK = spark.read.parquet(s"$tmp/embK$mult")
+          val nK = embK.count()
+          val idx = s"$tmp/ivfK_$mult"
+          val (_, buildT) = timed {
+            IvfIndex.build(embK, "vec_id", "embedding", 16, idx)
+          }
+          val panel = (0L until 10L).toSeq
+          val qvs = embK.where(col("vec_id").isin(panel.map(Long.box): _*))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+            .toMap
+          var probed = 0
+          val (_, serveT) = timed {
+            panel.foreach { qid =>
+              val qv = qvs(qid)
+              probed += IvfIndex.adaptiveProbeCells(idx, qv, 0.95, 5.0)._1.length
+              IvfIndex.searchAdaptive(spark, idx, qv, 10, 0.95,
+                excludeId = Some(qid), beta = 5.0).count()
+            }
+          }
+          println(f"STRESS sim14clustered mult=$mult vecs=$nK cells=16 " +
+            f"build=$buildT%.2fs serve10=$serveT%.2fs " +
+            f"avgCellsProbed=${probed / 10.0}%.1f")
+          // beta sweep: the fixed beta=5 the registered sim14 calibrated
+          // on the near-isotropic testdata over-probes here — measure
+          // the pruning a separation-matched beta unlocks, with recall
+          // asserted against the full probe
+          for (beta <- Seq(9.0, 12.0)) {
+            var probedB = 0
+            var recallSum = 0.0
+            panel.foreach { qid =>
+              val qv = qvs(qid)
+              probedB += IvfIndex.adaptiveProbeCells(idx, qv, 0.95, beta)._1.length
+              val full = IvfIndex.search(spark, idx, qv, 10, 16,
+                  excludeId = Some(qid))
+                .collect().map(_.getAs[Long]("id")).toSet
+              val got = IvfIndex.searchAdaptive(spark, idx, qv, 10, 0.95,
+                  excludeId = Some(qid), beta = beta)
+                .collect().map(_.getAs[Long]("id")).toSet
+              recallSum += (got & full).size / 10.0
+            }
+            println(f"STRESS sim14clustered_beta mult=$mult beta=$beta " +
+              f"avgCellsProbed=${probedB / 10.0}%.1f recall=${recallSum / 10.0}%.2f")
+          }
         }
         spark.catalog.clearCache()
       }
