@@ -356,12 +356,24 @@ object Dedup {
     * whole corpus's (id, shingle-hash) pairs just to build signatures,
     * the dominant exchange at 100 TB. Shingles are still materialized,
     * but only the exact-verify join on the (tiny) candidate set reads
-    * them. */
+    * them.
+    *
+    * `maxDocFreq` DEFAULTS to 500 (matching [[jaccardPairs]]' wrapper
+    * default at the call site below): the 10× adversarial stress
+    * measured the unpruned verify at 204 s where the capped path took
+    * 23 s, so the unguarded behavior is the opt-IN (`maxDocFreq = 0`),
+    * not the default a cold caller walks into. The semantics under the
+    * cap are pruned-Jaccard — documented at the `sh` pruning step — and
+    * are exactly d4's; on every driver SF the cap is dormant (max
+    * shingle df 25 at sf0.1 vs 500 — a dormancy DedupSpec now asserts
+    * per graded SF, so a future SF bump that crosses the threshold
+    * fails a spec instead of silently diverging d2 from its raw-Jaccard
+    * oracle). */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       thrNum: Int, thrDen: Int,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
-      maxDocFreq: Int = 0, maxBucket: Int = 0): DataFrame = {
+      maxDocFreq: Int = 500, maxBucket: Int = 0): DataFrame = {
     val words = split(lower(col(textCol)), " ")
     // band strings emitted by ONE expression evaluation per row —
     // element_at-per-band would let CollapseProject re-evaluate the

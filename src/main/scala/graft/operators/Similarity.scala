@@ -237,6 +237,20 @@ object Similarity {
     * that regime belongs to the cell-blocked contracts ([[semDeDup]]
     * per-cell pairs, [[topK]] bounded heaps, IVF candidates) instead.
     *
+    * That boundary is now a CONTRACT, not a scaladoc warning: every call
+    * prices the requested banding against the corpus size first (the
+    * [[planBanding]] background model, one metadata-cheap `count()`).
+    * A request whose modeled background-candidate mass exceeds
+    * `candidateBudget` either fails fast with the planner's numbers
+    * (default) or — with `autoSize = true` — runs the planner-sized
+    * banding instead, logging the honest predicted recall (which may
+    * fall short of `targetRecall` in the collapsed-ρ regime; the log
+    * and the thrown message both say so, and both name the cell-blocked
+    * alternatives). The registered sim2 banding at driver scale models
+    * ~1.5 M candidates — far inside the default budget — so the guard
+    * is free there; the 60 k-isotropic stress configuration (~1.35e9
+    * modeled, 75 GB spill measured) is exactly what it refuses.
+    *
     * `multiProbe = true` turns on Hamming-1 multiprobe (Lv et al.,
     * VLDB'07): ONE side of the self-join additionally probes the
     * numPlanes buckets one bit-flip away, so a pair collides in a table
@@ -249,10 +263,16 @@ object Similarity {
     * candidate mass either way). */
   def lshNeighborPairsMulti(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, numTables: Int, threshold: Double,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false,
+      candidateBudget: Long = DefaultCandidateBudget,
+      autoSize: Boolean = false,
+      targetRecall: Double = 0.9): DataFrame = {
+    val (planes, tables) = guardBanding("lshNeighborPairsMulti",
+      emb.count(), numPlanes, numTables, threshold, multiProbe,
+      candidateBudget, autoSize, targetRecall)
     val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
       sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
-    val cands = lshCandidates(emb, idCol, vecCol, numPlanes, numTables, multiProbe)
+    val cands = lshCandidates(emb, idCol, vecCol, planes, tables, multiProbe)
     cands
       .join(vecs.select(col("id").as("ida"), col("v").as("va"),
         col("nrm").as("nrm_a")), Seq("ida"))
@@ -640,9 +660,17 @@ object Similarity {
 
   /** LSH-bucketed ANN: group vectors into hyperplane buckets, search
     * candidate pairs only within buckets. Recall < 1 by construction;
-    * SimilaritySpec measures it against the exact pair set. */
+    * SimilaritySpec measures it against the exact pair set. Single-table
+    * variant of [[lshNeighborPairsMulti]]; the same candidate-mass guard
+    * applies (fail-fast only — auto-sizing needs tables to buy recall
+    * back, so infeasible requests are routed to the multi-table entry
+    * point by the error message rather than silently re-planned). */
   def lshNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, threshold: Double): DataFrame = {
+      numPlanes: Int, threshold: Double,
+      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
+    guardBanding("lshNeighborPairs", emb.count(), numPlanes, numTables = 1,
+      threshold, multiProbe = false, candidateBudget,
+      autoSize = false, targetRecall = 0.9)
     val withBucket = emb.select(col(idCol).as("id"),
       toDouble(col(vecCol)).as("v"), lshBucket(col(vecCol), numPlanes).as("bucket"))
     val a = withBucket.select(col("id").as("ida"), col("v").as("va"), col("bucket"))
@@ -777,6 +805,72 @@ object Similarity {
     * the choice. */
   case class BandingPlan(planes: Int, tables: Int,
       predictedRecall: Double, candidatesPerVector: Double)
+
+  /** Default modeled-background-candidate-pair budget for the sign-LSH
+    * pair miners: 2e8 pairs ≈ the candidate mass the 10× stress corpus
+    * (20 k isotropic vectors at the registered banding) carried to
+    * completion, and ~7× under the 1.35e9 that exhausted 75 GB of
+    * spill at 60 k (STRESS.md #4). Sized to admit everything measured
+    * to work and refuse everything measured to die. */
+  val DefaultCandidateBudget: Long = 200000000L
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
+  /** Modeled background candidate-pair mass for a banding: the
+    * [[planBanding]] collision model (per-plane p₀ = ½ at
+    * backgroundCos 0) scaled to all n(n−1)/2 pairs. The quantity the
+    * 30× stress measured agreeing with real `lshCandidates.count()`
+    * within 1.5× (SimilaritySpec) — and the quantity that predicts the
+    * spill wall before the shuffle pays for it. */
+  private[graft] def modeledCandidateMass(n: Long, numPlanes: Int,
+      numTables: Int, multiProbe: Boolean): Double = {
+    val p0 = 0.5
+    val base = math.pow(p0, numPlanes)
+    val t0 = if (multiProbe) base + numPlanes * math.pow(p0, numPlanes - 1) * (1 - p0)
+             else base
+    n * (n - 1) / 2.0 * (1.0 - math.pow(1.0 - t0, numTables))
+  }
+
+  /** The sim2-family admission gate: price the requested banding with
+    * [[modeledCandidateMass]]; within budget → run as requested. Over
+    * budget: `autoSize = true` re-plans via [[planBanding]] (budget
+    * expressed per-vector, honest recall logged — including the
+    * shortfall case where no feasible banding reaches `targetRecall`);
+    * otherwise throw with the planner's numbers so the caller decides,
+    * instead of discovering the wall as executor spill death. Returns
+    * the (planes, tables) actually admitted. */
+  private[graft] def guardBanding(who: String, n: Long,
+      numPlanes: Int, numTables: Int, threshold: Double,
+      multiProbe: Boolean, candidateBudget: Long,
+      autoSize: Boolean, targetRecall: Double): (Int, Int) = {
+    val mass = modeledCandidateMass(n, numPlanes, numTables, multiProbe)
+    if (mass <= candidateBudget) (numPlanes, numTables)
+    else {
+      val perVec = math.max(1.0, 2.0 * candidateBudget / math.max(1L, n))
+      val plan = planBanding(math.max(2L, n), threshold, targetRecall,
+        candidateBudgetPerVector = perVec, multiProbe = multiProbe)
+      val shortfall =
+        if (plan.predictedRecall >= targetRecall) ""
+        else f" (recall SHORTFALL: no banding reaches $targetRecall%.2f inside " +
+          f"the budget at this threshold — the ≥$threshold%.2f pair set is " +
+          "near-quadratic here; prefer a cell-blocked contract: semDeDup " +
+          "per-cell pairs, topK bounded heaps, or IVF candidates)"
+      if (autoSize) {
+        log.warn(f"$who: requested $numPlanes planes × $numTables tables models " +
+          f"$mass%.3g background candidates on n=$n (budget $candidateBudget); " +
+          f"auto-sized to ${plan.planes} × ${plan.tables}, predicted recall " +
+          f"${plan.predictedRecall}%.3f at threshold $threshold$shortfall")
+        (plan.planes, plan.tables)
+      } else throw new IllegalArgumentException(
+        f"$who: $numPlanes planes × $numTables tables on n=$n models " +
+        f"$mass%.3g background candidate pairs — over the $candidateBudget " +
+        f"budget (the measured 75 GB-spill regime, STRESS.md #4). planBanding " +
+        f"sizes ${plan.planes} planes × ${plan.tables} tables inside the budget " +
+        f"with predicted recall ${plan.predictedRecall}%.3f$shortfall; pass " +
+        "autoSize = true to run that plan, raise candidateBudget deliberately, " +
+        "or use a cell-blocked contract.")
+    }
+  }
 
   /** Size a sign-LSH banding for corpus size `n` — the planner the 30×
     * stress run proved necessary (STRESS.md #4: the fixed 6-plane

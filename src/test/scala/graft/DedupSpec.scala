@@ -34,6 +34,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("d2/d4 df-cap dormancy: max shingle doc-frequency stays under 500 at every graded SF") {
+    // The registered d2/d4 run with maxDocFreq = 500 (now also the
+    // library default) under PRUNED-Jaccard semantics, while their
+    // DuckDB oracles compute RAW Jaccard — equal only while the cap is
+    // dormant. This pin turns that equivalence from a comment
+    // ("max df 25 at sf0.1") into a failing spec the moment a data
+    // refresh or SF bump pushes any shingle's df over the cap.
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxDf = Dedup.shingles(graft.Tables.documents(spark, dir),
+          "doc_id", "text", 3)
+        .groupBy(col("sh")).count()
+        .agg(org.apache.spark.sql.functions.max(col("count"))).head.getLong(0)
+      info(s"$dir max shingle df = $maxDf")
+      assert(maxDf <= 500,
+        s"$dir: max shingle df $maxDf crosses the 500 cap — d2/d4 pruned " +
+          "semantics now diverge from their raw-Jaccard oracles; re-derive " +
+          "the cap or update the oracle SQL to prune the same shingles")
+    }
+  }
+
   test("minhash LSH guards: pruned verify equals d4's semantics; maxBucket drops mega-buckets only") {
     // hand corpus: a genuine near-dup pair (0,1) plus a 12-doc mega-
     // cluster of IDENTICAL boilerplate (ids 100..111) whose shingles

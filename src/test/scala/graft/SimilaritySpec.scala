@@ -183,6 +183,65 @@ class SimilaritySpec extends SparkSpec {
       hard.predictedRecall, hard.candidatesPerVector) // exercise ctor
   }
 
+  test("banding guard: the measured spill wall fails fast with the planner's numbers; autoSize completes") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    // the exact stress-crash configuration (60k isotropic @ 6 planes /
+    // 12 tables multiprobe, STRESS.md #4) models ~1.35e9 candidates —
+    // over the default budget, so the gate must refuse it outright
+    val wallMass = Similarity.modeledCandidateMass(60000L, 6, 12, multiProbe = true)
+    assert(wallMass > Similarity.DefaultCandidateBudget,
+      f"wall no longer over budget: $wallMass%.3g")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.guardBanding("spec", 60000L, 6, 12, 0.3,
+        multiProbe = true, Similarity.DefaultCandidateBudget,
+        autoSize = false, targetRecall = 0.9)
+    }
+    assert(ex.getMessage.contains("planes"), ex.getMessage)
+    assert(ex.getMessage.contains("predicted recall"), ex.getMessage)
+    // ...while the registered sim2 banding at every driver SF (n ≤ 2000)
+    // is far inside the budget: guard admits it unchanged, no re-plan
+    assert(Similarity.guardBanding("spec", 2000L, 6, 12, 0.3,
+      multiProbe = true, Similarity.DefaultCandidateBudget,
+      autoSize = false, targetRecall = 0.9) == (6, 12))
+    // the collapsed-ρ regime (1e9 vectors, threshold 0.3) has no
+    // feasible banding — the refusal must SAY so, naming the
+    // cell-blocked alternatives, not just quote a plan
+    val exHard = intercept[IllegalArgumentException] {
+      Similarity.guardBanding("spec", 1000000000L, 6, 12, 0.3,
+        multiProbe = true, candidateBudget = 16000000000L,
+        autoSize = false, targetRecall = 0.9)
+    }
+    assert(exHard.getMessage.contains("SHORTFALL"), exHard.getMessage)
+    assert(exHard.getMessage.contains("cell-blocked"), exHard.getMessage)
+    // end-to-end on the REAL corpus with a budget squeezed below its
+    // modeled mass: the raw request throws; autoSize re-plans through
+    // planBanding (feasible here: ~2× per-vector headroom → a tame
+    // higher-selectivity banding), completes, and still emits only
+    // true pairs
+    val n = emb.count()
+    val mass = Similarity.modeledCandidateMass(n, 6, 12, multiProbe = true)
+    val tinyBudget = (mass / 2).toLong
+    intercept[IllegalArgumentException] {
+      Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
+        6, 12, 0.3, multiProbe = true, candidateBudget = tinyBudget)
+    }
+    val sized = Similarity.lshNeighborPairsMulti(emb, "vec_id", "embedding",
+      6, 12, 0.3, multiProbe = true, candidateBudget = tinyBudget,
+      autoSize = true)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sized.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "auto-sized banding emitted nothing")
+    assert(got.subsetOf(exact), "auto-sized banding emitted false pairs")
+    // the single-table variant shares the gate (fail-fast only)
+    intercept[IllegalArgumentException] {
+      Similarity.lshNeighborPairs(emb, "vec_id", "embedding", 2, 0.3,
+        candidateBudget = 100L)
+    }
+  }
+
   test("semDeDup: one keeper per near-dup group, witnesses check out, outliers survive") {
     // two tight direction groups + a diagonal outlier; k=2 spherical
     // cells separate the groups, τ=0.95 prunes within them
