@@ -34,8 +34,27 @@ object Graph {
     *   r'(v) = (15·Scale) div (100·N)  +  (85 · Σ_{u~v} r(u) div deg(u)) div 100.
     * `edges` needs `src`/`dst` long columns with DISJOINT id spaces on
     * the two sides or pre-deduplicated pairs (reversal must not create
-    * duplicate edges). Returns (id, r) with r in Scale units. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    * duplicate edges). Returns (id, r) with r in Scale units.
+    *
+    * Each round's rank table is PINNED (reliable `checkpoint` when
+    * `checkpointDir` is set, `localCheckpoint` otherwise — the same
+    * discipline as [[kcore]] and [[Dedup.components]]), so the plan
+    * depth is CONSTANT in `iters` instead of a nested 3·iters-join
+    * tower: Catalyst optimization time stays flat, and on a real
+    * cluster a reliable dir makes an executor loss mid-iteration
+    * recoverable instead of a full-lineage recompute back to the scan.
+    * The returned frame is the final pin — node-sized, already
+    * materialized; `nodes`/`withDeg` caches are released before
+    * returning, so the only residue is the result's own blocks (the
+    * caller frees them with `unpersist()`). */
+  def pagerank(edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def unpin(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) df.unpersist()
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct().persist()
@@ -43,19 +62,25 @@ object Graph {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = sym.join(deg, "src").persist()
     val base = (15L * Scale) / (100L * n)
-    var ranks = nodes.select(col("id"), lit(Scale / n).as("r"))
+    var ranks = pin(nodes.select(col("id"), lit(Scale / n).as("r")))
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks, col("src") === col("id"))
         .select(col("dst").as("cid"), expr("r div deg").as("c"))
         .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
-      ranks = nodes
+      val next = pin(nodes
         .join(contrib, col("id") === col("cid"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r")))
+      // next is materialized by pin(), so the previous round's blocks
+      // are dead weight — only the final round's pin survives the loop
+      unpin(ranks)
+      ranks = next
     }
-    // nodes/withDeg stay cached: ranks is lazy, so an eager unpersist
-    // here would drop them before the caller ever runs the plan
+    // the final pin is self-contained (checkpoint files / local blocks),
+    // so the loop caches can be released eagerly — no lazy-plan hazard
+    withDeg.unpersist()
+    nodes.unpersist()
     ranks
   }
 
@@ -146,27 +171,20 @@ object Graph {
       alive = next
       aliveN = n
     }
-    // materialize the NODE-sized output, then release every loop cache
-    // (sym — edge-sized — plus nodes and the final survivor pin): only
-    // the output's own cache survives this call, the same node-sized
-    // residue components leaves in its returned labeling. Recomputing
-    // nodes from edges instead would re-scan the edge list on every
-    // downstream action (measured 1.25× on g3).
-    val out = nodes
+    // materialize the NODE-sized output through its OWN pin — a lineage
+    // cut, so out's blocks no longer run through the final survivor's
+    // localCheckpoint blocks and every loop cache (edge-sized sym,
+    // nodes, the last survivor pin) can be released right here. The
+    // only residue is the result itself, node-sized, and the caller
+    // frees it with out.unpersist() — no per-call accumulation.
+    // Recomputing nodes from edges instead would re-scan the edge list
+    // on every downstream action (measured 1.25× on g3).
+    val out = pin(nodes
       .join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core"))
-      .persist()
-    out.count()
+      .select(col("id"), coalesce(col("in_core"), lit(false)).as("in_core")))
     sym.unpersist()
     nodes.unpersist() // plain persist: lineage back to edges recomputes fine
-    // The final survivor pin stays ALIVE in the local-checkpoint path:
-    // out's lineage runs through alive's localCheckpoint blocks, and
-    // those blocks are unrecomputable — dropping them here would turn a
-    // later executor loss on one of out's cached partitions into a
-    // missing-checkpoint-block failure instead of a recompute. The
-    // residue is node-sized (the same residue components leaves). With
-    // a reliable checkpointDir the files persist anyway and unpin is a
-    // no-op by construction.
+    if (alive ne nodes) unpin(alive)
     out
   }
 

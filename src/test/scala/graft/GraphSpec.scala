@@ -118,6 +118,27 @@ class GraphSpec extends SparkSpec {
     assert(core.filter(_._2).keySet == alive)
   }
 
+  test("pagerank plan depth is constant in iters (per-round lineage truncation)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    def depth(iters: Int): Int = {
+      val out = Graph.pagerank(edges, iters)
+      val d = out.queryExecution.optimizedPlan.collect { case p => p }.size
+      out.unpersist()
+      d
+    }
+    // each round is pinned, so the returned plan is a scan of the final
+    // pin — identical shape whether the loop ran 2 rounds or 8
+    assert(depth(2) == depth(8))
+    // reliable-checkpoint path matches the local-path result exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_")
+    val local = Graph.pagerank(edges, iters = 3)
+    val ck = Graph.pagerank(edges, iters = 3, checkpointDir = Some(dir.toString))
+    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .sameElements(ck.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    local.unpersist(); ck.unpersist()
+  }
+
   test("pagerank conserves mass up to integer-division dust") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)

@@ -312,4 +312,70 @@ class PlanSpec extends SparkSpec {
     assert(dim.queryExecution.analyzed.toString.contains("ResolvedHint"),
       dim.queryExecution.analyzed.toString)
   }
+
+  test("w3: daily rollup aggregates partially; one hash exchange feeds the global frame") {
+    // r6→r7 driver tails wobbled 1.18-1.23× on this family with the code
+    // untouched — pin the shape so a REAL drift (lost map-side combine,
+    // an extra shuffle sneaking in) fails CI instead of a bench ratio
+    val p = executed(Windows.windowMoving(spark, sf001))
+    val s = p.toString
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s) // partial + final daily agg
+    assert(shuffles(p) <= 2, s) // daily-agg key exchange + output ORDER BY
+    assert(s.contains("Window"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("w4: overlapping windows expand map-side; one agg exchange + one output sort") {
+    val p = executed(Windows.slidingWindow(spark, sf001))
+    val s = p.toString
+    // the 4-fold window overlap must be an Expand projection (map-side),
+    // never a join against a generated window table
+    assert(s.contains("Expand"), s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+    assert(shuffles(p) == 2, s)
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("z1b: clusterBy compaction rewrites as one Morton-key range exchange + in-partition sort") {
+    // the rewrite plan lives inside ZTable.compact — capture it with a
+    // QueryExecutionListener and pin: one range exchange on z__, a sort,
+    // and NO hash shuffle (the layout job must stay a linear rewrite)
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val path = java.nio.file.Files.createTempDirectory("graft_z1b_plan_").toString + "/t"
+      val t = graft.sources.ZTable.create(spark, path,
+        graft.sources.ZTableSpec(strictOrder = false))
+      t.append(graft.Tables.events(spark, sf001))
+      t.compact(clusterBy = Seq("user_id"))
+      // listener delivery is async — poll for the rewrite plans
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      def rewritePlans(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.toSeq.filter(_.contains("z__"))
+      }
+      while (rewritePlans().isEmpty && System.nanoTime < deadline) Thread.sleep(100)
+      val plans = rewritePlans()
+      assert(plans.nonEmpty, s"no rewrite plan captured (${captured.size()} plans seen)")
+      plans.foreach { full =>
+        // AQE's toString repeats the tree under "== Initial Plan ==" —
+        // pin only the final plan section
+        val s = full.split("== Initial Plan ==").head
+        // nOut files → rangepartitioning(z__, nOut); at test SF nOut=1
+        // and repartitionByRange legitimately collapses to a single
+        // partition — either way exactly ONE exchange, never a hash one
+        val exchanges = "Exchange (range|hash)partitioning|Exchange SinglePartition"
+          .r.findAllIn(s).toSeq
+        assert(exchanges.length == 1 && !exchanges.head.contains("hash"), s)
+        assert("Sort \\[z__".r.findFirstIn(s).isDefined, s)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
