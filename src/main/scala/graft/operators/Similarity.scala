@@ -506,11 +506,39 @@ object Similarity {
           while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
           s
         }
+        // running min-distance-to-chosen per candidate, updated
+        // O(pool·dim) per round — the whole selection is k·8k·dim
+        // flops, not the k²·8k·dim a recompute-per-round would cost.
+        // Zero-distance candidates (already chosen, or exact dups of a
+        // chosen vector) are skipped: a duplicate centroid IS the
+        // empty-post-Lloyd cell this init exists to avoid.
+        val minD = Array.fill(pool.length)(Double.MaxValue)
+        val taken = Array.fill(pool.length)(false)
+        taken(0) = true
         val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
-        while (chosen.size < k && chosen.size < pool.length) {
-          val next = pool.maxBy(v => chosen.map(c => d2(v, c)).min)
-          chosen += next
+        var exhausted = false
+        while (chosen.size < k && !exhausted) {
+          var i = 0
+          while (i < pool.length) {
+            if (!taken(i)) {
+              val d = d2(pool(i), chosen.last)
+              if (d < minD(i)) minD(i) = d
+            }
+            i += 1
+          }
+          var best = -1; var bestD = 0.0
+          i = 0
+          while (i < pool.length) {
+            if (!taken(i) && minD(i) > bestD) { best = i; bestD = minD(i) }
+            i += 1
+          }
+          if (best < 0) exhausted = true // < k distinct vectors in pool
+          else { taken(best) = true; chosen += pool(best) }
         }
+        // degenerate corpus (< k distinct candidates): keep the k-arity
+        // contract by repeating — Lloyd then leaves empty cells, which
+        // the caller's cells_ok gate reports rather than hides
+        while (chosen.size < k) chosen += chosen.last
         chosen.toArray
       case _ =>
         val seed = base.orderBy(xxhash64(col("id")), col("id"))

@@ -160,6 +160,20 @@ private[graft] object SigEval {
   def coeffB(numHashes: Int): Array[Long] =
     Array.tabulate(numHashes)(j =>
       java.lang.Math.floorMod(splitmix(0x5DEECE66DL + j), PRIME))
+
+  /** Stable identifier of a persisted signature configuration. Derived
+    * from the ACTUAL multiplier values, so any change to the coefficient
+    * scheme (like the round-7 `2j+1` → splitmix fix above) changes the
+    * id automatically — there is no manual version constant to forget to
+    * bump. Cross-batch state (e.g. streaming near-dup band rows) stamps
+    * this id and refuses to mix families: estJaccard between signatures
+    * from different families is ~random, so a silent mix doesn't fail —
+    * it just stops matching. */
+  def hashFamilyId(shingleN: Int, numHashes: Int, bands: Int): String = {
+    val mix = (coeffA(numHashes) ++ coeffB(numHashes))
+      .foldLeft(numHashes.toLong)((acc, x) => splitmix(acc ^ x))
+    f"mh$shingleN%d-$numHashes%d-$bands%d-$mix%016x"
+  }
 }
 
 /** MinHash signature over word n-grams: array of `numHashes` universal-

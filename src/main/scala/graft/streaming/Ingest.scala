@@ -484,13 +484,45 @@ object Ingest {
     * written with overwrite semantics, so a replay of a failed batch
     * fully supersedes the earlier attempt — no duplicated kept rows,
     * no double-counted state (the [[appendNativeIdempotent]]
-    * discipline). */
+    * discipline).
+    *
+    * The state dir is STAMPED with [[graft.plans.SigEval.hashFamilyId]]
+    * (derived from the actual minhash multipliers + signature shape) on
+    * first write, and every later batch fails fast on mismatch: a
+    * coefficient change — like the round-7 hash-family fix — makes old
+    * and new signatures incomparable (estJaccard across families is
+    * ~random), so without the stamp cross-batch matches would silently
+    * stop firing instead of erroring. Changing the coefficients, the
+    * shingle width, numHashes, or bands is a STATE-BREAKING change:
+    * rebuild the state dir from the kept corpus when upgrading. */
   def nearDupBatch(batch: DataFrame, idCol: String, textCol: String,
       stateDir: String, outDir: String, batchId: Long = 0L,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tauNum: Int = 7, tauDen: Int = 10): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    locally {
+      val familyId = graft.plans.SigEval.hashFamilyId(shingleN, numHashes, bands)
+      val stateP = java.nio.file.Paths.get(stateDir)
+      val famFile = stateP.resolve("_hash_family")
+      if (java.nio.file.Files.exists(famFile)) {
+        val stored = java.nio.file.Files.readString(famFile).trim
+        if (stored != familyId)
+          throw new IllegalStateException(
+            s"nearDupBatch: state at $stateDir was written by hash family " +
+            s"'$stored' but this build computes '$familyId' — signatures are " +
+            "incomparable across families, so cross-batch near-dup matches " +
+            "would silently stop firing. Rebuild the state dir (re-sign the " +
+            "kept corpus) or run with the original signature parameters.")
+      } else {
+        java.nio.file.Files.createDirectories(stateP)
+        val tmp = famFile.resolveSibling("_hash_family.tmp")
+        java.nio.file.Files.writeString(tmp, familyId)
+        java.nio.file.Files.move(tmp, famFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     val br = Dedup.bandRows(batch, idCol, textCol, shingleN, numHashes, bands)
       .persist()
     val intraDup = br.select(col("band"), col("bhash"), col("id").as("idb"),

@@ -717,6 +717,26 @@ class SimilaritySpec extends SparkSpec {
     assert(bytes(quant) < bytes(full) * 0.6, s"${bytes(quant)} vs ${bytes(full)}")
   }
 
+  test("hash init picks k DISTINCT centroids on a duplicate-heavy corpus") {
+    // 4 distinct vectors, each duplicated 50× — the recompute-era init
+    // could re-select an already-chosen vector (distance-0 candidate)
+    // and seed duplicate centroids, the empty-cell failure the
+    // oversampled selection exists to avoid
+    import spark.implicits._
+    val distinct = Seq(
+      Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f),
+      Array(0.7f, 0.7f, 0f))
+    val emb = (0 until 200).map(i => (i.toLong, distinct(i % 4).toSeq))
+      .toDF("vec_id", "embedding")
+    val (seeds, _) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 4, iters = 1, init = "hash")
+    assert(seeds.map(_.toSeq).distinct.length == 4, seeds.map(_.toSeq).toSeq)
+    // fewer distinct vectors than k: arity contract holds (pads), no crash
+    val (seeds6, _) = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 6, iters = 1, init = "hash")
+    assert(seeds6.length == 6 && seeds6.map(_.toSeq).distinct.length == 4)
+  }
+
   test("kmeans matches a driver-side reference implementation (sf0.001)") {
     // Dual-path gate (the repo's pattern for non-SQL-expressible ops):
     // the distributed spherical k-means — farthest-point init, map-side

@@ -536,6 +536,33 @@ class StreamingSpec extends SparkSpec {
     assert(dupRows == 0L, "replay must not duplicate kept rows")
   }
 
+  test("near-dup state dir is stamped with the hash family; mismatch fails fast") {
+    val docs = Seq(StreamDoc(1L, "alpha beta gamma delta epsilon zeta"),
+      StreamDoc(2L, "eta theta iota kappa lambda mu"))
+    val stateDir = Files.createTempDirectory("neardup_fam_").toString + "/st"
+    val outDir = Files.createTempDirectory("neardup_famout_").toString + "/out"
+    Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 0L)
+    val famFile = java.nio.file.Paths.get(stateDir, "_hash_family")
+    val stamped = java.nio.file.Files.readString(famFile).trim
+    assert(stamped == graft.plans.SigEval.hashFamilyId(3, 64, 16), stamped)
+    // same family: next batch proceeds
+    Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 1L)
+    // a DIFFERENT signature shape is a different family — fail fast
+    // rather than silently matching nothing across batches
+    val e = intercept[IllegalStateException] {
+      Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 2L,
+        numHashes = 32)
+    }
+    assert(e.getMessage.contains("hash family"), e.getMessage)
+    // a state dir written by retired coefficients (simulated by editing
+    // the stamp) is refused the same way
+    java.nio.file.Files.writeString(famFile, "mh3-64-16-deadbeefdeadbeef")
+    val e2 = intercept[IllegalStateException] {
+      Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 2L)
+    }
+    assert(e2.getMessage.contains("incomparable"), e2.getMessage)
+  }
+
   test("streaming rollup sink maintains the aggregate; replays are no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
