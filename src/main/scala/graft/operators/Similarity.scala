@@ -467,10 +467,19 @@ object Similarity {
     * init — the sim7 gate's distributed sse_ok flag. */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, spherical: Boolean = true,
-      init: String = "farthest")
+      init: String = "farthest",
+      onRound: (Int, Double) => Unit = (_, _) => ())
       : (Array[Array[Double]], Array[Array[Double]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // onRound(0, s) reports the init scan, onRound(i, s) Lloyd round i —
+    // the hook the build-path scale stress reads; a no-op by default
+    def rounded[T](r: Int)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      onRound(r, (System.nanoTime() - t0) / 1e9)
+      out
+    }
     def unit(c: Array[Double]): Array[Double] = {
       var n = 0.0
       c.foreach(x => n += x * x)
@@ -487,7 +496,7 @@ object Similarity {
       c.foreach(x => cn += x * x)
       col("vnormsq") - lit(2.0) * VectorOps.dot(col("vf"), typedlit(c)) + lit(cn)
     }
-    var cs: Array[Array[Double]] = init match {
+    var cs: Array[Array[Double]] = rounded(0) { init match {
       case "hash" =>
         // k-means||-style oversampled seeding in ONE job: TakeOrdered
         // pulls 8k hash-chosen candidates (bounded driver state —
@@ -551,9 +560,9 @@ object Similarity {
           cents += next
         }
         cents.toArray
-    }
+    } }
     val seeds = cs.map(_.clone())
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) rounded(r) {
       val byCell = kmeansAssign(base.drop("id"), "vf", cs)
         .select(col("cell"), col("vf")).as[(Int, Array[Float])]
         .groupByKey(_._1)

@@ -238,7 +238,7 @@ object ScaleStress {
         }
 
         // ---- embeddings ----
-        if (!ops("sim2") && !ops("sim14")) { /* skip the build too */ }
+        if (!ops("sim2") && !ops("sim14") && !ops("sim6b")) { /* skip the build too */ }
         else {
         val emb: DataFrame =
           if (mult == 1) Tables.embeddings(spark, base)
@@ -274,6 +274,25 @@ object ScaleStress {
               multiProbe = true).count()
           }
           println(f"STRESS sim2scaled mult=$mult vecs=$nVecs pairs=$s2bOut time=$s2bT%.2fs")
+          spark.catalog.clearCache()
+        }
+
+        // sim6b — the k-means BUILD path (hash-oversampled farthest
+        // init + Lloyd rounds of map-side argmin assignment + typed-agg
+        // centroid update), the loop a 100 TB index build exercises
+        // FIRST. k scales with √N (the standard nlist rule), so per-
+        // round cost is O(N·k·dim) flops + a k-row collect: rounds
+        // should grow ~√mult-fold beyond the corpus mult. Round 0 is
+        // the init (one TakeOrdered scan + driver selection).
+        if (ops("sim6b")) {
+          val k = math.max(16, math.round(16 * math.sqrt(mult.toDouble)).toInt)
+          val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+          val (_, bT) = timed {
+            Similarity.kmeansFit(emb, "vec_id", "embedding", k, iters = 4,
+              init = "hash", onRound = (r, s) => rounds += (r -> s))
+          }
+          val per = rounds.map { case (r, s) => f"r$r=$s%.2f" }.mkString(" ")
+          println(f"STRESS sim6b mult=$mult vecs=$nVecs k=$k total=$bT%.2fs $per")
           spark.catalog.clearCache()
         }
 
@@ -370,6 +389,75 @@ object ScaleStress {
           }
         }
         spark.catalog.clearCache()
+
+        // ---- streaming rehearsal (round-7 judge stretch item) ----
+        // Replay the CLEAN ×mult corpus through the two streaming
+        // surfaces with a file-source rate limit (2 files/trigger → 8
+        // micro-batches), measuring what the specs never do: sustained
+        // rows/s and the on-disk state footprint per batch.
+        //  - curateStream is stateless (one map per batch): rows/s is
+        //    the per-executor curation ceiling.
+        //  - nearDupStream keeps parquet-table band-row state: each
+        //    batch joins against ALL prior batches' state, so the
+        //    per-batch state dirs must grow linearly (bounded by docs
+        //    signed, never by pairs) and throughput must not collapse
+        //    across batches.
+        if (ops("stream1") && mult > 1) {
+          val docsPath = s"$tmp/docsC$mult"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath)))
+            docsClean(spark, base, mult, docsPath)
+          val srcDir = s"$tmp/streamSrc$mult"
+          spark.read.parquet(docsPath).select("doc_id", "text")
+            .repartition(16).write.mode("overwrite").parquet(srcDir)
+          val schema = spark.read.parquet(srcDir).schema
+          def src() = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(srcDir)
+          val nIn = spark.read.parquet(srcDir).count()
+          // curate: stateless throughput
+          val curOut = s"$tmp/curOut$mult"
+          val (_, curT) = timed {
+            val q = graft.streaming.Ingest.curateStream(src())
+              .writeStream.format("parquet")
+              .option("path", curOut)
+              .option("checkpointLocation", s"$tmp/curCk$mult")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          val nCur = spark.read.parquet(curOut).count()
+          println(f"STRESS stream1curate mult=$mult docs=$nIn kept=$nCur " +
+            f"time=$curT%.2fs rows_per_s=${nIn / curT}%.0f")
+          // near-dup: stateful cross-batch filter
+          val stDir = s"$tmp/ndState$mult"
+          val ndOut = s"$tmp/ndOut$mult"
+          val (_, ndT) = timed {
+            val q = graft.streaming.Ingest.nearDupStream(src(), "doc_id",
+              "text", stDir, ndOut, s"$tmp/ndCk$mult")
+            q.awaitTermination()
+          }
+          val nKept = spark.read.option("recursiveFileLookup", "true")
+            .parquet(ndOut).count()
+          val stateDirs = {
+            val s = java.nio.file.Files.list(java.nio.file.Paths.get(stDir))
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+                .toSeq.sortBy(_.getFileName.toString.stripPrefix("b").toLong)
+            } finally s.close()
+          }
+          val perBatchMb = stateDirs.map { d =>
+            val w = java.nio.file.Files.walk(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+                .map(java.nio.file.Files.size).sum / 1e6
+            } finally w.close()
+          }
+          println(f"STRESS stream1neardup mult=$mult docs=$nIn kept=$nKept " +
+            f"time=$ndT%.2fs rows_per_s=${nIn / ndT}%.0f " +
+            f"batches=${stateDirs.size} " +
+            s"stateMB=[${perBatchMb.map(m => f"$m%.1f").mkString(",")}]")
+        }
       }
     } finally spark.stop()
   }
