@@ -46,24 +46,38 @@ object Graph {
     * The returned frame is the final pin — node-sized, already
     * materialized; `nodes`/`withDeg` caches are released before
     * returning, so the only residue is the result's own blocks (the
-    * caller frees them with `unpersist()`). */
+    * caller frees them with `unpersist()`).
+    *
+    * `onRound(0, s)` reports the setup scan (symmetrize + node count +
+    * initial pin), `onRound(i, s)` iteration i — the hook the graph
+    * scale stress reads (kmeansFit's discipline); a no-op by default. */
   def pagerank(edges: DataFrame, iters: Int,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def unpin(df: DataFrame): Unit =
       if (checkpointDir.isEmpty) df.unpersist()
+    def rounded[T](r: Int)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      onRound(r, (System.nanoTime() - t0) / 1e9)
+      out
+    }
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct().persist()
-    val n = nodes.count()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = sym.join(deg, "src").persist()
-    val base = (15L * Scale) / (100L * n)
-    var ranks = pin(nodes.select(col("id"), lit(Scale / n).as("r")))
-    for (_ <- 1 to iters) {
+    val (n, withDeg, base, ranks0) = rounded(0) {
+      val n = nodes.count()
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = sym.join(deg, "src").persist()
+      val base = (15L * Scale) / (100L * n)
+      (n, withDeg, base, pin(nodes.select(col("id"), lit(Scale / n).as("r"))))
+    }
+    var ranks = ranks0
+    for (r <- 1 to iters) rounded(r) {
       val contrib = withDeg
         .join(ranks, col("src") === col("id"))
         .select(col("dst").as("cid"), expr("r div deg").as("c"))
@@ -127,10 +141,13 @@ object Graph {
     * loss mid-fixpoint kills the job on a real cluster); `maxRounds`
     * turns a convergence regression into a clear error.
     *
-    * Returns every node of the graph with an `in_core` flag. */
+    * Returns every node of the graph with an `in_core` flag.
+    * `onRound(i, s)` reports peel round i's wall (the graph scale
+    * stress's hook; no-op by default). */
   def kcore(edges: DataFrame, k: Int,
       checkpointDir: Option[String] = None,
-      maxRounds: Int = 100): DataFrame = {
+      maxRounds: Int = 100,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
@@ -155,6 +172,7 @@ object Graph {
         throw new IllegalStateException(
           s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
           "exceeds the bound — raise maxRounds)")
+      val roundT0 = System.nanoTime()
       val next = pin(sym
         .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
         .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
@@ -170,6 +188,7 @@ object Graph {
       converged = n == aliveN
       alive = next
       aliveN = n
+      onRound(rounds, (System.nanoTime() - roundT0) / 1e9)
     }
     // materialize the NODE-sized output through its OWN pin — a lineage
     // cut, so out's blocks no longer run through the final survivor's

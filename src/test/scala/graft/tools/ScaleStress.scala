@@ -458,6 +458,133 @@ object ScaleStress {
             f"batches=${stateDirs.size} " +
             s"stateMB=[${perBatchMb.map(m => f"$m%.1f").mkString(",")}]")
         }
+
+        // ---- graph family (round-8: the last unmeasured iterative
+        // posture). CLEAN ×M purchase-graph copies (disjoint id spaces,
+        // identical per-copy structure): per-round pagerank wall must be
+        // FLAT across rounds (the lineage-truncation contract — before
+        // the round-8 pin the plan deepened 3 joins per iteration) and
+        // linear in M; kcore's peel depth must not grow with M. ----
+        if ((ops("g1x") || ops("g3x")) && mult >= 1) {
+          val edgesPath = s"$tmp/edges$mult"
+          if (!Files.exists(java.nio.file.Paths.get(edgesPath))) {
+            val ord = Tables.orders(spark, base)
+              .select(col("o_orderkey"), col("o_custkey"))
+            val li = Tables.lineitem(spark, base)
+              .select(col("l_orderkey"), col("l_suppkey"))
+            val baseEdges = ord
+              .join(li, col("l_orderkey") === col("o_orderkey"))
+              .select(col("o_custkey").as("src"),
+                (col("l_suppkey") + 1000000L).as("dst"))
+              .distinct()
+            (0 until mult).map { j =>
+              if (j == 0) baseEdges
+              else baseEdges.select(
+                (col("src") + lit(j * 100000000L)).as("src"),
+                (col("dst") + lit(j * 100000000L)).as("dst"))
+            }.reduce(_ unionAll _)
+              .repartition(32).write.mode("overwrite").parquet(edgesPath)
+          }
+          val edges = spark.read.parquet(edgesPath)
+          val nE = edges.count()
+          if (ops("g1x")) {
+            val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+            val (_, prT) = timed {
+              val pr = graft.operators.Graph.pagerank(edges, iters = 10,
+                onRound = (r, s) => rounds += (r -> s))
+              pr.count()
+              pr.unpersist()
+            }
+            val per = rounds.map { case (r, s) => f"r$r=$s%.2f" }.mkString(" ")
+            println(f"STRESS g1x mult=$mult edges=$nE iters=10 total=$prT%.2fs $per")
+          }
+          if (ops("g3x")) {
+            val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+            val (inCore, kcT) = timed {
+              val kc = graft.operators.Graph.kcore(
+                edges.select(col("src").as("a"), col("dst").as("b")), k = 5,
+                onRound = (r, s) => rounds += (r -> s))
+              val s = kc.where(col("in_core")).count()
+              kc.unpersist()
+              s
+            }
+            val per = rounds.map { case (r, s) => f"r$r=$s%.2f" }.mkString(" ")
+            println(f"STRESS g3x mult=$mult edges=$nE in_core=$inCore " +
+              f"rounds=${rounds.size} total=$kcT%.2fs $per")
+          }
+          spark.catalog.clearCache()
+        }
+
+        // ---- g2x: triangle counting under a HUB (the skew case the
+        // degree-oriented variant exists for). Background: 2n ids,
+        // 16n hash edges; hub at the MIDDLE id with degree 2000·M —
+        // the id-ordered wedge formulation pays deg⁻·deg⁺ ≈ deg²/4
+        // wedges at the hub (its blind spot: id order is a FIXED
+        // orientation, and a mid-id hub has lower and higher
+        // neighbors), while degree orientation directs every hub edge
+        // TOWARD the hub, zeroing its wedge fan-out. Plain runs at
+        // mult ≤ 10 (1e8 hub wedges); at 30× only oriented is
+        // feasible — which is the measurement. ----
+        if (ops("g2x")) {
+          val nBg = 2000L * mult
+          val hubDeg = 2000 * mult
+          val hubId = nBg // middle of the [0, 2n) id space
+          val bg = spark.range(16L * nBg).select(
+              pmod(xxhash64(col("id"), lit("gu")), lit(2 * nBg)).as("u"),
+              pmod(xxhash64(col("id"), lit("gv")), lit(2 * nBg)).as("v"))
+            .where(col("u") =!= col("v"))
+            .select(least(col("u"), col("v")).as("a"),
+              greatest(col("u"), col("v")).as("b"))
+          val hub = spark.range(2 * nBg)
+            .where(col("id") =!= hubId)
+            .orderBy(xxhash64(col("id"), lit("hub-pick")), col("id"))
+            .limit(hubDeg)
+            .select(least(col("id"), lit(hubId)).as("a"),
+              greatest(col("id"), lit(hubId)).as("b"))
+          val skew = bg.unionAll(hub).distinct()
+            .repartition(32).persist()
+          val nSkew = skew.count()
+          // wedge volumes, computed from degree tables (the work each
+          // formulation's first join materializes)
+          val plainW = skew.select(col("a").as("y"), lit(1).as("o"), lit(0).as("i"))
+            .unionAll(skew.select(col("b").as("y"), lit(0).as("o"), lit(1).as("i")))
+            .groupBy("y").agg(sum(col("i")).as("di"), sum(col("o")).as("dout"))
+            .select(sum(col("di") * col("dout")).as("w"))
+            .head.getLong(0)
+          val orientW = {
+            val deg = skew.select(col("a").as("n")).unionAll(skew.select(col("b").as("n")))
+              .groupBy("n").agg(count(lit(1)).as("d"))
+            val oriented = skew
+              .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+              .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+              .select(when(col("da") < col("db") ||
+                  (col("da") === col("db") && col("a") < col("b")), col("a"))
+                .otherwise(col("b")).as("t"))
+            oriented.groupBy("t").agg(count(lit(1)).as("d"))
+              .select(sum(expr("d * (d - 1) DIV 2")).as("w"))
+              .head.getLong(0)
+          }
+          var plainN = -1L
+          var plainT = -1.0
+          if (mult <= 10) {
+            val (n0, t0) = timed {
+              graft.operators.Graph.triangleCount(skew)
+                .head.getLong(1)
+            }
+            plainN = n0; plainT = t0
+          }
+          val (orN, orT) = timed {
+            graft.operators.Graph.triangleCountOriented(skew)
+              .head.getLong(1)
+          }
+          val agree = if (plainN >= 0) s" agree=${plainN == orN}" else ""
+          println(f"STRESS g2x mult=$mult edges=$nSkew hubDeg=$hubDeg " +
+            f"plainWedges=$plainW orientedWedges=$orientW " +
+            f"plain=${if (plainT >= 0) f"$plainT%.2fs" else "SKIPPED"} " +
+            f"tris=$orN oriented=$orT%.2fs$agree")
+          skew.unpersist()
+          spark.catalog.clearCache()
+        }
       }
     } finally spark.stop()
   }
