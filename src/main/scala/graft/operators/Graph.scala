@@ -36,13 +36,22 @@ object Graph {
     * the two sides or pre-deduplicated pairs (reversal must not create
     * duplicate edges). Returns (id, r) with r in Scale units.
     *
-    * Each round's rank table is PINNED (reliable `checkpoint` when
-    * `checkpointDir` is set, `localCheckpoint` otherwise — the same
-    * discipline as [[kcore]] and [[Dedup.components]]), so the plan
-    * depth is CONSTANT in `iters` instead of a nested 3·iters-join
-    * tower: Catalyst optimization time stays flat, and on a real
-    * cluster a reliable dir makes an executor loss mid-iteration
+    * Rank lineage is TRUNCATED every `pinEvery` rounds (reliable
+    * `checkpoint` when `checkpointDir` is set, `localCheckpoint`
+    * otherwise — the same discipline as [[kcore]] and
+    * [[Dedup.components]]), plus always after the final round, so plan
+    * depth is BOUNDED by 3·pinEvery joins no matter how many
+    * iterations run: Catalyst optimization time stays flat, and on a
+    * real cluster a reliable dir makes an executor loss mid-iteration
     * recoverable instead of a full-lineage recompute back to the scan.
+    * A pin is an EAGER materialization (one job + block write), so
+    * pinning every round taxes short runs where lazy chaining would
+    * pipeline all rounds into one job — measured 2.2× on the
+    * 3-iteration registered query. The default 8 keeps a ≤24-join
+    * optimizer ceiling while a 3-iteration run pays exactly one
+    * materialization (the result itself); iterate-to-convergence
+    * callers get truncation automatically. `pinEvery = 1` is the
+    * per-round-measurement mode the scale stress uses.
     * The returned frame is the final pin — node-sized, already
     * materialized; `nodes`/`withDeg` caches are released before
     * returning, so the only residue is the result's own blocks (the
@@ -50,10 +59,15 @@ object Graph {
     *
     * `onRound(0, s)` reports the setup scan (symmetrize + node count +
     * initial pin), `onRound(i, s)` iteration i — the hook the graph
-    * scale stress reads (kmeansFit's discipline); a no-op by default. */
+    * scale stress reads (kmeansFit's discipline); a no-op by default.
+    * Unpinned rounds only CONSTRUCT their plan, so per-round walls are
+    * meaningful at `pinEvery = 1` (each round materializes) and lumpy
+    * otherwise (the pinning round pays for its predecessors). */
   def pagerank(edges: DataFrame, iters: Int,
       checkpointDir: Option[String] = None,
-      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Double) => Unit = (_, _) => (),
+      pinEvery: Int = 8): DataFrame = {
+    require(pinEvery >= 1, s"pinEvery must be >= 1, got $pinEvery")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
@@ -69,27 +83,36 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct().persist()
-    val (n, withDeg, base, ranks0) = rounded(0) {
+    val (withDeg, base, ranks0) = rounded(0) {
       val n = nodes.count()
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       val withDeg = sym.join(deg, "src").persist()
       val base = (15L * Scale) / (100L * n)
-      (n, withDeg, base, pin(nodes.select(col("id"), lit(Scale / n).as("r"))))
+      // the initial ranks are one select over the persisted node set —
+      // depth-1 lineage, nothing to truncate
+      (withDeg, base, nodes.select(col("id"), lit(Scale / n).as("r")))
     }
     var ranks = ranks0
+    var lastPinned: DataFrame = null
     for (r <- 1 to iters) rounded(r) {
-      val contrib = withDeg
-        .join(ranks, col("src") === col("id"))
-        .select(col("dst").as("cid"), expr("r div deg").as("c"))
-        .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
-      val next = pin(nodes
-        .join(contrib, col("id") === col("cid"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r")))
-      // next is materialized by pin(), so the previous round's blocks
-      // are dead weight — only the final round's pin survives the loop
-      unpin(ranks)
-      ranks = next
+      val next = {
+        val contrib = withDeg
+          .join(ranks, col("src") === col("id"))
+          .select(col("dst").as("cid"), expr("r div deg").as("c"))
+          .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
+        nodes
+          .join(contrib, col("id") === col("cid"), "left")
+          .select(col("id"),
+            (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+      }
+      if (r % pinEvery == 0 || r == iters) {
+        // a pin materializes everything since the previous pin, so the
+        // earlier pin's blocks are dead weight from here on
+        val pinned = pin(next)
+        if (lastPinned != null) unpin(lastPinned)
+        lastPinned = pinned
+        ranks = pinned
+      } else ranks = next
     }
     // the final pin is self-contained (checkpoint files / local blocks),
     // so the loop caches can be released eagerly — no lazy-plan hazard

@@ -283,10 +283,14 @@ object SimilarityQueries {
     * a full pass over the source table — at scale that scan would dwarf
     * the ANN path being timed. The print keys on (a) the ABSOLUTE
     * source path, so a basename collision across roots can't alias two
-    * corpora; (b) name/size/mtime per file; (c) an md5 of each file's
+    * corpora; (b) name/size per file; (c) an md5 of each file's
     * parquet FOOTER tail (row counts + column stats live there), so
-    * even an mtime/size-preserving swap (`cp -p`, tar round-trip) of
-    * different data rebuilds the fixture. */
+    * even a size-preserving swap (`cp -p`, tar round-trip) of
+    * different data rebuilds the fixture. mtime is deliberately NOT
+    * keyed: the driver re-touches byte-identical testdata between
+    * rounds, and an mtime key made every round rebuild — and
+    * re-commit — fixtures whose content never changed; the footer
+    * digest is the real freshness signal. */
   private def embPrint(dir: String, tag: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "embeddings.parquet").toAbsolutePath.normalize
@@ -310,8 +314,7 @@ object SimilarityQueries {
       } finally ch.close()
     }
     files.map(p =>
-        s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}" +
-          s":${footerMd5(p)}")
+        s"${p.getFileName}:${Files.size(p)}:${footerMd5(p)}")
       .mkString(s"$tag|src=$src|", "|", "")
   }
 

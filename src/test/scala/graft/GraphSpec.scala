@@ -136,6 +136,13 @@ class GraphSpec extends SparkSpec {
     val ck = Graph.pagerank(edges, iters = 3, checkpointDir = Some(dir.toString))
     assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       .sameElements(ck.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    // pin cadence is a performance knob, never a semantic one: every
+    // round pinned == batched (crosses the pinEvery boundary at r=8)
+    val perRound = Graph.pagerank(edges, iters = 9, pinEvery = 1)
+    val batched = Graph.pagerank(edges, iters = 9)
+    assert(perRound.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .sameElements(batched.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    perRound.unpersist(); batched.unpersist()
     local.unpersist(); ck.unpersist()
   }
 

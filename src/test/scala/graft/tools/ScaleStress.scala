@@ -490,8 +490,11 @@ object ScaleStress {
           if (ops("g1x")) {
             val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
             val (_, prT) = timed {
+              // pinEvery = 1: every round materializes, so per-round
+              // walls are the measurement (the registered default 8
+              // batches rounds between pins)
               val pr = graft.operators.Graph.pagerank(edges, iters = 10,
-                onRound = (r, s) => rounds += (r -> s))
+                onRound = (r, s) => rounds += (r -> s), pinEvery = 1)
               pr.count()
               pr.unpersist()
             }
