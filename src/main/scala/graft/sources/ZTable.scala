@@ -164,6 +164,11 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
   private def recoverSwaps(): Unit = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return
+    // orphaned merge stage roots (crash before/while the per-dir
+    // rewrites consumed them) are pure debris: dot-prefixed so scans
+    // never see them, and the merge they belonged to never committed
+    lsDir(root).filter(_.getFileName.toString.startsWith(".merge-stage-"))
+      .foreach(rmTree)
     Seq(".compacting", ".deleting", ".merging").foreach { suf =>
       lsDir(root).filter(_.getFileName.toString.endsWith(suf)).foreach { tmp =>
         val target = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(suf))
@@ -529,7 +534,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // one source materialization: the delta is re-read for the probe,
     // per affected-partition rewrite, and the final write
     val src = floorResolution(source).persist()
-    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    // the key set is persisted too ([[deleteMatching]]'s discipline —
+    // merge originally skipped it): every affected partition's rewrite
+    // job broadcasts srcKeys, and without the pin each of those
+    // CONCURRENT jobs re-runs the distinct over all of src's partitions
+    // — measured 20 s vs 2 s on a 31-partition merge whose delta came
+    // in 64 partitions (the cost scales as affected × srcPartitions
+    // tasks, invisible when the delta is a narrow scan)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct().persist()
     val root = Paths.get(path)
     // recover any crashed earlier rewrite (see [[recoverSwaps]]); the
     // swap below is the shared two-rename [[swapIn]] protocol
@@ -552,7 +564,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // each affected partition's staging rewrite carries BOTH halves —
+    // each affected partition's staging dir carries BOTH halves —
     // surviving old rows (anti-join) AND this partition's source rows —
     // so the two-rename swap is the only mutation and a crash at any
     // point leaves a complete copy under exactly one name (see the
@@ -563,20 +575,44 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       d.getFileName.toString.stripPrefix(partCol + "=")))
     val affectedNames = affected.map(
       _.getFileName.toString.stripPrefix(partCol + "=")).toSet
+    // The SOURCE half of every staging dir is written by ONE
+    // partitionBy job up front (dot-prefixed root: invisible to scans,
+    // swept by recoverSwaps if orphaned). The original per-job
+    // unionByName re-scanned all of src's cached partitions once per
+    // affected directory — affected × srcPartitions tiny tasks, which a
+    // 64-partition delta into 31 dates turned into ~2 000 concurrent
+    // tasks (measured 12 s where this shape takes ~3 s; harmless only
+    // when the delta arrives as a narrow scan).
+    val stage = root.resolve(s".merge-stage-${ProcessHandle.current.pid}")
+    if (affected.nonEmpty)
+      withPartCol(src)
+        .where(col(partCol).cast("string").isInCollection(affectedNames))
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(spec.tsCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
     val jobs = affected.map { dir => Future {
       val pval = dir.getFileName.toString.stripPrefix(partCol + "=")
       val hits = hitsByPart(pval)
       val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
+      // seed the staging dir with the pre-staged source half (absent
+      // when every matched key's replacement lands in another
+      // partition), then APPEND the surviving old rows. _SUCCESS is
+      // written by the append job's commit, so recovery's
+      // roll-forward condition (_SUCCESS present) still implies both
+      // halves are complete; both writes are per-file ts-sorted (the
+      // append path's file contract).
+      val staged = stage.resolve(partCol + "=" + pval)
+      if (Files.exists(staged)) Files.move(staged, tmp)
+      else Files.createDirectories(tmp)
       spark.read.parquet(dir.toString)
         .join(srcKeys, keyCols, "left_anti")
-        .unionByName(withPartCol(src)
-          .where(col(partCol).cast("string") === pval).drop(partCol))
         .sortWithinPartitions(col(spec.tsCol))
-        .write.mode("overwrite").parquet(tmp.toString)
+        .write.mode("append").parquet(tmp.toString)
       swapIn(dir, tmp)
       replaced.addAndGet(hits)
     }}
     Await.result(Future.sequence(jobs), Duration.Inf)
+    if (Files.exists(stage)) rmTree(stage)
     val written = src.count()
     val remainder = withPartCol(src)
       .where(!col(partCol).cast("string").isInCollection(
@@ -585,6 +621,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       .repartition(col(partCol))
       .sortWithinPartitions(col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
+    srcKeys.unpersist()
     src.unpersist()
     (replaced.get, written)
   }

@@ -518,6 +518,75 @@ object ScaleStress {
           spark.catalog.clearCache()
         }
 
+        // ---- life1: the ZTable mutation lifecycle at ×M (round-8: the
+        // last unmeasured family). Events scale ×M with the SAME date
+        // span — every daily partition grows M×, the realistic growth
+        // mode for a date-partitioned table. Claims under test:
+        // ingest/compact/merge/broad-delete are linear in the data they
+        // rewrite, and a NARROW delete (one day + a selective
+        // predicate) stays bounded by the touched partition, not the
+        // table — the copy-on-write contract del1/del2 argue from plan
+        // shape. ----
+        if (ops("life1")) {
+          val evPath = s"$tmp/evX$mult"
+          if (!Files.exists(java.nio.file.Paths.get(evPath))) {
+            val ev0 = Tables.events(spark, base)
+            (0 until mult).map { j =>
+              if (j == 0) ev0
+              else ev0.withColumn("event_id",
+                col("event_id") + lit(j * 1000000000L))
+            }.reduce(_ unionAll _)
+              .repartition(32).write.mode("overwrite").parquet(evPath)
+          }
+          val ev = spark.read.parquet(evPath)
+          val nEv = ev.count()
+          val tPath = s"$tmp/zlife$mult/t"
+          val (t, ingT) = timed {
+            val t = graft.sources.ZTable.create(spark, tPath,
+              graft.sources.ZTableSpec(tsCol = "ts",
+                partitionBy = graft.sources.ZPartitionBy.Day,
+                strictOrder = false))
+            t.append(ev)
+            t
+          }
+          val (_, cmpT) = timed { t.compact(clusterBy = Seq("user_id")) }
+          // narrow delete FIRST (on the intact table): one day of one
+          // event type — the takedown that should cost one partition
+          val (nNar, narT) = timed {
+            t.deleteWhere(col("event_type") === "click" &&
+              col("ts").between("2024-01-03 00:00:00", "2024-01-03 23:59:59"))
+          }
+          // broad delete: every partition holds matches — this measures
+          // rewrite throughput, and SHOULD scale with data
+          val (nBrd, brdT) = timed {
+            t.deleteWhere(col("event_type") === "error" && col("value") > 50.0)
+          }
+          val delta = ev.where(col("user_id") < 50)
+            .withColumn("value", col("value") * 2)
+            .unionByName(ev.where(col("user_id") >= 50 && col("user_id") < 60)
+              .withColumn("event_id", col("event_id") + 500000000L))
+          val (mrg, mrgT) = timed { t.merge(delta, Seq("event_id")) }
+          val nAfter = t.df.count()
+          // A/B: the same merge into a FRESH table (up1's shape) — if
+          // this is fast while the post-lifecycle merge above is slow,
+          // the mutation history is the variable, not merge itself
+          val (mrgF, mrgFT) = timed {
+            val t2 = graft.sources.ZTable.create(spark, s"$tmp/zlifeF$mult/t",
+              graft.sources.ZTableSpec(tsCol = "ts",
+                partitionBy = graft.sources.ZPartitionBy.Day,
+                strictOrder = false))
+            t2.append(ev)
+            t2.merge(delta, Seq("event_id"))
+          }
+          println(f"STRESS life1ab mult=$mult mergeFresh(incl append)=$mrgFT%.2fs" +
+            f"(upd=${mrgF._1} ins=${mrgF._2})")
+          println(f"STRESS life1 mult=$mult rows=$nEv ingest=$ingT%.2fs " +
+            f"compact=$cmpT%.2fs delNarrow=$narT%.2fs(n=$nNar) " +
+            f"delBroad=$brdT%.2fs(n=$nBrd) merge=$mrgT%.2fs" +
+            f"(upd=${mrg._1} ins=${mrg._2}) after=$nAfter")
+          spark.catalog.clearCache()
+        }
+
         // ---- g2x: triangle counting under a HUB (the skew case the
         // degree-oriented variant exists for). Background: 2n ids,
         // 16n hash edges; hub at the MIDDLE id with degree 2000·M —
