@@ -587,6 +587,76 @@ object ScaleStress {
           spark.catalog.clearCache()
         }
 
+        // ---- nat1: the graft-native storage engine at ×M (round-8).
+        // Events ×M written time-clustered (repartitionByRange on ts →
+        // each block holds a time slice, the reference's strict-order
+        // ingest layout). Claims: full scans are linear; a one-day
+        // range scan is FLAT because _stats.json block skipping prunes
+        // the untouched slices; the pushed-down min/max/count aggregate
+        // is FLAT because it reads one sidecar row per block and no
+        // column files at all; multi-batch compaction is linear in the
+        // rows it rewrites. ----
+        if (ops("nat1")) {
+          val evr = {
+            val e0 = Tables.eventsRawTs(spark, base)
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+            (0 until mult).map { j =>
+              if (j == 0) e0
+              else e0.withColumn("event_id",
+                col("event_id") + lit(j * 1000000000L))
+            }.reduce(_ unionAll _)
+          }
+          val nDir = s"$tmp/nat$mult/t"
+          val (_, wT) = timed {
+            graft.sources.GraftNative.write(
+              evr.repartitionByRange(32, col("ts"))
+                .sortWithinPartitions(col("ts")), nDir)
+          }
+          val nat = spark.read.format("graft-native").load(nDir)
+          val nRows = nat.count()
+          val (_, fullT) = timed {
+            nat.agg(sum(col("value")), count(lit(1))).collect()
+          }
+          val d3a = java.time.Instant.parse("2024-01-03T00:00:00Z")
+            .getEpochSecond * 1000000000L
+          val d3b = java.time.Instant.parse("2024-01-04T00:00:00Z")
+            .getEpochSecond * 1000000000L - 1
+          val (nDay, rangeT) = timed {
+            nat.where(col("ts") >= d3a && col("ts") <= d3b).count()
+          }
+          val (nErr, memT) = timed {
+            nat.where(col("event_type") === "error")
+              .agg(count(lit(1))).head.getLong(0)
+          }
+          val (mm, metaT) = timed {
+            nat.agg(min(col("ts")), max(col("ts")), count(lit(1)))
+              .head
+          }
+          // multi-batch streaming face + compaction: 4 tagged appends
+          // (4×32 block dirs), folded back to 32
+          val cDir = s"$tmp/natc$mult/t"
+          // plain tags: the b%06d- grammar is reserved for stream
+          // batches, which compaction deliberately leaves alone when
+          // they sit past the replay high-water mark
+          (0 until 4).foreach { b =>
+            graft.sources.GraftNative.append(
+              evr.where(col("event_id") % 4 === b)
+                .repartition(32), cDir, tag = s"load$b-")
+          }
+          val nBefore = graft.sources.GraftNative.listBlockDirs(cDir).size
+          val (nRepl, cmpT) = timed {
+            graft.sources.GraftNative.compactBlocks(spark, cDir, 32)
+          }
+          val nAfterC = spark.read.format("graft-native").load(cDir).count()
+          println(f"STRESS nat1 mult=$mult rows=$nRows write=$wT%.2fs " +
+            f"fullAgg=$fullT%.2fs rangeDay=$rangeT%.2fs(n=$nDay) " +
+            f"member=$memT%.2fs(n=$nErr) metaAgg=$metaT%.2fs" +
+            f"(rows=${mm.getLong(2)}) compact=$cmpT%.2fs" +
+            f"(blocks $nBefore->${nRepl}rep, rows=$nAfterC)")
+          spark.catalog.clearCache()
+        }
+
         // ---- g2x: triangle counting under a HUB (the skew case the
         // degree-oriented variant exists for). Background: 2n ids,
         // 16n hash edges; hub at the MIDDLE id with degree 2000·M —
