@@ -74,12 +74,8 @@ object Graph {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def unpin(df: DataFrame): Unit =
       if (checkpointDir.isEmpty) df.unpersist()
-    def rounded[T](r: Int)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val out = f
-      onRound(r, (System.nanoTime() - t0) / 1e9)
-      out
-    }
+    def rounded[T](r: Int)(f: => T): T =
+      graft.util.Timing.rounded(onRound, r)(f)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct().persist()
@@ -195,23 +191,23 @@ object Graph {
         throw new IllegalStateException(
           s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
           "exceeds the bound — raise maxRounds)")
-      val roundT0 = System.nanoTime()
-      val next = pin(sym
-        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-        .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .where(col("d") >= k)
-        .select(col("v").as("id")))
-      val n = next.count()
-      // pin() materialized `next` eagerly, so the previous round's
-      // survivor blocks are dead weight now — drop them (nodes, the
-      // round-0 "alive", is still needed for the final join)
-      if (alive ne nodes) unpin(alive)
-      // survivors only shrink: equal counts == fixpoint
-      converged = n == aliveN
-      alive = next
-      aliveN = n
-      onRound(rounds, (System.nanoTime() - roundT0) / 1e9)
+      graft.util.Timing.rounded(onRound, rounds) {
+        val next = pin(sym
+          .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+          .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+          .where(col("d") >= k)
+          .select(col("v").as("id")))
+        val n = next.count()
+        // pin() materialized `next` eagerly, so the previous round's
+        // survivor blocks are dead weight now — drop them (nodes, the
+        // round-0 "alive", is still needed for the final join)
+        if (alive ne nodes) unpin(alive)
+        // survivors only shrink: equal counts == fixpoint
+        converged = n == aliveN
+        alive = next
+        aliveN = n
+      }
     }
     // materialize the NODE-sized output through its OWN pin — a lineage
     // cut, so out's blocks no longer run through the final survivor's

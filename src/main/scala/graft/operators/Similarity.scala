@@ -266,9 +266,14 @@ object Similarity {
       multiProbe: Boolean = false,
       candidateBudget: Long = DefaultCandidateBudget,
       autoSize: Boolean = false,
-      targetRecall: Double = 0.9): DataFrame = {
+      targetRecall: Double = 0.9,
+      knownN: Long = -1L): DataFrame = {
+    // the gate needs the corpus size; counting is footer-metadata cheap
+    // on a parquet-backed frame but re-executes a DERIVED input's plan —
+    // callers composing pipelines upstream should pass knownN
     val (planes, tables) = guardBanding("lshNeighborPairsMulti",
-      emb.count(), numPlanes, numTables, threshold, multiProbe,
+      if (knownN >= 0) knownN else emb.count(),
+      numPlanes, numTables, threshold, multiProbe,
       candidateBudget, autoSize, targetRecall)
     val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
       sqrt(VectorOps.normSq(col(vecCol))).as("nrm"))
@@ -474,12 +479,8 @@ object Similarity {
     import spark.implicits._
     // onRound(0, s) reports the init scan, onRound(i, s) Lloyd round i —
     // the hook the build-path scale stress reads; a no-op by default
-    def rounded[T](r: Int)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val out = f
-      onRound(r, (System.nanoTime() - t0) / 1e9)
-      out
-    }
+    def rounded[T](r: Int)(f: => T): T =
+      graft.util.Timing.rounded(onRound, r)(f)
     def unit(c: Array[Double]): Array[Double] = {
       var n = 0.0
       c.foreach(x => n += x * x)
@@ -704,8 +705,10 @@ object Similarity {
     * point by the error message rather than silently re-planned). */
   def lshNeighborPairs(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, threshold: Double,
-      candidateBudget: Long = DefaultCandidateBudget): DataFrame = {
-    guardBanding("lshNeighborPairs", emb.count(), numPlanes, numTables = 1,
+      candidateBudget: Long = DefaultCandidateBudget,
+      knownN: Long = -1L): DataFrame = {
+    guardBanding("lshNeighborPairs",
+      if (knownN >= 0) knownN else emb.count(), numPlanes, numTables = 1,
       threshold, multiProbe = false, candidateBudget,
       autoSize = false, targetRecall = 0.9)
     val withBucket = emb.select(col(idCol).as("id"),
@@ -865,7 +868,10 @@ object Similarity {
     val base = math.pow(p0, numPlanes)
     val t0 = if (multiProbe) base + numPlanes * math.pow(p0, numPlanes - 1) * (1 - p0)
              else base
-    n * (n - 1) / 2.0 * (1.0 - math.pow(1.0 - t0, numTables))
+    // Double arithmetic from the start: n·(n−1) overflows Long past
+    // ~3e9 vectors — silently NEGATIVE mass would wave the exact
+    // corpus sizes this gate exists to refuse straight through
+    n.toDouble * (n - 1).toDouble / 2.0 * (1.0 - math.pow(1.0 - t0, numTables))
   }
 
   /** The sim2-family admission gate: price the requested banding with
@@ -883,11 +889,23 @@ object Similarity {
     val mass = modeledCandidateMass(n, numPlanes, numTables, multiProbe)
     if (mass <= candidateBudget) (numPlanes, numTables)
     else {
-      val perVec = math.max(1.0, 2.0 * candidateBudget / math.max(1L, n))
-      val plan = planBanding(math.max(2L, n), threshold, targetRecall,
+      // planBanding's candidatesPerVector counts each pair once with
+      // total mass = n · candPerVec, so the per-vector budget is B/n —
+      // a 2·B/n conversion would let autoSize admit up to 2× the
+      // ceiling the fail-fast branch just enforced
+      val perVec = math.max(1.0,
+        candidateBudget.toDouble / math.max(1L, n).toDouble)
+      // clamp to planBanding's open-interval domain: threshold 0 (any
+      // non-negative cosine) and targetRecall 1 are valid GATE inputs
+      // but sit on the model's boundary; the clamped plan is the
+      // honest nearest-neighbor of the request, and the shortfall
+      // message still fires when the regime is quadratic
+      val thrP = math.min(0.999, math.max(1e-6, threshold))
+      val trP = math.min(0.999, math.max(1e-6, targetRecall))
+      val plan = planBanding(math.max(2L, n), thrP, trP,
         candidateBudgetPerVector = perVec, multiProbe = multiProbe)
       val shortfall =
-        if (plan.predictedRecall >= targetRecall) ""
+        if (plan.predictedRecall >= trP) ""
         else f" (recall SHORTFALL: no banding reaches $targetRecall%.2f inside " +
           f"the budget at this threshold — the ≥$threshold%.2f pair set is " +
           "near-quadratic here; prefer a cell-blocked contract: semDeDup " +

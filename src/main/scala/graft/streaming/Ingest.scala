@@ -515,6 +515,26 @@ object Ingest {
             "would silently stop firing. Rebuild the state dir (re-sign the " +
             "kept corpus) or run with the original signature parameters.")
       } else {
+        // stamp only GENUINELY fresh dirs: an unstamped dir that
+        // already holds b* batch state predates the stamp and was
+        // written by coefficients this build cannot identify —
+        // stamping it with the CURRENT family would permanently bless
+        // exactly the silent mismatch the stamp exists to catch
+        val hasLegacyState = java.nio.file.Files.exists(stateP) && {
+          val s = java.nio.file.Files.list(stateP)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.exists(p =>
+              java.nio.file.Files.isDirectory(p) &&
+                p.getFileName.toString.startsWith("b"))
+          } finally s.close()
+        }
+        if (hasLegacyState)
+          throw new IllegalStateException(
+            s"nearDupBatch: state at $stateDir holds batch subdirs but no " +
+            "_hash_family stamp — it predates hash-family stamping, and this " +
+            "build cannot verify its signatures are comparable. Rebuild the " +
+            "state dir (re-sign the kept corpus) before continuing.")
         java.nio.file.Files.createDirectories(stateP)
         val tmp = famFile.resolveSibling("_hash_family.tmp")
         java.nio.file.Files.writeString(tmp, familyId)

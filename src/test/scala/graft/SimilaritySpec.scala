@@ -213,6 +213,31 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(exHard.getMessage.contains("SHORTFALL"), exHard.getMessage)
     assert(exHard.getMessage.contains("cell-blocked"), exHard.getMessage)
+    // 100 TB-corpus arithmetic: n·(n−1) overflows Long past ~3e9 rows —
+    // the mass model must stay positive (Double from the start) or the
+    // gate silently admits exactly the sizes it exists to refuse
+    val hugeMass = Similarity.modeledCandidateMass(4000000000L, 6, 12,
+      multiProbe = true)
+    assert(hugeMass > 1e18, f"overflowed to $hugeMass%.3g")
+    // auto-sizing honors the SAME ceiling the fail-fast branch
+    // enforces: the re-planned banding's modeled mass fits the budget
+    // (per-vector budget = B/n, each pair counted once)
+    val (ap, at) = Similarity.guardBanding("spec", 60000L, 6, 12, 0.3,
+      multiProbe = true, Similarity.DefaultCandidateBudget,
+      autoSize = true, targetRecall = 0.9)
+    val sizedMass = Similarity.modeledCandidateMass(60000L, ap, at,
+      multiProbe = true)
+    assert(sizedMass <= Similarity.DefaultCandidateBudget,
+      f"auto-sized plan models $sizedMass%.3g over the ceiling")
+    // boundary gate inputs (threshold 0 = any non-negative cosine)
+    // must produce the informative refusal, not planBanding's bare
+    // requirement failure
+    val exZero = intercept[IllegalArgumentException] {
+      Similarity.guardBanding("spec", 60000L, 6, 12, threshold = 0.0,
+        multiProbe = true, Similarity.DefaultCandidateBudget,
+        autoSize = false, targetRecall = 0.9)
+    }
+    assert(exZero.getMessage.contains("candidate pairs"), exZero.getMessage)
     // end-to-end on the REAL corpus with a budget squeezed below its
     // modeled mass: the raw request throws; autoSize re-plans through
     // planBanding (feasible here: ~2× per-vector headroom → a tame

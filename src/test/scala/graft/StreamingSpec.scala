@@ -561,6 +561,16 @@ class StreamingSpec extends SparkSpec {
       Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 2L)
     }
     assert(e2.getMessage.contains("incomparable"), e2.getMessage)
+    // a LEGACY dir — batch state present, no stamp at all — must be
+    // refused, never blessed with the current family id (stamping it
+    // would permanently mask the very mismatch the stamp detects)
+    java.nio.file.Files.delete(famFile)
+    val e3 = intercept[IllegalStateException] {
+      Ingest.nearDupBatch(docs.toDF(), "doc_id", "text", stateDir, outDir, 3L)
+    }
+    assert(e3.getMessage.contains("predates"), e3.getMessage)
+    assert(!java.nio.file.Files.exists(famFile),
+      "legacy refusal must not stamp the dir")
   }
 
   test("streaming rollup sink maintains the aggregate; replays are no-ops") {
