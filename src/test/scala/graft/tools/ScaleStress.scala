@@ -657,6 +657,46 @@ object ScaleStress {
           spark.catalog.clearCache()
         }
 
+        // ---- ivm1x: incremental-view maintenance at ×M (round-8).
+        // Seed the daily rollup with the ×M corpus, then fold a
+        // FIXED-SIZE delta (the base 100 k events, constant across
+        // mults): the maintenance claim is refresh = O(|batch|)
+        // regardless of history, so the delta refresh must be FLAT
+        // while the seed refresh tracks M. read() is bounded by
+        // #deltas × #groups; compactDeltas() restores O(#groups). ----
+        if (ops("ivm1x")) {
+          val evPath = s"$tmp/evX$mult"
+          if (!Files.exists(java.nio.file.Paths.get(evPath))) {
+            val ev0 = Tables.events(spark, base)
+            (0 until mult).map { j =>
+              if (j == 0) ev0
+              else ev0.withColumn("event_id",
+                col("event_id") + lit(j * 1000000000L))
+            }.reduce(_ unionAll _)
+              .repartition(32).write.mode("overwrite").parquet(evPath)
+          }
+          val ev = spark.read.parquet(evPath)
+          val nEv = ev.count()
+          val fixedDelta = Tables.events(spark, base) // constant size
+          val r = graft.sources.RollupTable(spark, s"$tmp/ivm$mult/r",
+            grain = "day", tsCol = "ts", dims = Seq("event_type"),
+            valueCol = "value")
+          val (_, seedT) = timed { r.refresh(ev) }
+          val (_, deltaT) = timed { r.refresh(fixedDelta) }
+          val (nG1, read1T) = timed { r.read().count() }
+          // 16 more fixed deltas: merge-on-read degrades with #deltas...
+          (0 until 16).foreach(_ => r.refresh(fixedDelta))
+          val (_, readNT) = timed { r.read().count() }
+          // ...and compaction restores the O(#groups) read
+          val (_, cT) = timed { r.compactDeltas() }
+          val (nG2, read2T) = timed { r.read().count() }
+          println(f"STRESS ivm1x mult=$mult rows=$nEv seed=$seedT%.2fs " +
+            f"fixedDelta=$deltaT%.2fs read=$read1T%.2fs(groups=$nG1) " +
+            f"read18d=$readNT%.2fs compact=$cT%.2fs " +
+            f"readPost=$read2T%.2fs(groups=$nG2)")
+          spark.catalog.clearCache()
+        }
+
         // ---- g2x: triangle counting under a HUB (the skew case the
         // degree-oriented variant exists for). Background: 2n ids,
         // 16n hash edges; hub at the MIDDLE id with degree 2000·M —
