@@ -701,6 +701,53 @@ object ScaleStress {
           spark.catalog.clearCache()
         }
 
+        // ---- search1x: retrieval at ×M (round-8). DUP corpus (ids
+        // offset, TEXT UNCHANGED — unlike docsClean's disjoint vocab,
+        // every term's postings genuinely grow M×). Claims: index
+        // build is one scan + one postings shuffle (linear); serving
+        // reads ONLY the query terms' hash buckets, so it scales with
+        // the queried postings, not the corpus; the scan-shaped BM25
+        // (search1's index-free face) is the linear contrast row. ----
+        if (ops("search1x")) {
+          val dupPath = s"$tmp/docsD$mult"
+          if (!Files.exists(java.nio.file.Paths.get(dupPath))) {
+            val d0 = Tables.documents(spark, base)
+            (0 until mult).map { j =>
+              if (j == 0) d0
+              else d0.select((col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+                col("text"), col("lang"), col("source"), col("n_chars"))
+            }.reduce(_ unionAll _)
+              .repartition(32).write.mode("overwrite").parquet(dupPath)
+          }
+          val docs = spark.read.parquet(dupPath)
+          val nD = docs.count()
+          // three corpus-frequent terms, picked OUTSIDE the timings
+          val terms = docs
+            .select(explode(split(lower(col("text")), " ")).as("t"))
+            .groupBy("t").count()
+            .orderBy(col("count").desc, col("t")).limit(3)
+            .collect().map(_.getString(0)).toSeq
+          val idxPath = s"$tmp/inv$mult"
+          val (_, bT) = timed {
+            graft.operators.InvertedIndex.build(docs, "doc_id", "text", idxPath)
+          }
+          val (nTop, srvT) = timed {
+            graft.operators.InvertedIndex.search(spark, idxPath, terms, 10)
+              .collect().length
+          }
+          val (nMatch, scanT) = timed {
+            docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+              .select(col("doc_id") +: terms.zipWithIndex.map { case (t, i) =>
+                size(filter(col("w"), x => x === t)).as(s"tf$i") }: _*)
+              .where(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+              .count()
+          }
+          println(f"STRESS search1x mult=$mult docs=$nD terms=${terms.mkString("/")} " +
+            f"build=$bT%.2fs serve=$srvT%.2fs(top=$nTop) " +
+            f"scanScore=$scanT%.2fs(matched=$nMatch)")
+          spark.catalog.clearCache()
+        }
+
         // ---- g2x: triangle counting under a HUB (the skew case the
         // degree-oriented variant exists for). Background: 2n ids,
         // 16n hash edges; hub at the MIDDLE id with degree 2000·M —
