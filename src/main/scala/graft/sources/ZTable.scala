@@ -183,6 +183,44 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     }
   }
 
+  /** Await EVERY concurrent rewrite job — even after one fails — and
+    * only then propagate the first failure. A fail-fast
+    * `Await(Future.sequence)` returns (and `mutate` releases the table
+    * locks) while sibling Futures are still writing and swapping;
+    * another process's entry recovery would then sweep their live
+    * staging dirs as debris mid-write. */
+  private def awaitAll[T](jobs: Seq[scala.concurrent.Future[T]])(
+      implicit ec: scala.concurrent.ExecutionContext): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val settled = Await.result(
+      Future.sequence(jobs.map(_.transform(t => scala.util.Success(t)))),
+      Duration.Inf)
+    settled.foreach(_.get)
+  }
+
+  /** A rewrite that removed every row leaves a dir holding only
+    * _SUCCESS/CRC files — drop it: single-directory readers (compact's
+    * per-partition jobs, merge rewrites) cannot infer a schema from a
+    * data-file-less dir, and an empty partition value serves no scan. */
+  private def dropIfEmptied(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir) && !lsDir(dir).exists { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }) rmTree(dir)
+
+  /** Spark's reserved dir name for a NULL partition value. Probe maps
+    * key on this instead of a raw (nullable) cast so rows with a null
+    * ts — legal under strictOrder = false — are matched to the
+    * `p_date=__HIVE_DEFAULT_PARTITION__` dir they were written to,
+    * rather than silently skipped by every delete/merge. */
+  private val NullPartName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The partition key as a non-null string — the dir-name the row
+    * lives under. */
+  private def partKeyStr: org.apache.spark.sql.Column =
+    coalesce(col(partCol).cast("string"), lit(NullPartName))
+
   private def withPartCol(df: DataFrame): DataFrame = spec.partitionBy.fmt match {
     case Some(f) => df.withColumn(partCol, date_format(col(spec.tsCol), f))
     case None    => df.withColumn(partCol, lit("all"))
@@ -205,6 +243,12 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * committer publishes any file, and only the (tiny, column-pruned)
     * last-ts lookup touches the existing table. */
   def append(df: DataFrame): Unit = mutate {
+    // every mutating op recovers earlier crashes on entry — append
+    // included: appending into a mid-swap partition (target renamed
+    // away, complete staging beside it) would recreate the target with
+    // ONLY the new batch, and the next recovery sweep would then drop
+    // the staged/retired pre-crash copy as debris — permanent loss
+    recoverSwaps()
     val data = floorResolution(df)
     val checked =
       if (spec.strictOrder && hasData) {
@@ -351,7 +395,11 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // linearizable (numeric/ts) keys get a double projection for min-max
     // scaling; strings fall through to hash buckets
     lazy val linearCol: Map[String, Option[org.apache.spark.sql.Column]] = {
-      val schema = spark.read.parquet(parts.head.toString).schema
+      // ROOT schema, not parts.head's: a fully-emptied partition (all
+      // rows deleted) may hold no data files, and a single-dir read of
+      // it cannot infer a schema; the root read succeeds while any
+      // partition has data
+      val schema = spark.read.parquet(path).schema
       keys.map { k =>
         k -> (schema(k).dataType match {
           case _: NumericType => Some(col(k).cast("double"))
@@ -366,7 +414,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         Seq(min(c).as(s"lo_$k"), max(c).as(s"hi_$k")))).flatten
       if (statCols.isEmpty) Map.empty
       else spark.read.parquet(path)
-        .groupBy(col(partCol).cast("string").as("p__"))
+        .groupBy(partKeyStr.as("p__"))
         .agg(statCols.head, statCols.tail: _*)
         .collect().map(r => r.getAs[String]("p__") -> r).toMap
     }
@@ -385,7 +433,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       }
       val bytes = dataFiles.map(Files.size).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      if (dataFiles.length > nOut || (clusterBy.nonEmpty && dataFiles.nonEmpty)) {
+      // a partition whose data files hold ZERO rows (a delete that
+      // emptied it) has no stats row — nothing to cluster, and
+      // dereferencing the missing stats would NPE inside the Future
+      val partVal = dir.getFileName.toString.stripPrefix(partCol + "=")
+      val statsOk = clusterBy.isEmpty || statsByPart.contains(partVal) ||
+        keys.forall(k => linearCol(k).isEmpty)
+      if ((dataFiles.length > nOut ||
+          (clusterBy.nonEmpty && dataFiles.nonEmpty)) && statsOk) {
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
         val base = spark.read.parquet(dir.toString)
         val laid =
@@ -396,7 +451,6 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
             // Morton key: numeric/ts keys min-max scaled per partition
             // (from the precomputed stats), strings hash-bucketed; one
             // key drives both the range split and the within-file sort.
-            val partVal = dir.getFileName.toString.stripPrefix(partCol + "=")
             val stats = statsByPart.get(partVal).orNull
             val scaled = keys.map { k =>
               linearCol(k) match {
@@ -416,7 +470,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         rewritten.incrementAndGet()
       }
     }}
-    Await.result(Future.sequence(jobs), Duration.Inf)
+    awaitAll(jobs)
     rewritten.get
   }
 
@@ -441,7 +495,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // stats still bound it) instead of date-grain-many tiny count jobs
     val hitsByPart: Map[String, Long] = spark.read.parquet(path)
       .where(pred)
-      .groupBy(col(partCol).cast("string").as("p__"))
+      .groupBy(partKeyStr.as("p__"))
       .count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -459,9 +513,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .sortWithinPartitions(col(spec.tsCol))
           .write.mode("overwrite").parquet(tmp.toString)
         swapIn(dir, tmp)
+        dropIfEmptied(dir)
         deleted.addAndGet(hits)
       }}
-    Await.result(Future.sequence(jobs), Duration.Inf)
+    awaitAll(jobs)
     deleted.get
   }
 
@@ -488,7 +543,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     try {
       val hitsByPart: Map[String, Long] = spark.read.parquet(path)
         .join(k, Seq(keyCol), "left_semi")
-        .groupBy(col(partCol).cast("string").as("p__"))
+        .groupBy(partKeyStr.as("p__"))
         .count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -506,9 +561,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
             .sortWithinPartitions(col(spec.tsCol))
             .write.mode("overwrite").parquet(tmp.toString)
           swapIn(dir, tmp)
+          dropIfEmptied(dir)
           deleted.addAndGet(hits)
         }}
-      Await.result(Future.sequence(jobs), Duration.Inf)
+      awaitAll(jobs)
       deleted.get
     } finally k.unpersist()
   }
@@ -531,17 +587,6 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * nature, same class as [[compact]]/[[deleteWhere]] maintenance.
     * Returns (replacedRows, writtenRows). */
   def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = mutate {
-    // one source materialization: the delta is re-read for the probe,
-    // per affected-partition rewrite, and the final write
-    val src = floorResolution(source).persist()
-    // the key set is persisted too ([[deleteMatching]]'s discipline —
-    // merge originally skipped it): every affected partition's rewrite
-    // job broadcasts srcKeys, and without the pin each of those
-    // CONCURRENT jobs re-runs the distinct over all of src's partitions
-    // — measured 20 s vs 2 s on a 31-partition merge whose delta came
-    // in 64 partitions (the cost scales as affected × srcPartitions
-    // tasks, invisible when the delta is a narrow scan)
-    val srcKeys = src.select(keyCols.map(col): _*).distinct().persist()
     val root = Paths.get(path)
     // recover any crashed earlier rewrite (see [[recoverSwaps]]); the
     // swap below is the shared two-rename [[swapIn]] protocol
@@ -550,6 +595,38 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       if (!Files.exists(root)) Nil
       else lsDir(root).filter(d => Files.isDirectory(d) &&
         d.getFileName.toString.startsWith(partCol + "="))
+    // Align the source to the TABLE schema BEFORE anything is written:
+    // the staged source half and the appended anti-join half land in
+    // the SAME directory, and two writers with drifted schemas would
+    // commit mixed-schema files that later reads resolve arbitrarily
+    // per-file. The retired unionByName formulation coerced (or failed
+    // at analysis) — this keeps that contract explicitly: identical
+    // column SET required, types cast to the table's.
+    val aligned = {
+      val floored = floorResolution(source)
+      if (parts.isEmpty) floored
+      else {
+        val tSchema = spark.read.parquet(path).schema
+        require(tSchema.fieldNames.sorted.sameElements(floored.columns.sorted),
+          s"merge: source columns [${floored.columns.sorted.mkString(",")}] " +
+          s"differ from table columns [${tSchema.fieldNames.sorted.mkString(",")}]")
+        floored.select(tSchema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    }
+    // one source materialization: the delta is re-read for the probe,
+    // per affected-partition rewrite, and the final write
+    val src = aligned.persist()
+    // the key set is persisted too ([[deleteMatching]]'s discipline —
+    // merge originally skipped it): every affected partition's rewrite
+    // job broadcasts srcKeys, and without the pin each of those
+    // CONCURRENT jobs re-runs the distinct over all of src's partitions
+    // — measured 20 s vs 2 s on a 31-partition merge whose delta came
+    // in 64 partitions (the cost scales as affected × srcPartitions
+    // tasks, invisible when the delta is a narrow scan)
+    val srcKeys = src.select(keyCols.map(col): _*).distinct().persist()
+    val stage = root.resolve(s".merge-stage-${ProcessHandle.current.pid}")
+    try {
     // ONE probe job over the whole table finds every affected partition
     // and its hit count (a per-directory probe would launch
     // date-grain-many tiny join jobs)
@@ -557,7 +634,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       if (parts.isEmpty) Map.empty
       else spark.read.parquet(path)
         .join(srcKeys, keyCols, "left_semi")
-        .groupBy(col(partCol).cast("string").as("p__"))
+        .groupBy(partKeyStr.as("p__"))
         .count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -583,10 +660,9 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // 64-partition delta into 31 dates turned into ~2 000 concurrent
     // tasks (measured 12 s where this shape takes ~3 s; harmless only
     // when the delta arrives as a narrow scan).
-    val stage = root.resolve(s".merge-stage-${ProcessHandle.current.pid}")
     if (affected.nonEmpty)
       withPartCol(src)
-        .where(col(partCol).cast("string").isInCollection(affectedNames))
+        .where(partKeyStr.isInCollection(affectedNames))
         .repartition(col(partCol))
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
@@ -609,21 +685,32 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("append").parquet(tmp.toString)
       swapIn(dir, tmp)
+      // fully drained: every old row matched and every replacement's ts
+      // moved it to another partition
+      dropIfEmptied(dir)
       replaced.addAndGet(hits)
     }}
-    Await.result(Future.sequence(jobs), Duration.Inf)
-    if (Files.exists(stage)) rmTree(stage)
+    awaitAll(jobs)
     val written = src.count()
+    // partKeyStr, not a raw (nullable) cast: a null-ts source row —
+    // legal under strictOrder = false — must land in the hive-default
+    // partition like an append would, not vanish from BOTH filters
     val remainder = withPartCol(src)
-      .where(!col(partCol).cast("string").isInCollection(
+      .where(!partKeyStr.isInCollection(
         if (affectedNames.isEmpty) Set("") else affectedNames))
     remainder
       .repartition(col(partCol))
       .sortWithinPartitions(col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
-    srcKeys.unpersist()
-    src.unpersist()
     (replaced.get, written)
+    } finally {
+      // cache pins and the stage root must not outlive a failed merge:
+      // a throwing rewrite would otherwise leak two persisted frames
+      // for the session and leave the stage for the next op's sweep
+      srcKeys.unpersist()
+      src.unpersist()
+      if (Files.exists(stage)) rmTree(stage)
+    }
   }
 
   private[sources] def writeMeta(): Unit = {
