@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: suites run in PARALLEL inside one forked JVM sharing
+  // one SparkSession; at 8g a task-side SparkOutOfMemoryError under
+  // suite overlap left local-mode RPC wedged (r9 observed a 45-min
+  // hang in an otherwise-green run). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

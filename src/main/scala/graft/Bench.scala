@@ -121,7 +121,15 @@ object Bench {
         .sortBy(-_._2).take(10)
         .map { case (k, v) => jstr(k) + ":" + sec3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
+      // Error NAMES ride the final (tail-surviving) line: r8's driver
+      // artifact showed n_errors=1 with no way to tell WHICH query broke
+      // (the named errors map lived only in the first full line, outside
+      // the 2000-char tail). First 120 chars of each message — enough to
+      // carry the exception class + the require text.
+      val errTail = errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v.take(120)) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errTail,"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
     }
     spark.stop()
     // A failed query can never again post rc=0: the driver (and any

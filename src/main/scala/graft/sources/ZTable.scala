@@ -189,7 +189,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * locks) while sibling Futures are still writing and swapping;
     * another process's entry recovery would then sweep their live
     * staging dirs as debris mid-write. */
-  private def awaitAll[T](jobs: Seq[scala.concurrent.Future[T]])(
+  private[graft] def awaitAll[T](jobs: Seq[scala.concurrent.Future[T]])(
       implicit ec: scala.concurrent.ExecutionContext): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -199,15 +199,32 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     settled.foreach(_.get)
   }
 
-  /** A rewrite that removed every row leaves a dir holding only
-    * _SUCCESS/CRC files — drop it: single-directory readers (compact's
-    * per-partition jobs, merge rewrites) cannot infer a schema from a
-    * data-file-less dir, and an empty partition value serves no scan. */
+  /** A rewrite that removed every row leaves an empty partition behind —
+    * drop it. Two shapes exist: no data file at all, and (the common
+    * one) a single ZERO-ROW parquet file, because Spark's all-empty
+    * write special-cases one schema-preserving file. The zero-row check
+    * reads only the parquet FOOTER, driver-local, per data file of the
+    * just-rewritten partition — bounded by the rewrite itself, no job.
+    * An emptied dir serves no scan, and its stats-less zero-row file is
+    * exactly what compact(clusterBy)'s missing-stats guard has to skip. */
   private def dropIfEmptied(dir: java.nio.file.Path): Unit =
-    if (Files.exists(dir) && !lsDir(dir).exists { f =>
+    if (Files.exists(dir)) {
+      val dataFiles = lsDir(dir).filter { f =>
         val n = f.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }) rmTree(dir)
+      }
+      if (dataFiles.isEmpty || dataFiles.forall(parquetRowCount(_) == 0L))
+        rmTree(dir)
+    }
+
+  /** Row count from the parquet footer alone — no Spark job, no data IO. */
+  private def parquetRowCount(f: java.nio.file.Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 
   /** Spark's reserved dir name for a NULL partition value. Probe maps
     * key on this instead of a raw (nullable) cast so rows with a null
@@ -606,11 +623,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       val floored = floorResolution(source)
       if (parts.isEmpty) floored
       else {
-        val tSchema = spark.read.parquet(path).schema
-        require(tSchema.fieldNames.sorted.sameElements(floored.columns.sorted),
+        // DATA columns only: on a partitioned layout the inferred schema
+        // carries the partition column (partCol), which sources never do
+        val tFields = spark.read.parquet(path).schema.fields
+          .filterNot(_.name == partCol).toIndexedSeq
+        require(tFields.map(_.name).sorted.sameElements(floored.columns.sorted),
           s"merge: source columns [${floored.columns.sorted.mkString(",")}] " +
-          s"differ from table columns [${tSchema.fieldNames.sorted.mkString(",")}]")
-        floored.select(tSchema.fields.toIndexedSeq.map(f =>
+          s"differ from table columns [${tFields.map(_.name).sorted.mkString(",")}]")
+        floored.select(tFields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
       }
     }

@@ -127,9 +127,22 @@ class GraphSpec extends SparkSpec {
       out.unpersist()
       d
     }
-    // each round is pinned, so the returned plan is a scan of the final
-    // pin — identical shape whether the loop ran 2 rounds or 8
-    assert(depth(2) == depth(8))
+    // LONG runs (iters >= pinEvery) return the final pin — identical
+    // plan shape whether the loop ran 8 rounds or 16
+    assert(depth(8) == depth(16))
+    // SHORT runs (iters < pinEvery) return the LAZY tower — one
+    // pipelined job, no materialization tax; depth grows with iters but
+    // is bounded by the pinEvery window
+    assert(depth(3) > depth(8))
+    // iters = 0 returns the uniform initial ranks (n=4 nodes)
+    val r0 = Graph.pagerank(edges, iters = 0).collect()
+    assert(r0.length == 4 && r0.forall(_.getLong(1) == Graph.Scale / 4))
+    // lazy short run and per-round-pinned short run agree exactly
+    val lazy3 = Graph.pagerank(edges, iters = 3)
+    val pinned3 = Graph.pagerank(edges, iters = 3, pinEvery = 1)
+    assert(lazy3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .sameElements(pinned3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    pinned3.unpersist()
     // reliable-checkpoint path matches the local-path result exactly
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_")
     val local = Graph.pagerank(edges, iters = 3)

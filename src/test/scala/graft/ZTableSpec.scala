@@ -398,6 +398,105 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 1)
   }
 
+  test("merge schema guard: partitioned table rejects drifted column sets, casts types") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq((1L, ts("2024-01-01 10:00:00"), "A", 1.0))
+      .toDF("id", "ts", "sym", "v"))
+    // EXTRA source column: refused before anything is written
+    val extra = Seq((1L, ts("2024-01-01 10:00:00"), "A", 2.0, "junk"))
+      .toDF("id", "ts", "sym", "v", "extra")
+    val eEx = intercept[IllegalArgumentException] { t.merge(extra, Seq("id")) }
+    assert(eEx.getMessage.contains("differ from table columns"))
+    // the r8 regression: the guard compared against the INFERRED schema,
+    // which carries the partition column — so the message (and the
+    // comparison) must be over DATA columns only
+    assert(!eEx.getMessage.contains("p_date"))
+    // MISSING source column: refused too
+    val missing = Seq((1L, ts("2024-01-01 10:00:00"), "A")).toDF("id", "ts", "sym")
+    intercept[IllegalArgumentException] { t.merge(missing, Seq("id")) }
+    // the failed merges mutated nothing
+    assert(t.df.count() == 1)
+    assert(t.df.where(col("id") === 1L).select("v").head.getDouble(0) == 1.0)
+    // right column SET, drifted TYPE: cast to the table's (int v -> double),
+    // so the shared directory never holds mixed-schema files
+    val delta = Seq((1L, ts("2024-01-01 10:00:00"), "A", 7))
+      .toDF("id", "ts", "sym", "v")
+    val (r, w) = t.merge(delta, Seq("id"))
+    assert((r, w) == ((1L, 1L)))
+    assert(t.df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(t.df.select("v").head.getDouble(0) == 7.0)
+  }
+
+  test("null-ts rows route through the hive default partition: merge replaces, delete drops") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), "A", 1.0),
+      (2L, None, "N", 2.0)).toDF("id", "ts", "sym", "v"))
+    val nullDir = Paths.get(path, "p_date=__HIVE_DEFAULT_PARTITION__")
+    assert(Files.exists(nullDir), "null-ts row must land in the hive default partition")
+    assert(t.df.count() == 2)
+    // merge REPLACING the null-ts row: raw (nullable) cast keying would
+    // skip the null partition and leave both versions live
+    val delta = Seq((2L, None: Option[Timestamp], "N", 20.0)).toDF("id", "ts", "sym", "v")
+    val (replaced, written) = t.merge(delta, Seq("id"))
+    assert((replaced, written) == ((1L, 1L)))
+    assert(t.df.count() == 2)
+    assert(t.df.where(col("id") === 2L).select("v").head.getDouble(0) == 20.0)
+    // merge INSERTING a new null-ts row (no matched key -> the remainder
+    // append path) must not drop it from BOTH partition filters
+    val (r2, w2) = t.merge(
+      Seq((3L, None: Option[Timestamp], "M", 3.0)).toDF("id", "ts", "sym", "v"), Seq("id"))
+    assert((r2, w2) == ((0L, 1L)))
+    assert(t.df.where(col("ts").isNull).count() == 2)
+    // deleting every null-ts row empties the default partition; the
+    // emptied dir is dropped (dropIfEmptied), not left as debris
+    assert(t.deleteWhere(col("ts").isNull) == 2L)
+    assert(t.df.count() == 1)
+    assert(!Files.exists(nullDir), "emptied null partition dir must be dropped")
+  }
+
+  test("compact(clusterBy) skips a zero-row partition instead of NPEing on missing stats") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(sample)
+    // the debris a crash between swapIn and dropIfEmptied leaves: a live
+    // partition dir whose parquet file holds ZERO rows (an emptied
+    // rewrite). Writing an all-empty frame produces exactly that file.
+    val empty = Paths.get(path, "p_date=2024-01-09")
+    t.df.where(lit(false)).write.mode("overwrite").parquet(empty.toString)
+    // a zero-row partition has no stats row — clusterBy compaction must
+    // skip it, not dereference the missing stats
+    val before = t.df.orderBy("ts").collect().toSeq
+    val rewritten = t.compact(clusterBy = Seq("v"))
+    assert(rewritten >= 1)
+    assert(t.df.orderBy("ts").collect().toSeq == before)
+    // the in-line path: a delete that empties a whole day drops its dir
+    assert(Files.exists(Paths.get(path, "p_date=2024-01-03")))
+    assert(t.deleteWhere(col("sym") === "C") == 1L)
+    assert(!Files.exists(Paths.get(path, "p_date=2024-01-03")))
+    assert(t.df.count() == 3)
+  }
+
+  test("awaitAll drains sibling jobs before propagating the first failure") {
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t = ZTable.create(spark, tmp(), Spec())
+    val sibDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom = Future[Unit] { throw new RuntimeException("rewrite failed") }
+    val slow = Future[Unit] { Thread.sleep(500); sibDone.set(true) }
+    val e = intercept[RuntimeException] { t.awaitAll(Seq(boom, slow)) }
+    assert(e.getMessage == "rewrite failed")
+    // a fail-fast Await(Future.sequence) returns here with the sibling
+    // still mid-write: `mutate` would release the table lock and another
+    // process's entry recovery could sweep the live staging dir
+    assert(sibDone.get, "awaitAll returned while a sibling job was still running")
+  }
+
   test("migrateColumn rewrites a column type across partitions (S8)") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())

@@ -531,7 +531,7 @@ object ScaleStress {
         // predicate) stays bounded by the touched partition, not the
         // table — the copy-on-write contract del1/del2 argue from plan
         // shape. ----
-        if (ops("life1")) {
+        def eventsX(): DataFrame = {
           val evPath = s"$tmp/evX$mult"
           if (!Files.exists(java.nio.file.Paths.get(evPath))) {
             val ev0 = Tables.events(spark, base)
@@ -542,7 +542,10 @@ object ScaleStress {
             }.reduce(_ unionAll _)
               .repartition(32).write.mode("overwrite").parquet(evPath)
           }
-          val ev = spark.read.parquet(evPath)
+          spark.read.parquet(evPath)
+        }
+        if (ops("life1")) {
+          val ev = eventsX()
           val nEv = ev.count()
           val tPath = s"$tmp/zlife$mult/t"
           val (t, ingT) = timed {
@@ -588,6 +591,81 @@ object ScaleStress {
             f"compact=$cmpT%.2fs delNarrow=$narT%.2fs(n=$nNar) " +
             f"delBroad=$brdT%.2fs(n=$nBrd) merge=$mrgT%.2fs" +
             f"(upd=${mrg._1} ins=${mrg._2}) after=$nAfter")
+          spark.catalog.clearCache()
+        }
+
+        // ---- life1n: merge INTO the null partition at ×M (round-9:
+        // the r8 bug class was an untested mutation-path edge; these
+        // two shapes put the edges under measurement). Null-ts rows —
+        // legal under strictOrder = false — must be replaced, inserted
+        // and deleted through p_date=__HIVE_DEFAULT_PARTITION__ at the
+        // same cost shape as any dated partition, and deleting the last
+        // of them must drop the emptied dir. ----
+        if (ops("life1n")) {
+          val ev = eventsX()
+          val tPath = s"$tmp/zlifeN$mult/t"
+          val t = graft.sources.ZTable.create(spark, tPath,
+            graft.sources.ZTableSpec(tsCol = "ts",
+              partitionBy = graft.sources.ZPartitionBy.Day,
+              strictOrder = false))
+          t.append(ev)
+          // seed the null partition with offset ids (no key collision
+          // with the dated rows)
+          val nullSeed = ev.where(col("user_id") < 20)
+            .withColumn("ts", lit(null).cast("timestamp"))
+            .withColumn("event_id", col("event_id") + 2000000000L)
+          t.append(nullSeed)
+          val nSeed = nullSeed.count()
+          // replace half the null-ts rows, insert fresh ones
+          val delta = nullSeed.where(col("user_id") < 10)
+            .withColumn("value", col("value") * 2)
+            .unionByName(nullSeed
+              .where(col("user_id") >= 10 && col("user_id") < 15)
+              .withColumn("event_id", col("event_id") + 900000000L))
+          val (mrg, mT) = timed { t.merge(delta, Seq("event_id")) }
+          val nNull = t.df.where(col("ts").isNull).count()
+          val (nDel, dT) = timed { t.deleteWhere(col("ts").isNull) }
+          val dirGone = !Files.exists(java.nio.file.Paths.get(
+            tPath, "p_date=__HIVE_DEFAULT_PARTITION__"))
+          println(f"STRESS life1n mult=$mult seed=$nSeed merge=$mT%.2fs" +
+            f"(upd=${mrg._1} ins=${mrg._2}) nullRows=$nNull " +
+            f"delNull=$dT%.2fs(n=$nDel dirDropped=$dirGone)")
+          spark.catalog.clearCache()
+        }
+
+        // ---- life1c: two CONCURRENT merges with disjoint key sets at
+        // ×M. The writer lock serializes them (the contract, not a
+        // throughput claim): no lost rows, no debris, total wall ≈ the
+        // two merges run back to back plus lock handoff. ----
+        if (ops("life1c")) {
+          val ev = eventsX()
+          val tPath = s"$tmp/zlifeC$mult/t"
+          val t = graft.sources.ZTable.create(spark, tPath,
+            graft.sources.ZTableSpec(tsCol = "ts",
+              partitionBy = graft.sources.ZPartitionBy.Day,
+              strictOrder = false))
+          t.append(ev)
+          val before = t.df.count()
+          val dA = ev.where(col("user_id") < 25)
+            .withColumn("value", col("value") + 1)
+          val dB = ev.where(col("user_id") >= 25 && col("user_id") < 50)
+            .withColumn("value", col("value") + 2)
+            .unionByName(ev.where(col("user_id") >= 50 && col("user_id") < 55)
+              .withColumn("event_id", col("event_id") + 900000000L))
+          val nIns = ev.where(col("user_id") >= 50 && col("user_id") < 55).count()
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val ((ra, rb), wall) = timed {
+            val fa = Future { t.merge(dA, Seq("event_id")) }
+            val fb = Future { t.merge(dB, Seq("event_id")) }
+            (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+          }
+          val after = t.df.count()
+          val lost = after != before + nIns
+          println(f"STRESS life1c mult=$mult wall=$wall%.2fs " +
+            f"mergeA=(${ra._1},${ra._2}) mergeB=(${rb._1},${rb._2}) " +
+            f"before=$before after=$after expectedIns=$nIns lost=$lost")
           spark.catalog.clearCache()
         }
 
