@@ -80,14 +80,37 @@ object Bench {
         name -> (if (times.size == reps) Some(times.min) else None)
       }
     }
+    outputLines(results, errors, sfDir, cpus, reps).foreach(println)
+    spark.stop()
+    // A failed query can never again post rc=0: the driver (and any
+    // human) sees the breakage even without parsing the errors map.
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Every line the bench prints, in order — factored out of main so the
+    * tail-capture contract is SPEC-TESTED, not hoped for. The driver
+    * keeps only the LAST ~2000 chars of output (BENCH_r06's "tail" is
+    * exactly 2000 chars and both r5/r6 ended "parsed": null because the
+    * 171-entry map overran it). So: the complete line goes out FIRST for
+    * the log, then short "queries_part" chunk lines, and the FINAL line
+    * is a compact summary that always fits the tail window — that line
+    * is what the driver's parse must land on. If the full map happens to
+    * fit the window, prefer it as the final line so the driver gets
+    * everything. Error NAMES ride the final line too (r8's driver
+    * artifact showed n_errors=1 with no way to tell WHICH query broke);
+    * each message truncated to 120 chars — enough for the exception
+    * class + the require text — so even the all-broken worst case stays
+    * a bounded line. */
+  private[graft] def outputLines(results: Seq[(String, Option[Double])],
+      errors: scala.collection.Map[String, String], sfDir: String,
+      cpus: String, reps: Int): Seq[String] = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    // Millisecond precision keeps the line SHORT — the driver captures
-    // only a bounded output tail, and r5/r6 proved a full-double-
-    // precision 171-entry map overruns it ("parsed": null both rounds).
+    // Millisecond precision keeps the line SHORT — full double precision
+    // on a 171-entry map overruns the tail window.
     def sec3(v: Double): String = // Locale.ROOT: f"%.3f" under a
       // comma-decimal default locale would emit 0,123 — invalid JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -101,39 +124,29 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val full =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
-    // The driver keeps only the LAST ~2000 chars of output (BENCH_r06's
-    // "tail" is exactly 2000 chars and both r5/r6 ended "parsed": null
-    // because the 171-entry map overruns it). So: the complete line goes
-    // out FIRST for the log, then short "queries_part" chunk lines, and
-    // the FINAL line is a compact summary that always fits the tail
-    // window — that line is what the driver's parse must land on. If
-    // the full map happens to fit the window too, prefer it as the
-    // final line so the driver gets everything.
-    println(full)
-    if (full.length <= 1700) {
-      println(full)
-    } else {
+    if (full.length <= 1700) Seq(full, full)
+    else {
       val chunks = qEntries.grouped(12).toSeq
-      chunks.zipWithIndex.foreach { case (c, i) =>
-        println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+      val partLines = chunks.zipWithIndex.map { case (c, i) =>
+        s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}"""
       }
       val slowest = results.collect { case (k, Some(v)) => (k, v) }
         .sortBy(-_._2).take(10)
         .map { case (k, v) => jstr(k) + ":" + sec3(v) }
         .mkString("{", ",", "}")
-      // Error NAMES ride the final (tail-surviving) line: r8's driver
-      // artifact showed n_errors=1 with no way to tell WHICH query broke
-      // (the named errors map lived only in the first full line, outside
-      // the 2000-char tail). First 120 chars of each message — enough to
-      // carry the exception class + the require text.
-      val errTail = errors.toSeq.sortBy(_._1)
-        .map { case (k, v) => jstr(k) + ":" + jstr(v.take(120)) }
+      // Cap at 6 named errors: beyond that the line itself would overrun
+      // the tail window and the driver would lose the line's HEAD (the
+      // value/n_errors fields) — six named failures plus the count
+      // beats all of them half-truncated.
+      val errShown = errors.toSeq.sortBy(_._1).take(6)
+      val errTail = (errShown.map { case (k, v) =>
+          jstr(k) + ":" + jstr(v.take(120)) } ++
+        (if (errors.size > 6)
+          Seq(jstr("_truncated") + ":" + jstr(s"+${errors.size - 6} more"))
+        else Nil))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errTail,"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}""")
+      (full +: partLines) :+
+        s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errTail,"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
     }
-    spark.stop()
-    // A failed query can never again post rc=0: the driver (and any
-    // human) sees the breakage even without parsing the errors map.
-    if (errors.nonEmpty) sys.exit(1)
   }
 }

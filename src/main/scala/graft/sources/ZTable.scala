@@ -226,6 +226,25 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     try r.getRecordCount finally r.close()
   }
 
+  /** Raw partition VALUE from a partition directory name — the single
+    * dir-name→value mapping every probe-map lookup routes through.
+    * Spark path-escapes special characters when writing partition dirs
+    * (space, colon → %20, %3A …); probe maps key on RAW values
+    * ([[partKeyStr]]), so a dir-derived key must unescape or the two
+    * sides silently disagree and affected partitions get skipped.
+    * Today's formats (Day/Month/Year dates, "all", the hive null name)
+    * are all path-safe — this makes the correspondence a contract
+    * rather than a coincidence. */
+  private[graft] def dirToPartValue(dir: java.nio.file.Path): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dir.getFileName.toString.stripPrefix(partCol + "="))
+
+  /** Partition directory NAME from a raw value — [[dirToPartValue]]'s
+    * inverse, matching what Spark's partitionBy writer produces. */
+  private[graft] def partValueToDirName(pval: String): String =
+    partCol + "=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(pval)
+
   /** Spark's reserved dir name for a NULL partition value. Probe maps
     * key on this instead of a raw (nullable) cast so rows with a null
     * ts — legal under strictOrder = false — are matched to the
@@ -453,7 +472,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       // a partition whose data files hold ZERO rows (a delete that
       // emptied it) has no stats row — nothing to cluster, and
       // dereferencing the missing stats would NPE inside the Future
-      val partVal = dir.getFileName.toString.stripPrefix(partCol + "=")
+      val partVal = dirToPartValue(dir)
       val statsOk = clusterBy.isEmpty || statsByPart.contains(partVal) ||
         keys.forall(k => linearCol(k).isEmpty)
       if ((dataFiles.length > nOut ||
@@ -520,10 +539,9 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = parts
-      .filter(d => hitsByPart.contains(
-        d.getFileName.toString.stripPrefix(partCol + "=")))
+      .filter(d => hitsByPart.contains(dirToPartValue(d)))
       .map { dir => Future {
-        val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
+        val hits = hitsByPart(dirToPartValue(dir))
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
         spark.read.parquet(dir.toString)
           .where(!coalesce(pred, lit(false)))
@@ -568,10 +586,9 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val jobs = parts
-        .filter(d => hitsByPart.contains(
-          d.getFileName.toString.stripPrefix(partCol + "=")))
+        .filter(d => hitsByPart.contains(dirToPartValue(d)))
         .map { dir => Future {
-          val hits = hitsByPart(dir.getFileName.toString.stripPrefix(partCol + "="))
+          val hits = hitsByPart(dirToPartValue(dir))
           val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
           spark.read.parquet(dir.toString)
             .join(k, Seq(keyCol), "left_anti")
@@ -668,10 +685,8 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // recovery sweep above). The insert pass below then only touches
     // partitions with no matched key, where a plain additive append
     // cannot lose anything.
-    val affected = parts.filter(d => hitsByPart.contains(
-      d.getFileName.toString.stripPrefix(partCol + "=")))
-    val affectedNames = affected.map(
-      _.getFileName.toString.stripPrefix(partCol + "=")).toSet
+    val affected = parts.filter(d => hitsByPart.contains(dirToPartValue(d)))
+    val affectedNames = affected.map(dirToPartValue).toSet
     // The SOURCE half of every staging dir is written by ONE
     // partitionBy job up front (dot-prefixed root: invisible to scans,
     // swept by recoverSwaps if orphaned). The original per-job
@@ -687,7 +702,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
     val jobs = affected.map { dir => Future {
-      val pval = dir.getFileName.toString.stripPrefix(partCol + "=")
+      val pval = dirToPartValue(dir)
       val hits = hitsByPart(pval)
       val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
       // seed the staging dir with the pre-staged source half (absent
@@ -697,7 +712,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       // roll-forward condition (_SUCCESS present) still implies both
       // halves are complete; both writes are per-file ts-sorted (the
       // append path's file contract).
-      val staged = stage.resolve(partCol + "=" + pval)
+      val staged = stage.resolve(partValueToDirName(pval))
       if (Files.exists(staged)) Files.move(staged, tmp)
       else Files.createDirectories(tmp)
       spark.read.parquet(dir.toString)

@@ -482,6 +482,26 @@ class ZTableSpec extends SparkSpec {
     assert(t.df.count() == 3)
   }
 
+  test("partition value <-> dir name mapping is escape-aware and centralized") {
+    val t = ZTable.create(spark, tmp(), Spec())
+    // today's formats are path-safe: identity round-trips
+    for (v <- Seq("2024-01-09", "2024-01", "2024", "all",
+                  "__HIVE_DEFAULT_PARTITION__")) {
+      assert(t.partValueToDirName(v) == s"p_date=$v")
+      assert(t.dirToPartValue(Paths.get(t.partValueToDirName(v))) == v)
+    }
+    // a format that ever produces path-special characters (space, colon,
+    // percent) must round-trip through Spark's escaping, because the
+    // partitionBy WRITER escapes — raw-keyed probe maps would otherwise
+    // silently skip those partitions
+    for (v <- Seq("2024-01-09 10:00", "50%", "a/b")) {
+      val name = t.partValueToDirName(v).stripPrefix("p_date=")
+      assert(!name.exists(c => c == ':' || c == '/'),
+        s"escaped dir name must be path-safe, got [$name]")
+      assert(t.dirToPartValue(Paths.get("p_date=" + name)) == v)
+    }
+  }
+
   test("awaitAll drains sibling jobs before propagating the first failure") {
     import scala.concurrent.{ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global

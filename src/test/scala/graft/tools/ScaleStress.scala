@@ -609,11 +609,14 @@ object ScaleStress {
               partitionBy = graft.sources.ZPartitionBy.Day,
               strictOrder = false))
           t.append(ev)
-          // seed the null partition with offset ids (no key collision
-          // with the dated rows)
+          // seed the null partition with offset ids clear of EVERY
+          // copy's range (copy j occupies [j*1e9, j*1e9+1e5], so a
+          // small offset collides with higher copies' dated ids — the
+          // first run of this shape measured upd 1.8x the expected
+          // count at mult=10 for exactly that reason)
           val nullSeed = ev.where(col("user_id") < 20)
             .withColumn("ts", lit(null).cast("timestamp"))
-            .withColumn("event_id", col("event_id") + 2000000000L)
+            .withColumn("event_id", col("event_id") + 200000000000L)
           t.append(nullSeed)
           val nSeed = nullSeed.count()
           // replace half the null-ts rows, insert fresh ones
@@ -621,7 +624,7 @@ object ScaleStress {
             .withColumn("value", col("value") * 2)
             .unionByName(nullSeed
               .where(col("user_id") >= 10 && col("user_id") < 15)
-              .withColumn("event_id", col("event_id") + 900000000L))
+              .withColumn("event_id", col("event_id") + 400000000000L))
           val (mrg, mT) = timed { t.merge(delta, Seq("event_id")) }
           val nNull = t.df.where(col("ts").isNull).count()
           val (nDel, dT) = timed { t.deleteWhere(col("ts").isNull) }
