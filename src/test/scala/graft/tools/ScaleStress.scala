@@ -17,8 +17,10 @@ import graft.operators.{Dedup, IvfIndex, Similarity}
   * families end-to-end, so "designed for 100 TB" is a measurement, not
   * plan-reading. Results → STRESS.md. Ops (select via
   * SPARK_GRAFT_STRESS_OPS): d2/d4/d7/d11 dedup, sim2/sim6b/sim14/
-  * sim14c ANN, stream1 streaming, g1x/g2x/g3x graph, life1 ZTable
-  * lifecycle, nat1 native engine, ivm1x incremental views.
+  * sim14c ANN, stream1 streaming, g1x/g2x/g3x graph, life1/life1n/
+  * life1c ZTable lifecycle, nat1 native engine, ivm1x incremental
+  * views, spill1 memory-bounded execution (pair with
+  * SPARK_DRIVER_MEM=2g for the capped run).
   *
   * TWO document-corpus constructions (deterministic, hash-keyed):
   *  - CLEAN ×M (linear ground truth): copy j remaps doc_id (+j·10M) and
@@ -669,6 +671,60 @@ object ScaleStress {
           println(f"STRESS life1c mult=$mult wall=$wall%.2fs " +
             f"mergeA=(${ra._1},${ra._2}) mergeB=(${rb._1},${rb._2}) " +
             f"before=$before after=$after expectedIns=$nIns lost=$lost")
+          spark.catalog.clearCache()
+        }
+
+        // ---- spill1: memory-BOUNDED execution at ×M (round-9). The
+        // scale program's missing axis: every other row measures time
+        // vs data; this one caps MEMORY (run under SPARK_DRIVER_MEM=2g
+        // vs the default) and proves the heavy-shuffle faces complete
+        // by SPILLING instead of OOM when a task's data exceeds its
+        // execution-memory share — the 100 TB claim is exactly "a
+        // partition bigger than memory degrades to disk, it does not
+        // kill the executor". Two faces: a 4-partition global sort
+        // (per-task rows = N/4, deliberately far over a 2g heap's
+        // per-task share) and an all-unique-key hash aggregate (hash
+        // map overflow → sort-based fallback). Spill bytes observed
+        // via TaskMetrics, so "it spilled" is a number, not a guess. ----
+        if (ops("spill1")) {
+          val ev = eventsX()
+          val nRows = ev.count()
+          val memSp = new java.util.concurrent.atomic.AtomicLong(0L)
+          val diskSp = new java.util.concurrent.atomic.AtomicLong(0L)
+          val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = te.taskMetrics
+              if (m != null) {
+                memSp.addAndGet(m.memoryBytesSpilled)
+                diskSp.addAndGet(m.diskBytesSpilled)
+                peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val heapMB = Runtime.getRuntime.maxMemory() / 1048576
+          val (_, sT) = timed {
+            ev.repartitionByRange(4, col("user_id"), col("ts"))
+              .sortWithinPartitions(col("user_id"), col("ts"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          val (_, aT) = timed {
+            // noop-write, not count(): count lets Catalyst prune the
+            // aggregate expressions and under-measure the hash map
+            ev.groupBy(col("event_id"))
+              .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          // listener delivery is async; give the bus a moment to drain
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"STRESS spill1 mult=$mult rows=$nRows heap=${heapMB}MB " +
+            f"sort4=$sT%.2fs aggUnique=$aT%.2fs " +
+            f"spillMem=${memSp.get / 1048576}MB " +
+            f"spillDisk=${diskSp.get / 1048576}MB " +
+            f"peakTask=${peak.get / 1048576}MB")
           spark.catalog.clearCache()
         }
 
