@@ -309,4 +309,51 @@ object PropertyChecks extends Properties("graft") {
       val chars = words.map(_.length.toLong).sum
       got == expected && got >= words.length && got <= chars
     }
+
+  // ---- ZTable.merge vs the set-algebra oracle (round 9: the operator
+  // whose untested edges produced the board's only r8 regression).
+  // Contract under test, for ANY table/delta shape: the post-merge row
+  // multiset equals (table rows whose key is NOT in the delta) ++ ALL
+  // delta rows; returned counts are (matched table rows, delta size).
+  // The generator drives the known-treacherous edges on purpose:
+  // null timestamps (hive-default partition routing), replacements
+  // whose ts differs from the old row's (cross-partition moves),
+  // duplicate keys on both sides, empty tables and empty deltas.
+  private val mergeRow: Gen[(Long, Option[Int], Double)] = for {
+    id <- Gen.choose(0L, 11L)
+    day <- Gen.frequency(4 -> Gen.choose(0, 3).map(Some(_)), 1 -> Gen.const(None))
+    v <- Gen.choose(1, 99)
+  } yield (id, day, v.toDouble)
+
+  private def dayTs(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+
+  property("ZTable.merge == delete-matching-then-insert for any shape") =
+    Prop.forAllNoShrink(
+      Gen.choose(0, 16).flatMap(Gen.listOfN(_, mergeRow)),
+      Gen.choose(0, 8).flatMap(Gen.listOfN(_, mergeRow))) { (tbl, delta) =>
+      import graft.sources.{ZTable, ZTableSpec, ZPartitionBy}
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_merge_")
+      try {
+        val t = ZTable.create(spark, dir.toString,
+          ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day,
+            strictOrder = false))
+        def frame(rows: List[(Long, Option[Int], Double)]) =
+          rows.map { case (id, d, v) => (id, d.map(dayTs).orNull, v) }
+            .toDF("id", "ts", "v")
+        if (tbl.nonEmpty) t.append(frame(tbl))
+        val (replaced, written) = t.merge(frame(delta), Seq("id"))
+        val deltaKeys = delta.map(_._1).toSet
+        val expected = (tbl.filterNot(r => deltaKeys(r._1)) ++ delta)
+          .map { case (id, d, v) => (id, d, v) }.sorted
+        val got = t.df.collect().map { r =>
+          val d = if (r.isNullAt(r.fieldIndex("ts"))) None
+            else Some(r.getAs[Timestamp]("ts").toLocalDateTime.getDayOfMonth - 1)
+          (r.getAs[Long]("id"), d, r.getAs[Double]("v"))
+        }.toList.sorted
+        val wantReplaced = tbl.count(r => deltaKeys(r._1)).toLong
+        got == expected && replaced == wantReplaced && written == delta.size.toLong
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
 }
