@@ -356,4 +356,31 @@ object PropertyChecks extends Properties("graft") {
         org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
       }
     }
+
+  property("ZTable.deleteMatching removes exactly the keyed rows for any shape") =
+    Prop.forAllNoShrink(
+      Gen.choose(0, 16).flatMap(Gen.listOfN(_, mergeRow)),
+      Gen.choose(0, 6).flatMap(Gen.listOfN(_, Gen.choose(0L, 11L)))) { (tbl, keys) =>
+      import graft.sources.{ZTable, ZTableSpec, ZPartitionBy}
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_del_")
+      try {
+        val t = ZTable.create(spark, dir.toString,
+          ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day,
+            strictOrder = false))
+        if (tbl.nonEmpty) t.append(
+          tbl.map { case (id, d, v) => (id, d.map(dayTs).orNull, v) }
+            .toDF("id", "ts", "v"))
+        val n = t.deleteMatching(keys.toDF("id"), "id")
+        val keySet = keys.toSet
+        val expected = tbl.filterNot(r => keySet(r._1)).sorted
+        val got = t.df.collect().map { r =>
+          val d = if (r.isNullAt(r.fieldIndex("ts"))) None
+            else Some(r.getAs[Timestamp]("ts").toLocalDateTime.getDayOfMonth - 1)
+          (r.getAs[Long]("id"), d, r.getAs[Double]("v"))
+        }.toList.sorted
+        got == expected && n == tbl.count(r => keySet(r._1)).toLong
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
 }
