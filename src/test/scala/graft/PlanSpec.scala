@@ -378,4 +378,20 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("d8: bloom probe filters map-side before the verify join; partial agg; no cartesian") {
+    // this session's top drift row (1.33x min on an untouched query) —
+    // pin the shape so a REAL regression (bloom pre-filter lost below
+    // the join, the per-id count losing its map-side partial, a
+    // cartesian sneaking into the verify) fails CI instead of being
+    // argued from a bench ratio
+    val p = executed(graft.queries.DedupQueries.bloomDecontaminate(spark, sf001))
+    val s = p.toString
+    // the bloom membership UDF must appear in a Filter node (map-side
+    // pre-filter on the corpus gram stream), not only in a join condition
+    assert("Filter .*UDF".r.findFirstIn(s).isDefined, s)
+    // per-id count_distinct aggregates partially before its exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"), s)
+  }
 }
