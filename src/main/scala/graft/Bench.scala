@@ -104,11 +104,26 @@ object Bench {
   private[graft] def outputLines(results: Seq[(String, Option[Double])],
       errors: scala.collection.Map[String, String], sfDir: String,
       cpus: String, reps: Int): Seq[String] = {
-    def jstr(s: String): String = "\"" + s.flatMap {
+    def esc(c: Char): String = c match {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+      case x if x < ' ' => f"\\u${x.toInt}%04x"; case x => x.toString
+    }
+    def jstr(s: String): String = "\"" + s.flatMap(esc) + "\""
+    // truncate AFTER escaping: esc expands control chars up to 6×
+    // (\uXXXX), so capping the raw message could still blow the tail
+    // window on pathological content — cap the ESCAPED body, never
+    // cutting inside an escape sequence
+    def jstrCapped(s: String, cap: Int): String = {
+      val sb = new StringBuilder("\"")
+      val it = s.iterator
+      var full = false
+      while (it.hasNext && !full) {
+        val e = esc(it.next())
+        if (sb.length - 1 + e.length > cap) full = true else sb ++= e
+      }
+      (sb += '"').toString
+    }
     // Millisecond precision keeps the line SHORT — full double precision
     // on a 171-entry map overruns the tail window.
     def sec3(v: Double): String = // Locale.ROOT: f"%.3f" under a
@@ -140,7 +155,7 @@ object Bench {
       // beats all of them half-truncated.
       val errShown = errors.toSeq.sortBy(_._1).take(6)
       val errTail = (errShown.map { case (k, v) =>
-          jstr(k) + ":" + jstr(v.take(120)) } ++
+          jstr(k) + ":" + jstrCapped(v, 120) } ++
         (if (errors.size > 6)
           Seq(jstr("_truncated") + ":" + jstr(s"+${errors.size - 6} more"))
         else Nil))

@@ -310,7 +310,10 @@ object Dedup {
       .persist()
     val bf = benchSh.stat.bloomFilter("sh", math.max(benchSh.count(), 1L), fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
+    // named so the PlanSpec pin can anchor on THIS filter (an anonymous
+    // UDF string would let the pin pass on any unrelated UDF filter)
     val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+      .withName("bloom_probe")
     val sizes = docs.select(col(idCol).as("id"),
         graft.plans.TextOps.repetitionStats(split(lower(col(textCol)), " "), n)
           .getField("n_distinct").as("n_grams"))

@@ -58,12 +58,17 @@ object Graph {
     * caller's first action materializes all rounds as one pipelined
     * job, paying zero checkpoint cost (a measured ~0.3–0.7 s final-pin
     * tax at iters=3). The cached blocks back the returned plan, so
-    * they are NOT released here; they age out of the LRU block store,
-    * and a caller wanting eager cleanup pins the output itself
-    * (`df.localCheckpoint()` then unpersists). LONG runs (`iters >=
-    * pinEvery`) return the final pin — node-sized, already
-    * materialized, caches released before returning — so the only
-    * residue is the result's own blocks (freed with `unpersist()`).
+    * they are NOT released here — and NOTHING the caller does to the
+    * RESULT releases them (MEMORY_AND_DISK blocks are not LRU-evicted
+    * once spilled; localCheckpoint-then-unpersist on the result frame
+    * does not touch the upstream pins). A long-lived session making
+    * repeated short-run calls should pass `pinResult = true`: the
+    * final round is pinned even on the short path and `nodes`/
+    * `withDeg` are unpersisted before returning, so the only residue
+    * is the node-sized result itself (freed with `unpersist()`), at
+    * the cost of the one final-pin materialization. The blunt remedy
+    * for already-leaked blocks is `spark.catalog.clearCache()`. LONG
+    * runs (`iters >= pinEvery`) always behave like `pinResult = true`.
     *
     * `onRound(0, s)` reports the setup scan (symmetrize + node count +
     * initial pin), `onRound(i, s)` iteration i — the hook the graph
@@ -74,7 +79,8 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int,
       checkpointDir: Option[String] = None,
       onRound: (Int, Double) => Unit = (_, _) => (),
-      pinEvery: Int = 8): DataFrame = {
+      pinEvery: Int = 8,
+      pinResult: Boolean = false): DataFrame = {
     require(pinEvery >= 1, s"pinEvery must be >= 1, got $pinEvery")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -100,8 +106,9 @@ object Graph {
     var lastPinned: DataFrame = null
     // iters < pinEvery means NO scheduled pin fires — take the lazy
     // path end-to-end (see scaladoc: short runs must not pay a
-    // materialization the chained plan doesn't need)
-    val willPin = iters >= pinEvery
+    // materialization the chained plan doesn't need) unless the caller
+    // asked for a self-contained result (pinResult)
+    val willPin = iters >= pinEvery || pinResult
     for (r <- 1 to iters) rounded(r) {
       val next = {
         val contrib = withDeg
@@ -123,6 +130,9 @@ object Graph {
       } else ranks = next
     }
     if (willPin) {
+      // iters = 0 runs no round, so pinResult pins the initial ranks
+      // here (the r == iters clause never fired)
+      if (lastPinned == null) ranks = pin(ranks)
       // the final pin is self-contained (checkpoint files / local
       // blocks), so the loop caches can be released eagerly — no
       // lazy-plan hazard

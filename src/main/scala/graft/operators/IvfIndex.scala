@@ -64,7 +64,8 @@ object IvfIndex {
       cents: Array[Centroid], metaCols: Seq[String] = Nil): DataFrame = {
     val cellIds = typedlit(cents.map(_.cell))
     val simCols = cents.map { c =>
-      VectorOps.dot(col("vec"), typedlit(c.vec)) / (col("vnorm") * lit(c.norm))
+      VectorOps.cosFrom(VectorOps.dot(col("vec"), typedlit(c.vec)),
+        col("vnorm"), lit(c.norm))
     }
     emb.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm")) ++ metaCols.map(col): _*)
@@ -117,7 +118,7 @@ object IvfIndex {
         var d = 0.0
         var i = 0
         while (i < c.vec.length) { d += c.vec(i) * qv(i); i += 1 }
-        val s = d / (c.norm * qnorm)
+        val s = VectorOps.cosScalar(d, c.norm, qnorm)
         if (s > best) { second = best; best = s }
         else if (s > second) { second = s }
       }
@@ -257,7 +258,7 @@ object IvfIndex {
         VectorOps.dot(typedlit(queryVec), col("codes")) * col("scale")
       else VectorOps.dot(col("vec"), typedlit(queryVec))
     filtered
-      .select(col("id"), (dot / (col("vnorm") * lit(qnorm))).as("cos"))
+      .select(col("id"), VectorOps.cosFrom(dot, col("vnorm"), lit(qnorm)).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
@@ -379,7 +380,7 @@ object IvfIndex {
         var d = 0.0
         var i = 0
         while (i < c.vec.length) { d += c.vec(i) * queryVec(i); i += 1 }
-        (c.cell, d / (c.norm * qnorm))
+        (c.cell, VectorOps.cosScalar(d, c.norm, qnorm))
       }
       .sortBy { case (cell, sim) => (-sim, cell) }
     (ranked, qnorm)

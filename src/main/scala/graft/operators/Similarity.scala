@@ -36,9 +36,14 @@ object Similarity {
     * (graft.plans.VectorExprs). Sequential left-to-right double
     * accumulation — bit-identical to the interpreted
     * `aggregate(zip_with(...))` formulation it replaced, ~50× faster on
-    * pairwise workloads because the loop lives inside whole-stage codegen. */
+    * pairwise workloads because the loop lives inside whole-stage codegen.
+    *
+    * Zero-norm semantics (whole family, pinned by SimilaritySpec): a
+    * zero vector is defined orthogonal to everything — cos = 0, never
+    * NaN, never a division by zero (ANSI-safe). See VectorOps.cosFrom. */
   def cosine(a: Column, b: Column): Column =
-    VectorOps.dot(a, b) / (sqrt(VectorOps.normSq(a)) * sqrt(VectorOps.normSq(b)))
+    VectorOps.cosFrom(VectorOps.dot(a, b),
+      sqrt(VectorOps.normSq(a)), sqrt(VectorOps.normSq(b)))
 
   private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
@@ -109,7 +114,7 @@ object Similarity {
               var dot = 0.0
               var d = 0
               while (d < vf.length) { dot += vf(d).toDouble * qv(d); d += 1 }
-              val cos = dot / (nrm * qnorm)
+              val cos = VectorOps.cosScalar(dot, nrm, qnorm)
               val h = heaps(qi)
               if (h.size < k) h.enqueue((cos, id))
               else {
@@ -187,7 +192,8 @@ object Similarity {
         col("lo") === least(col("blka"), col("blkb")) &&
         col("hi") === greatest(col("blka"), col("blkb")))
       .select(col("ida"), col("idb"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
+        VectorOps.cosFrom(VectorOps.dot(col("va"), col("vb")),
+          col("norm_a"), col("norm_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -284,7 +290,8 @@ object Similarity {
       .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
         col("nrm").as("nrm_b")), Seq("idb"))
       .select(col("ida"), col("idb"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+        VectorOps.cosFrom(VectorOps.dot(col("va"), col("vb")),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -395,7 +402,8 @@ object Similarity {
       .sortBy(_._1) // cell-ascending: first-max tie-break = smallest cell
     val cellIds = typedlit(cents.map(_._1))
     val simCols = cents.map { case (_, cv, cnorm) =>
-      VectorOps.dot(col("v"), typedlit(cv)) / (col("vnorm") * lit(cnorm))
+      VectorOps.cosFrom(VectorOps.dot(col("v"), typedlit(cv)),
+        col("vnorm"), lit(cnorm))
     }
     val scored = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(VectorOps.normSq(col(vecCol))).as("vnorm"))
@@ -429,7 +437,8 @@ object Similarity {
       .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
         col("vnorm").as("norm_b")), Seq("idb"))
       .select(col("ida"), col("idb"),
-        (VectorOps.dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b"))).as("cos"))
+        VectorOps.cosFrom(VectorOps.dot(col("va"), col("vb")),
+          col("norm_a"), col("norm_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -589,7 +598,12 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         sqrt(VectorOps.normSq(col(vecCol))).as("nrm__"))
       .select(col(idCol),
-        transform(col(vecCol), x => x.cast("double") / col("nrm__"))
+        // a zero vector stays the zero vector (dividing would poison
+        // every element NaN and then every k-means assignment it
+        // touches); ANSI-safe for the same reason as cosFrom
+        transform(col(vecCol), x =>
+          when(col("nrm__") > 0d, x.cast("double") / col("nrm__"))
+            .otherwise(x.cast("double")))
           .cast("array<float>").as(vecCol))
 
   /** The Lloyd objective Σ_v min_c ‖v − c‖² computed DISTRIBUTED: one
@@ -776,8 +790,8 @@ object Similarity {
     // preserves the candidate order
     val cand = deq.where(col("id") =!= queryId)
       .select(col("id"),
-        (VectorOps.dot(col("vhat"), typedlit(qv)) /
-          sqrt(VectorOps.normSq(col("vhat")))).as("acos"))
+        VectorOps.cosFrom(VectorOps.dot(col("vhat"), typedlit(qv)),
+          sqrt(VectorOps.normSq(col("vhat"))), lit(1d)).as("acos"))
       .orderBy(col("acos").desc, col("id"))
       .limit(candidates)
       .select(col("id"))

@@ -186,6 +186,25 @@ object VectorOps {
 
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Zero-norm-safe cosine from a precomputed dot and the two norms:
+    * a zero-norm vector is DEFINED orthogonal to everything (cos = 0),
+    * so it never crosses a positive threshold and sorts last under
+    * top-k — and the division never executes when the denominator is
+    * 0, which keeps the whole cosine family ANSI-mode safe
+    * (spark.sql.ansi.enabled would otherwise raise DIVIDE_BY_ZERO
+    * where non-ANSI silently dropped the pair as NaN). */
+  def cosFrom(dot: Column, normA: Column, normB: Column): Column = {
+    val den = normA * normB
+    org.apache.spark.sql.functions.when(den > 0d, dot / den).otherwise(0d)
+  }
+
+  /** Driver-side scalar twin of [[cosFrom]] — same cos = 0 semantics
+    * for the mapPartitions / collected-centroid code paths. */
+  @inline def cosScalar(dot: Double, normA: Double, normB: Double): Double = {
+    val den = normA * normB
+    if (den > 0) dot / den else 0.0
+  }
+
   def sparseFill(entries: Column, width: Int): Column =
     ColumnBridge.column(SparseFill(ColumnBridge.expression(entries), width))
 }

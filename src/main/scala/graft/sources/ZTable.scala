@@ -2,9 +2,9 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
 
 /** Partition granularity — mirrors the reference's `PartitionBy::{None,
   * Year, Month, Day}` (reference `src/schema.rs:71-77`); directory names
@@ -301,6 +301,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .repartition(col(partCol))
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("append").partitionBy(partCol).parquet(path)
+      recordSchemaIfMissing(data.schema)
     } catch {
       case e: Exception if msgChain(e).exists(_.contains("out of order")) =>
         throw new IllegalStateException(
@@ -326,9 +327,67 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     }
   }
 
+  /** The recorded DATA-column schema from `_meta.json` — the reference
+    * persists its column schema in table meta (reference
+    * `src/table/meta.rs:25-37`, `src/schema.rs:79-139`); here it's
+    * written at create (when given) or stamped by the first successful
+    * append/merge. This is what keeps a table READABLE when it holds no
+    * data files: a never-appended table, or one whose every row a
+    * delete/merge removed (dropIfEmptied legitimately dropped the last
+    * partition dir), has nothing for parquet inference to work with. */
+  def recordedSchema: Option[StructType] = {
+    val metaPath = Paths.get(path, "_meta.json")
+    if (!Files.exists(metaPath)) None
+    else {
+      val json = Files.readString(metaPath)
+      // schema is always the LAST meta field, so its value is the
+      // remainder of the document minus the closing brace
+      val i = json.indexOf("\"schema\":")
+      if (i < 0) None
+      else Some(DataType.fromJson(json.substring(i + 9, json.length - 1))
+        .asInstanceOf[StructType])
+    }
+  }
+
+  /** Stamp the data schema into `_meta.json` once (first write wins;
+    * parquet reads surface every column nullable, so the recorded form
+    * is normalized the same way — an empty read and a 1-row read must
+    * present identical schemas). */
+  /** Match what a parquet READ will present: file relations force
+    * nullable at every nesting level (HadoopFsRelation applies
+    * asNullable), so the recorded schema must too — otherwise an empty
+    * table and a 1-row table would disagree on nested nullability. */
+  private def nullify(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullify(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullify(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullify(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private[sources] def normalizeSchema(s: StructType): StructType =
+    nullify(StructType(s.fields.filterNot(_.name == partCol)))
+      .asInstanceOf[StructType]
+
+  private def recordSchemaIfMissing(s: StructType): Unit =
+    if (recordedSchema.isEmpty) writeMeta(Some(normalizeSchema(s).json))
+
+  /** Zero-row frame carrying the recorded schema — what reads serve
+    * when no data file exists. A schema-less empty table (created
+    * without a schema, never appended) degrades to the 0-column empty
+    * frame rather than throwing. */
+  private def emptyFrame: DataFrame = recordedSchema match {
+    case Some(s) => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], s)
+    case None => spark.emptyDataFrame
+  }
+
   def df: DataFrame = {
     maybeRecover()
-    spark.read.parquet(path).drop(partCol)
+    if (hasData) spark.read.parquet(path).drop(partCol)
+    else emptyFrame
   }
 
   /** Time-range scan, inclusive bounds (reference `src/table/scan.rs:62-88`).
@@ -337,6 +396,12 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * that reaches row-group stats. */
   def scan(fromTs: String, toTs: String, cols: Seq[String] = Nil): DataFrame = {
     maybeRecover()
+    if (!hasData) {
+      // empty table: serve the recorded schema (no partition dirs to
+      // prune, no files to range-filter — the predicates are no-ops)
+      val e = emptyFrame
+      return if (cols.isEmpty) e else e.select(cols.map(col): _*)
+    }
     val base = spark.read.parquet(path)
     val from = lit(fromTs).cast(TimestampType)
     val to = lit(toTs).cast(TimestampType)
@@ -385,12 +450,23 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * partitions; here it's a single declarative cast + rewrite). */
   def migrateColumn(colName: String, newType: String, outPath: String): ZTable = {
     maybeRecover()
+    if (!hasData) {
+      // empty source: the migration is pure metadata — carry the
+      // recorded schema across with the one column retyped
+      val migratedSchema = recordedSchema.map(s => StructType(s.fields.map(f =>
+        if (f.name == colName)
+          f.copy(dataType = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseDataType(newType))
+        else f)))
+      return ZTable.create(spark, outPath, spec, migratedSchema)
+    }
     val out = ZTable.create(spark, outPath, spec)
     val migrated = spark.read.parquet(path)
       .withColumn(colName, col(colName).cast(newType))
     migrated
       .sortWithinPartitions(col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(outPath)
+    out.recordSchemaIfMissing(migrated.schema)
     out
   }
 
@@ -638,17 +714,22 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // column SET required, types cast to the table's.
     val aligned = {
       val floored = floorResolution(source)
-      if (parts.isEmpty) floored
-      else {
-        // DATA columns only: on a partitioned layout the inferred schema
-        // carries the partition column (partCol), which sources never do
-        val tFields = spark.read.parquet(path).schema.fields
-          .filterNot(_.name == partCol).toIndexedSeq
-        require(tFields.map(_.name).sorted.sameElements(floored.columns.sorted),
-          s"merge: source columns [${floored.columns.sorted.mkString(",")}] " +
-          s"differ from table columns [${tFields.map(_.name).sorted.mkString(",")}]")
-        floored.select(tFields.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+      // DATA columns only: on a partitioned layout the inferred schema
+      // carries the partition column (partCol), which sources never do.
+      // The recorded meta schema takes precedence so an EMPTIED table
+      // (no data files, nothing to infer from) still checks and casts.
+      val tFieldsOpt = recordedSchema.map(_.fields.toIndexedSeq).orElse(
+        if (parts.isEmpty) None
+        else Some(spark.read.parquet(path).schema.fields
+          .filterNot(_.name == partCol).toIndexedSeq))
+      tFieldsOpt match {
+        case None => floored
+        case Some(tFields) =>
+          require(tFields.map(_.name).sorted.sameElements(floored.columns.sorted),
+            s"merge: source columns [${floored.columns.sorted.mkString(",")}] " +
+            s"differ from table columns [${tFields.map(_.name).sorted.mkString(",")}]")
+          floored.select(tFields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
       }
     }
     // one source materialization: the delta is re-read for the probe,
@@ -737,6 +818,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       .repartition(col(partCol))
       .sortWithinPartitions(col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
+    recordSchemaIfMissing(src.schema)
     (replaced.get, written)
     } finally {
       // cache pins and the stage root must not outlive a failed merge:
@@ -748,11 +830,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     }
   }
 
-  private[sources] def writeMeta(): Unit = {
+  private[sources] def writeMeta(schemaJson: Option[String] = None): Unit = {
+    // schema LAST — recordedSchema slices the document tail off at the
+    // first "schema": key, so nothing may follow it
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +
       s""""resolutionMicros":${spec.resolutionMicros.getOrElse(0L)},""" +
-      s""""strictOrder":${spec.strictOrder}}"""
+      s""""strictOrder":${spec.strictOrder}""" +
+      schemaJson.map(s => s""","schema":$s""").getOrElse("") + "}"
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, "_meta.json"), json,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -760,10 +845,16 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
 }
 
 object ZTable {
-  /** Create (meta file is table existence, reference `src/table/mod.rs:54-56`). */
-  def create(spark: SparkSession, path: String, spec: ZTableSpec): ZTable = {
+  /** Create (meta file is table existence, reference `src/table/mod.rs:54-56`).
+    * With a schema, it is recorded in `_meta.json` up front — like the
+    * reference, whose create takes the column schema
+    * (`src/schema.rs:79-139`) — so the table is readable before its
+    * first append; without one, the first successful append/merge
+    * stamps it. */
+  def create(spark: SparkSession, path: String, spec: ZTableSpec,
+      schema: Option[StructType] = None): ZTable = {
     val t = new ZTable(spark, path, spec)
-    t.writeMeta()
+    t.writeMeta(schema.map(s => t.normalizeSchema(s).json))
     t
   }
 

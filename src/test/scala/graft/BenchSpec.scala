@@ -73,6 +73,24 @@ class BenchSpec extends AnyFunSuite {
     assert(fin.contains("\"_truncated\":\"+34 more\""))
   }
 
+  test("pathological error content: escaped tail stays bounded and valid JSON") {
+    // control chars escape to \uXXXX (6x expansion) — the 120-char cap
+    // must apply AFTER escaping or six such messages overrun the window
+    val results = mkResults(171).map { case (k, _) => k -> None }
+    val errs = results.take(8).map { case (k, _) =>
+      k -> ("\u0001\u0002" * 200 + "\\" * 5 + "\"quoted\"") }.toMap
+    val lines = Bench.outputLines(results, errs, "/sf", "32", 3)
+    val fin = lines.last
+    assert(fin.length <= 2000, s"final line ${fin.length} chars")
+    // the cap must never cut mid-escape — EVERY emitted line still
+    // parses as JSON (jackson ships with Spark)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach(l => om.readTree(l))
+    val tail = om.readTree(fin)
+    assert(tail.get("n_errors").asInt == 8)
+    assert(tail.get("errors").size == 7) // 6 named + _truncated marker
+  }
+
   test("small result sets short-circuit: full line doubles as the final line") {
     val lines = Bench.outputLines(mkResults(5), Map.empty, "/sf", "8", 1)
     assert(lines.size == 2 && lines.head == lines.last)

@@ -143,6 +143,20 @@ class GraphSpec extends SparkSpec {
     assert(lazy3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       .sameElements(pinned3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
     pinned3.unpersist()
+    // pinResult: SHORT runs become self-contained (loop caches released
+    // before returning; see scaladoc — the long-lived-session mode) with
+    // identical values; the returned pin's plan is cache-shallow like a
+    // long run's, and iters = 0 pins too
+    val selfContained = Graph.pagerank(edges, iters = 3, pinResult = true)
+    assert(lazy3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .sameElements(selfContained.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)))
+    assert(selfContained.queryExecution.optimizedPlan.collect { case p => p }.size
+      == depth(8))
+    selfContained.unpersist()
+    val r0Pinned = Graph.pagerank(edges, iters = 0, pinResult = true)
+    assert(r0Pinned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(r0.map(r => (r.getLong(0), r.getLong(1))).sorted))
+    r0Pinned.unpersist()
     // reliable-checkpoint path matches the local-path result exactly
     val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt_")
     val local = Graph.pagerank(edges, iters = 3)

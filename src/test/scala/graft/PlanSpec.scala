@@ -388,8 +388,10 @@ class PlanSpec extends SparkSpec {
     val p = executed(graft.queries.DedupQueries.bloomDecontaminate(spark, sf001))
     val s = p.toString
     // the bloom membership UDF must appear in a Filter node (map-side
-    // pre-filter on the corpus gram stream), not only in a join condition
-    assert("Filter .*UDF".r.findFirstIn(s).isDefined, s)
+    // pre-filter on the corpus gram stream), not only in a join
+    // condition — anchored on the UDF's NAME so the pin cannot pass
+    // vacuously on some other UDF filter after a refactor
+    assert("Filter .*bloom_probe".r.findFirstIn(s).isDefined, s)
     // per-id count_distinct aggregates partially before its exchange
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
     assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"), s)

@@ -167,6 +167,24 @@ class QueryRunnerSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
   }
 
+  test("scan/describe/symbols/range serve an EMPTY table (r10: recorded meta schema)") {
+    // a table whose every row was deleted (or never appended) used to
+    // 500 the whole JSON/HTTP surface with UNABLE_TO_INFER_SCHEMA
+    val path = mkTable()
+    val t = ZTable.open(spark, path)
+    t.deleteWhere(org.apache.spark.sql.functions.lit(true))
+    val scanned = QueryRunner.run(spark,
+      s"""{"op":"scan","table":"$path","from":"2024-01-01 00:00:00",
+         |"to":"2024-12-31 00:00:00","cols":["ts","v"]}""".stripMargin)
+    assert(scanned.columns.toSeq == Seq("ts", "v") && scanned.count() == 0)
+    val desc = QueryRunner.run(spark, s"""{"op":"describe","table":"$path"}""")
+    assert(desc.collect().map(_.getString(0)).toSeq == Seq("ts", "sym", "v"))
+    assert(QueryRunner.run(spark,
+      s"""{"op":"symbols","table":"$path","col":"sym"}""").count() == 0)
+    val r = QueryRunner.run(spark, s"""{"op":"range","table":"$path"}""").head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("unknown op and missing fields raise clean errors") {
     val path = mkTable()
     val e1 = intercept[IllegalArgumentException] {
@@ -256,6 +274,19 @@ class QueryRunnerSpec extends SparkSpec {
       assert(cb.contains("<canvas"), "no canvas")
       val (cc2, _) = get("/chart/%2e%2e")
       assert(cc2 == 400, "chart route must reject dot-segment tables")
+      // EMPTY table (r10): the routes serve degenerate-but-valid
+      // responses off the recorded meta schema instead of 500ing
+      ZTable.open(spark, path)
+        .deleteWhere(org.apache.spark.sql.functions.lit(true))
+      val (esc, esb) = get(s"/symbols/$name/sym")
+      assert(esc == 200 && esb == "[]", s"$esc $esb")
+      val (eqc, eqb) = post("/q",
+        s"""{"op":"describe","table":"$path"}""")
+      assert(eqc == 200 && eqb.contains("\"ts\""), s"$eqc $eqb")
+      val (epc, epb) = post("/q",
+        s"""{"op":"scan","table":"$path","from":"2024-01-01 00:00:00",
+           |"to":"2024-12-31 00:00:00"}""".stripMargin)
+      assert(epc == 200 && epb == "[]", s"$epc $epb")
     } finally server.stop()
   }
 }

@@ -717,8 +717,15 @@ object ScaleStress {
               .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
               .write.format("noop").mode("overwrite").save()
           }
-          // listener delivery is async; give the bus a moment to drain
-          Thread.sleep(2000)
+          // listener delivery is async — DRAIN the bus rather than
+          // sleeping a fixed 2 s (on a loaded box late onTaskEnd events
+          // would be dropped and the spill/peak numbers under-counted).
+          // LiveListenerBus is private[spark]; reflection is the stable
+          // public-classpath route to waitUntilEmpty
+          val bus = spark.sparkContext.getClass
+            .getMethod("listenerBus").invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+            .invoke(bus, java.lang.Long.valueOf(60000L))
           spark.sparkContext.removeSparkListener(listener)
           println(f"STRESS spill1 mult=$mult rows=$nRows heap=${heapMB}MB " +
             f"sort4=$sT%.2fs aggUnique=$aT%.2fs " +
