@@ -169,7 +169,11 @@ object Dedup {
       .agg(array_sort(collect_set(col("t"))).as("mask"))
     toks.join(mask, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
-        coalesce(size(col("mask")), lit(0)).cast(LongType).as("n_removed"),
+        // isNull guard, not coalesce(size(...)): under legacy non-ANSI
+        // sessions size(null) is -1 (not null), which would report a
+        // clean doc as n_removed = -1
+        when(col("mask").isNull, lit(0L))
+          .otherwise(size(col("mask")).cast(LongType)).as("n_removed"),
         concat_ws(" ",
           filter(zip_with(col("w"),
               sequence(lit(1), size(col("w"))),
