@@ -33,10 +33,34 @@ import org.apache.spark.sql.SparkSession
   * process model implies. Errors map to 400 with a JSON message, like
   * the reference's error writes.
   */
-class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
+class GraftServer(spark: SparkSession, root: String, port: Int = 0,
+    numThreads: Int = GraftServer.defaultNumThreads) {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Request worker pool. The JDK default executor (`setExecutor(null)`)
+    * runs EVERY handler on the single dispatcher thread — one slow `/q`
+    * scan would block every other client, including liveness GETs. The
+    * reference avoids exactly this by pre-forking `ZDB_NUM_THREADS`
+    * query workers sharing one listener (ref `src/main.rs:19-22,24-45`);
+    * here the analog is a fixed pool over the one thread-safe
+    * SparkSession (Spark schedules concurrent jobs from concurrent
+    * threads). Handler state is share-nothing beyond it: the jackson
+    * `ObjectMapper` is thread-safe after configuration, and
+    * [[QueryRunner.run]] is a pure dispatch (table mutations take their
+    * own per-path locks). Daemon threads, so a CLI ctrl-C isn't held
+    * hostage by an in-flight scan. */
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    numThreads,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
@@ -176,16 +200,26 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0) {
 
   /** Start listening; returns the bound port (ephemeral when port=0). */
   def start(): Int = {
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
 }
 
 /** CLI: `runMain graft.GraftServer <rootDir> [port]`. */
 object GraftServer {
+
+  /** Pool size knob — the reference's `ZDB_NUM_THREADS` analog
+    * (ref `src/main.rs:19-22`: default 12 pre-forked query workers). */
+  def defaultNumThreads: Int =
+    sys.env.get("GRAFT_NUM_THREADS").map(_.trim.toInt).filter(_ > 0)
+      .getOrElse(12)
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(".")
     val port = args.lift(1).map(_.toInt).getOrElse(8080)

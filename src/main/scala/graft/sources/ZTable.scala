@@ -339,13 +339,12 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     val metaPath = Paths.get(path, "_meta.json")
     if (!Files.exists(metaPath)) None
     else {
-      val json = Files.readString(metaPath)
-      // schema is always the LAST meta field, so its value is the
-      // remainder of the document minus the closing brace
-      val i = json.indexOf("\"schema\":")
-      if (i < 0) None
-      else Some(DataType.fromJson(json.substring(i + 9, json.length - 1))
-        .asInstanceOf[StructType])
+      // a real JSON parse (not substring slicing): field order, pretty
+      // printing, trailing whitespace, and future meta fields are all
+      // legal in a hand-edited or regenerated sidecar
+      val node = ZTable.metaMapper.readTree(Files.readString(metaPath))
+      Option(node.get("schema")).filterNot(_.isNull)
+        .map(n => DataType.fromJson(n.toString).asInstanceOf[StructType])
     }
   }
 
@@ -452,8 +451,17 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     maybeRecover()
     if (!hasData) {
       // empty source: the migration is pure metadata — carry the
-      // recorded schema across with the one column retyped
-      val migratedSchema = recordedSchema.map(s => StructType(s.fields.map(f =>
+      // recorded schema across with the one column retyped. The column
+      // must EXIST in it: the non-empty path fails analysis on a typo'd
+      // name, and the metadata path must hold the same contract instead
+      // of silently returning the schema unchanged.
+      val rs = recordedSchema.getOrElse(throw new IllegalStateException(
+        s"migrateColumn('$colName'): table at $path is empty and records " +
+        "no schema, so there is nothing to migrate"))
+      require(rs.fieldNames.contains(colName),
+        s"migrateColumn: no such column '$colName' " +
+        s"(table columns: ${rs.fieldNames.mkString(", ")})")
+      val migratedSchema = Some(StructType(rs.fields.map(f =>
         if (f.name == colName)
           f.copy(dataType = org.apache.spark.sql.catalyst.parser
             .CatalystSqlParser.parseDataType(newType))
@@ -716,12 +724,18 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       val floored = floorResolution(source)
       // DATA columns only: on a partitioned layout the inferred schema
       // carries the partition column (partCol), which sources never do.
-      // The recorded meta schema takes precedence so an EMPTIED table
-      // (no data files, nothing to infer from) still checks and casts.
-      val tFieldsOpt = recordedSchema.map(_.fields.toIndexedSeq).orElse(
-        if (parts.isEmpty) None
-        else Some(spark.read.parquet(path).schema.fields
-          .filterNot(_.name == partCol).toIndexedSeq))
+      // FILES are authoritative when any exist: append never validates
+      // against the recorded schema, so file types may legitimately
+      // drift after the stamp (e.g. v appended as long after being
+      // recorded as double) — casting sources to a stale recorded type
+      // would write staged files that disagree with every data file
+      // beside them. The recorded meta schema is the fallback for an
+      // EMPTIED table (no data files, nothing to infer from), where it
+      // is the only schema there is.
+      val tFieldsOpt =
+        if (hasData) Some(spark.read.parquet(path).schema.fields
+          .filterNot(_.name == partCol).toIndexedSeq)
+        else recordedSchema.map(_.fields.toIndexedSeq)
       tFieldsOpt match {
         case None => floored
         case Some(tFields) =>
@@ -831,8 +845,8 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
   }
 
   private[sources] def writeMeta(schemaJson: Option[String] = None): Unit = {
-    // schema LAST — recordedSchema slices the document tail off at the
-    // first "schema": key, so nothing may follow it
+    // field order is NOT a contract: recordedSchema/open parse the
+    // document with jackson, so meta may grow fields in any position
     val json =
       s"""{"tsCol":"${spec.tsCol}","partitionBy":"${spec.partitionBy.name}",""" +
       s""""resolutionMicros":${spec.resolutionMicros.getOrElse(0L)},""" +
@@ -845,14 +859,27 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
 }
 
 object ZTable {
+
+  /** Shared meta-sidecar parser — jackson is thread-safe for read once
+    * configured, and already on Spark's classpath. */
+  private[sources] val metaMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Create (meta file is table existence, reference `src/table/mod.rs:54-56`).
     * With a schema, it is recorded in `_meta.json` up front — like the
     * reference, whose create takes the column schema
     * (`src/schema.rs:79-139`) — so the table is readable before its
     * first append; without one, the first successful append/merge
-    * stamps it. */
+    * stamps it. Creating where a table already EXISTS refuses: the
+    * reference treats `_meta` existence as table existence, and a
+    * silent meta rewrite would drop a previously recorded schema
+    * (durably regressing an emptied table to the 0-column degraded
+    * state). Callers that want idempotence use [[createOrOpen]]. */
   def create(spark: SparkSession, path: String, spec: ZTableSpec,
       schema: Option[StructType] = None): ZTable = {
+    require(!Files.exists(Paths.get(path, "_meta.json")),
+      s"ZTable already exists at $path (_meta.json is table existence); " +
+      "use ZTable.open or ZTable.createOrOpen")
     val t = new ZTable(spark, path, spec)
     t.writeMeta(schema.map(s => t.normalizeSchema(s).json))
     t
@@ -861,16 +888,14 @@ object ZTable {
   def open(spark: SparkSession, path: String): ZTable = {
     val metaPath = Paths.get(path, "_meta.json")
     require(Files.exists(metaPath), s"no such ZTable: $path")
-    val json = Files.readString(metaPath)
-    def str(k: String) =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
-    def num(k: String) =
-      ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val node = metaMapper.readTree(Files.readString(metaPath))
+    def str(k: String) = Option(node.get(k)).filter(_.isTextual).map(_.asText)
+    def num(k: String) = Option(node.get(k)).filter(_.isNumber).map(_.asLong)
     val spec = ZTableSpec(
       tsCol = str("tsCol").getOrElse("ts"),
       partitionBy = ZPartitionBy.of(str("partitionBy").getOrElse("day")),
       resolutionMicros = num("resolutionMicros").filter(_ > 0),
-      strictOrder = json.contains("\"strictOrder\":true"))
+      strictOrder = Option(node.get("strictOrder")).exists(_.asBoolean(false)))
     new ZTable(spark, path, spec)
   }
 

