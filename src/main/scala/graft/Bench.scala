@@ -9,6 +9,31 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the noop sink (count() would
   * let Catalyst prune the payload columns and under-measure scans). */
 object Bench {
+
+  /** cal0 — the FROZEN environment-calibration probe (added round 11;
+    * NEVER edit the workload: cross-round comparability is its whole
+    * point). A fixed synthetic CPU-bound aggregate with no data-file
+    * dependency: 2^26 splitmix-constant-hashed longs over 32 range
+    * partitions, grouped to 997 keys, materialized through the noop
+    * sink like every query. Runs once per pass (one untimed warm run,
+    * then the same min-of-reps fold as queries) and is emitted as a
+    * top-level "cal0" field — never counted in the query total. It
+    * turns "the box looks degraded" from pass-ratio folklore into a
+    * measured per-pass scalar, and the baseline-refresh criterion
+    * conditions on it (tools/merge_baseline.py records it per pass). */
+  private[graft] def cal0(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 1L << 26, 1L, 32)
+      .selectExpr("id * 6364136223846793005L + 1442695040888963407L AS h")
+      .selectExpr("pmod(h, 997) AS k", "h AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,6 +53,10 @@ object Bench {
     // methodology). Default 3 so the OFFICIAL artifact is the stable
     // number, not single-rep noise.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // calibration probe: one untimed warm, then the queries' min-of-reps
+    // fold — measured BEFORE the sweep so a long pass cannot heat-soak it
+    cal0(spark)
+    val cal = (1 to reps).map(_ => cal0(spark)).min
     // Optional args: bench only the named queries (one-off timing runs;
     // the driver passes none and gets the full surface).
     val only = args.toSet
@@ -75,12 +104,17 @@ object Bench {
         // — over a 160-query sweep those cached blocks accumulate and
         // late rows time 2-4× their isolated mins (r5 sweep: w2/w4/q7).
         // Drop everything cached once a query's reps are done; queries
-        // share nothing, so this only removes dead weight.
+        // share nothing, so this only removes dead weight. clearCache
+        // alone is NOT enough: localCheckpoint pins (kcore's output,
+        // componentsStar's final edge multiset) bypass the cache
+        // manager entirely (graft.util.Pins), so sweep the raw
+        // persistent-RDD map too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> (if (times.size == reps) Some(times.min) else None)
       }
     }
-    outputLines(results, errors, sfDir, cpus, reps).foreach(println)
+    outputLines(results, errors, sfDir, cpus, reps, cal).foreach(println)
     spark.stop()
     // A failed query can never again post rc=0: the driver (and any
     // human) sees the breakage even without parsing the errors map.
@@ -103,7 +137,7 @@ object Bench {
     * a bounded line. */
   private[graft] def outputLines(results: Seq[(String, Option[Double])],
       errors: scala.collection.Map[String, String], sfDir: String,
-      cpus: String, reps: Int): Seq[String] = {
+      cpus: String, reps: Int, cal0Sec: Double = 0.0): Seq[String] = {
     def esc(c: Char): String = c match {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -138,7 +172,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val full =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","cal0":${sec3(cal0Sec)},"queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
     if (full.length <= 1700) Seq(full, full)
     else {
       val chunks = qEntries.grouped(12).toSeq
@@ -161,7 +195,7 @@ object Bench {
         else Nil))
         .mkString("{", ",", "}")
       (full +: partLines) :+
-        s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errTail,"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
+        s"""{"metric":"total","value":${sec3(total)},"unit":"sec","cal0":${sec3(cal0Sec)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errTail,"queries_slowest":$slowest,"queries_full":"see queries_part lines above / BENCH_LOCAL json","sf":"$sfDir","cpus":$cpus,"reps":$reps}"""
     }
   }
 }

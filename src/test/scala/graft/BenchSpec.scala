@@ -16,7 +16,7 @@ class BenchSpec extends AnyFunSuite {
   // for lines this code itself generates
   private def parseKeys(line: String): Map[String, String] = {
     assert(line.startsWith("{") && line.endsWith("}"), line.take(80))
-    "\"([a-z_]+)\":".r.findAllMatchIn(line).map(_.group(1)).toSet
+    "\"([a-z][a-z0-9_]*)\":".r.findAllMatchIn(line).map(_.group(1)).toSet
       .map((k: String) => k -> "").toMap
   }
 
@@ -25,18 +25,23 @@ class BenchSpec extends AnyFunSuite {
 
   test("clean 171-query run: final line fits the tail window and carries the summary") {
     val lines = Bench.outputLines(mkResults(171), Map.empty,
-      "/root/testdata/sf0.1", "32", 3)
+      "/root/testdata/sf0.1", "32", 3, cal0Sec = 1.234)
     // first line is the complete map (for the log), final line the
     // bounded summary the driver parses
     assert(lines.size > 2)
     val fin = lines.last
     assert(fin.length <= 1700, s"final line ${fin.length} chars")
     val keys = parseKeys(fin)
-    for (k <- Seq("metric", "value", "n_queries", "n_errors", "errors",
+    for (k <- Seq("metric", "value", "cal0", "n_queries", "n_errors", "errors",
                   "queries_slowest", "sf", "cpus", "reps"))
       assert(keys.contains(k), s"final line missing $k")
     assert(fin.contains(""""n_errors":0"""))
     assert(fin.contains(""""errors":{}"""))
+    // the calibration probe rides BOTH the full line and the tail line
+    // (merge_baseline.py reads it per pass) and is never in the total
+    assert(lines.head.contains(""""cal0":1.234"""))
+    assert(fin.contains(""""cal0":1.234"""))
+    assert(fin.contains(""""value":""") && !fin.contains(""""value":1.234"""))
   }
 
   test("failed queries ride the final line by NAME with a truncated message") {
@@ -92,8 +97,10 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("small result sets short-circuit: full line doubles as the final line") {
-    val lines = Bench.outputLines(mkResults(5), Map.empty, "/sf", "8", 1)
+    val lines = Bench.outputLines(mkResults(5), Map.empty, "/sf", "8", 1,
+      cal0Sec = 0.987)
     assert(lines.size == 2 && lines.head == lines.last)
     assert(lines.head.contains(""""queries":{"""))
+    assert(lines.head.contains(""""cal0":0.987"""))
   }
 }

@@ -20,7 +20,7 @@ def main(argv):
         note = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     paths = argv
-    passes, meta = [], []
+    passes, meta, cal0s = [], [], []
     for p in paths:
         with open(p) as f:
             d = json.load(f)
@@ -29,6 +29,12 @@ def main(argv):
             return 1
         passes.append(d["queries"])
         meta.append((d.get("sf"), d.get("cpus"), d.get("reps")))
+        # cal0: the frozen per-pass calibration probe (round 11+ bench
+        # lines; None for older passes). Recorded so baseline-refresh
+        # decisions can condition on MEASURED box health instead of
+        # pass-ratio folklore: refresh only from passes whose cal0 is
+        # within ~1.1x of the committed baseline's cal0 minimum.
+        cal0s.append(d.get("cal0"))
     # provenance from the pass files themselves, not hardcoded: refuse
     # to merge passes that ran at different SF/parallelism
     if len(set(meta)) > 1:
@@ -54,11 +60,18 @@ def main(argv):
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_queries": len(mins),
         "total_sec": round(sum(mins.values()), 3),
+        "cal0_per_pass": cal0s,
+        "cal0_min": min((c for c in cal0s if c is not None), default=None),
         "queries": mins,
     }
     (ROOT / "BASELINE_LOCAL.json").write_text(json.dumps(out, indent=1) + "\n")
+    cal_note = (f"cal0 (frozen calibration probe) per pass: {cal0s}; min "
+                f"{out['cal0_min']}. Refresh criterion: only merge passes "
+                "whose cal0 is within ~1.1x of the committed cal0_min."
+                if out["cal0_min"] is not None else
+                "cal0 absent (pre-round-11 pass files).")
     md = ["# BASELINE_LOCAL — committed per-query warm minimums", "",
-          out["method"], "",
+          out["method"], "", cal_note, "",
           f"Generated {out['generated_at']} — {out['n_queries']} queries, "
           f"{out['total_sec']} s summed mins.", "",
           "| query | min sec |", "|---|---|"]
