@@ -20,7 +20,9 @@ import graft.sources.ZTable
   * Request:
   * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
   *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze"
-  *       |"dup_spans"|"split",
+  *       |"dup_spans"|"split"|"pagerank",
+  *  "edges":"/path/edges.parquet", "iters":3,           // pagerank
+  *  "src":"src", "dst":"dst", "out":"/opt/ranks",       // pagerank (out optional)
   *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
   *  "index":"/path/idx", "buckets":256,                // index build
   *  "terms":["spark","merge"], "k":10,                 // search
@@ -84,6 +86,31 @@ object QueryRunner {
         val txt = strOpt("text").getOrElse("text")
         val comp = graft.operators.Dedup.nearDupComponents(docs, idc, txt)
         graft.operators.Sampling.clusterSplit(docs, idc, comp).orderBy("id")
+      case "pagerank" => // graph centrality over an edge table (g1's operator)
+        val iters = req.get("iters")
+          .collect { case n: Number => n.intValue }.getOrElse(3)
+        val edges = spark.read.parquet(str("edges")).select(
+          col(strOpt("src").getOrElse("src")).as("src"),
+          col(strOpt("dst").getOrElse("dst")).as("dst"))
+        // Serving default is pinResult = true: repeated short-run calls
+        // from a long-lived session must not leak the loop caches
+        // (Graph.pagerank's scaladoc contract should bind HERE, not on
+        // every HTTP client), and the pin is released before returning
+        // so the block store stays flat across requests.
+        val pr = graft.operators.Graph.pagerank(edges, iters, pinResult = true)
+        val out = strOpt("out") match {
+          case Some(p) => // bulk face: ranks land distributed (node-sized
+            // results at graph scale never transit the driver)
+            pr.write.mode("overwrite").parquet(p)
+            spark.range(1).select(lit(p).as("ranks_path"))
+          case None => // serving face: the ranks ARE the response — the
+            // same response-sized materialization as the reference's
+            // serialized query replies (ref src/server/query.rs:234-253)
+            spark.createDataFrame(
+              java.util.Arrays.asList(pr.orderBy("id").collect(): _*), pr.schema)
+        }
+        graft.operators.Graph.release(pr)
+        out
       case "scan" =>
         table.scan(str("from"), str("to"), list("cols"))
       case "symbols" =>

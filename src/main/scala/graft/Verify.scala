@@ -26,6 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bench's session hygiene (queries share nothing): drop cached
+      // AND localCheckpoint-pinned blocks between queries — the latter
+      // bypass the cache manager (graft.util.Pins), so clearCache
+      // alone would let kcore/componentsStar pins accumulate over the
+      // 171-query dump.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

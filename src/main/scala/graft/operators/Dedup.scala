@@ -652,10 +652,20 @@ object Dedup {
           "former)")
       val next = pin(star(star(e, large = true), large = false))
       converged = sameEdges(e, next, e.count())
+      // next is materialized by its pin, so the previous round's edge
+      // multiset is dead weight NOW. Pins.release, not unpersist: a
+      // localCheckpoint's blocks bypass the cache manager, so the
+      // pre-r11 code (which never unpinned at all — and whose caller
+      // unpersist()s would have been silent no-ops anyway) accumulated
+      // one edge-sized pin per alternation for the session's lifetime.
+      if (checkpointDir.isEmpty) graft.util.Pins.release(e)
       e = next
     }
     // stars point leaves at roots; a root's own min neighbor is larger,
-    // so least(u, min v) labels roots with themselves
+    // so least(u, min v) labels roots with themselves. The returned
+    // plan reads through the FINAL pinned edge multiset — the one
+    // residue of this call; callers done with the labeling free it
+    // with Pins.release(result) (the pin is the plan's leaf).
     bothDirs(e).groupBy(col("u"))
       .agg(least(first(col("u")), min(col("v"))).as("comp"))
       .select(col("u").as("id"), col("comp"))

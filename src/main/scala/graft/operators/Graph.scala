@@ -65,10 +65,14 @@ object Graph {
     * repeated short-run calls should pass `pinResult = true`: the
     * final round is pinned even on the short path and `nodes`/
     * `withDeg` are unpersisted before returning, so the only residue
-    * is the node-sized result itself (freed with `unpersist()`), at
-    * the cost of the one final-pin materialization. The blunt remedy
-    * for already-leaked blocks is `spark.catalog.clearCache()`. LONG
-    * runs (`iters >= pinEvery`) always behave like `pinResult = true`.
+    * is the node-sized result itself (freed with [[release]] — NOT
+    * plain `unpersist()`, which is a silent no-op on localCheckpoint
+    * blocks; [[graft.util.Pins]]), at the cost of the one final-pin
+    * materialization. The blunt remedy for already-leaked blocks is
+    * unpersisting everything in `sparkContext.getPersistentRDDs`
+    * (`catalog.clearCache()` ALSO misses localCheckpoint blocks —
+    * graft.Bench does exactly this between queries). LONG runs
+    * (`iters >= pinEvery`) always behave like `pinResult = true`.
     *
     * `onRound(0, s)` reports the setup scan (symmetrize + node count +
     * initial pin), `onRound(i, s)` iteration i — the hook the graph
@@ -86,8 +90,11 @@ object Graph {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Pins.release, not unpersist: a localCheckpoint's blocks bypass
+    // the cache manager, so unpersist never freed them (the pre-r11
+    // code leaked one node-sized pin per pinEvery window in long runs)
     def unpin(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) df.unpersist()
+      if (checkpointDir.isEmpty) graft.util.Pins.release(df)
     def rounded[T](r: Int)(f: => T): T =
       graft.util.Timing.rounded(onRound, r)(f)
     val sym = edges.select(col("src"), col("dst"))
@@ -144,6 +151,16 @@ object Graph {
     ranks
   }
 
+  /** Free a PINNED result (`pinResult = true` short runs, any long
+    * run, [[kcore]]'s output, [[graft.operators.Dedup.componentsStar]]'s
+    * labeling): delegates to [[graft.util.Pins.release]] — plain
+    * `Dataset.unpersist` is a silent no-op on localCheckpoint blocks
+    * (they bypass the cache manager; see Pins' scaladoc and
+    * tools/UnpersistProbe). The serving path ([[graft.QueryRunner]]'s
+    * `pagerank` op) calls this per request so a long-lived session's
+    * block store stays FLAT across calls. */
+  def release(df: DataFrame): Unit = graft.util.Pins.release(df)
+
   /** Triangle count over an ordered edge list (`a < b`, distinct) —
     * the clustering-coefficient numerator (community density of a link
     * graph). Ordered-wedge formulation: a wedge x<y<z exists when
@@ -199,11 +216,13 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint()
       else { val d = df.localCheckpoint(); d }
-    // unpin only the LOCAL variant's cached blocks: reliable checkpoint
-    // files stay until the checkpoint dir is cleaned, local blocks would
-    // otherwise leak for the session's lifetime (components' discipline)
+    // unpin only the LOCAL variant's blocks: reliable checkpoint files
+    // stay until the checkpoint dir is cleaned. Pins.release, not
+    // unpersist — localCheckpoint blocks bypass the cache manager, so
+    // the pre-r11 unpersist here silently leaked one survivor pin per
+    // peel round for the session's lifetime
     def unpin(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) df.unpersist()
+      if (checkpointDir.isEmpty) graft.util.Pins.release(df)
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
       .persist()
@@ -241,7 +260,7 @@ object Graph {
     // localCheckpoint blocks and every loop cache (edge-sized sym,
     // nodes, the last survivor pin) can be released right here. The
     // only residue is the result itself, node-sized, and the caller
-    // frees it with out.unpersist() — no per-call accumulation.
+    // frees it with Graph.release(out) — no per-call accumulation.
     // Recomputing nodes from edges instead would re-scan the edge list
     // on every downstream action (measured 1.25× on g3).
     val out = pin(nodes

@@ -278,6 +278,27 @@ class DedupSpec extends SparkSpec {
       Map(7L -> 2L, 3L -> 2L, 11L -> 2L, 2L -> 2L, 100L -> 90L, 90L -> 90L))
   }
 
+  test("r11: componentsStar releases retired alternation pins") {
+    // pre-r11, every alternation's localCheckpoint pin leaked for the
+    // session's lifetime (invisible to unpersist AND clearCache —
+    // graft.util.Pins). Pin the fix: one residue pin (the final edge
+    // multiset the returned labeling reads through), freeable via
+    // Pins.release on the result.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def live = spark.sparkContext.getPersistentRDDs.size
+    val base = live
+    val path = (1L until 40L).map(i => (i, i + 1)).toDF("ida", "idb")
+    (1 to 2).foreach { i =>
+      val labels = Dedup.componentsStar(path) // ~log2(40) alternations
+      assert(labels.collect().forall(_.getAs[Long]("comp") == 1L))
+      assert(live == base + 1,
+        s"call $i: expected exactly the final edge-multiset pin, got ${live - base}")
+      graft.util.Pins.release(labels)
+      assert(live == base, s"call $i: release must empty the block store")
+    }
+  }
+
   test("components fixpoints: reliable checkpoint path and iteration caps") {
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap

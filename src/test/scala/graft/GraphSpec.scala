@@ -173,6 +173,42 @@ class GraphSpec extends SparkSpec {
     local.unpersist(); ck.unpersist()
   }
 
+  test("r11: retired fixpoint pins are freed — block store flat across calls") {
+    // Dataset.unpersist / catalog.clearCache are silent no-ops on
+    // localCheckpoint blocks (tools/UnpersistProbe; graft.util.Pins) —
+    // this pins the fix: repeated long pagerank runs and kcore calls
+    // leave EXACTLY one releasable pin each, and release() frees it.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    def live = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (2L, 5L)).toDF("src", "dst")
+    sweep()
+    val base = live
+    (1 to 3).foreach { i =>
+      // LONG run: 17 iters over pinEvery=4 retires 3 window pins
+      val pr = Graph.pagerank(edges, iters = 17, pinEvery = 4)
+      assert(pr.count() == 6)
+      assert(live == base + 1,
+        s"call $i: long run must leave exactly the final pin, got ${live - base}")
+      Graph.release(pr)
+      assert(live == base, s"call $i: release must empty the block store")
+    }
+    val kedges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    (1 to 3).foreach { i =>
+      // kcore peels node 4 in round 1, fixpoint in round 2+ — every
+      // retired survivor pin must be gone, leaving the pinned output
+      val core = Graph.kcore(kedges, k = 2)
+      assert(core.count() == 4)
+      assert(live == base + 1,
+        s"call $i: kcore must leave exactly its output pin, got ${live - base}")
+      Graph.release(core)
+      assert(live == base, s"call $i: release must empty the block store")
+    }
+  }
+
   test("pagerank conserves mass up to integer-division dust") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)

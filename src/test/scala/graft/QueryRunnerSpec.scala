@@ -386,4 +386,36 @@ class QueryRunnerSpec extends SparkSpec {
       assert(wall < 25.0, f"two slow /q requests serialized: $wall%.1f s")
     } finally server.stop()
   }
+
+  test("pagerank op: serves ranks, defaults pinResult, block store stays flat") {
+    val dir = Files.createTempDirectory("qr_graph_").toString
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    edges.toDF("src", "dst").write.parquet(s"$dir/edges")
+    val req = s"""{"op":"pagerank","edges":"$dir/edges","iters":3}"""
+    // values match the operator called directly
+    val direct = graft.operators.Graph.pagerank(edges.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val first = QueryRunner.run(spark, req)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first == direct) // op orders by id; direct result sorted above
+    spark.catalog.clearCache() // isolate the flatness measurement
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // the long-lived-session serving shape: 10 short-run calls must not
+    // accumulate pinned blocks (Graph.pagerank's short-run loop caches
+    // AND the pinResult pin are both released per request)
+    val replies = (1 to 10).map(_ => QueryRunner.run(spark, req)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(replies.forall(_ == first))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"block store grew across calls: $before -> $after")
+    // bulk face: "out" writes ranks distributed and answers a summary row
+    val summary = QueryRunner.run(spark,
+      s"""{"op":"pagerank","edges":"$dir/edges","iters":3,"out":"$dir/ranks"}""")
+    assert(summary.head.getString(0) == s"$dir/ranks")
+    val written = spark.read.parquet(s"$dir/ranks")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(written == direct)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "bulk-face call must release its pin too")
+  }
 }
