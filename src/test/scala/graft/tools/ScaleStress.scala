@@ -16,7 +16,8 @@ import graft.operators.{Dedup, IvfIndex, Similarity}
   * synthetic 10×/30× expansions of the sf0.1 corpus and measures the
   * families end-to-end, so "designed for 100 TB" is a measurement, not
   * plan-reading. Results → STRESS.md. Ops (select via
-  * SPARK_GRAFT_STRESS_OPS): d2/d4/d7/d11 dedup, sim2/sim6b/sim14/
+  * SPARK_GRAFT_STRESS_OPS): d1x/d2/d4/d7/d9x/d11 dedup (adv selects
+  * the adversarial mega-cluster corpus runs), sim2/sim6b/sim14/
   * sim14c ANN, stream1 streaming, g1x/g2x/g3x graph, life1/life1n/
   * life1c ZTable lifecycle, nat1 native engine, ivm1x incremental
   * views, spill1 memory-bounded execution (pair with
@@ -205,6 +206,17 @@ object ScaleStress {
           val (d2p, d2T) = timed(d2(docs, 0))
           println(f"STRESS clean d2 mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
         }
+        // d1x: EXACT dedup (md5 fingerprint group-by) — the linear
+        // contract at its purest: dup-group count must scale exactly
+        // M× (copies are vocab-disjoint, so no cross-copy dups) under
+        // one shuffle on the fingerprint.
+        if (ops("d1x")) {
+          val (d1n, d1T) = timed {
+            Dedup.exact(docs, "doc_id", "text")
+              .where(col("n_copies") > 1).count()
+          }
+          println(f"STRESS clean d1x mult=$mult docs=$nDocs dupGroups=$d1n time=$d1T%.2fs")
+        }
         // iterative family on the same linear-truth corpus: connected
         // components over the d4 pairs (cluster count must scale M×,
         // rounds must NOT grow — cluster diameters are scale-invariant)
@@ -217,6 +229,22 @@ object ScaleStress {
               .select(col("comp")).distinct().count()
           }
           println(f"STRESS clean d7 mult=$mult docs=$nDocs clusters=$d7n time=$d7T%.2fs")
+        }
+        // d9x: the O(log n) star-contraction variant over the same d4
+        // pairs — cluster count must EQUAL d7's (M×233), alternations
+        // must stay ~log and NOT grow with M (per-copy structure is
+        // scale-invariant); the final pin is released per the r11
+        // Pins discipline so repeated mults don't accumulate blocks.
+        if (ops("d9x")) {
+          val (d9n, d9T) = timed {
+            val labels = Dedup.componentsStar(Dedup.jaccardPairs(
+                Dedup.shingles(docs, "doc_id", "text", 3),
+                thrNum = 4, thrDen = 5, maxDocFreq = 500))
+            val n = labels.select(col("comp")).distinct().count()
+            graft.util.Pins.release(labels)
+            n
+          }
+          println(f"STRESS clean d9x mult=$mult docs=$nDocs clusters=$d9n time=$d9T%.2fs")
         }
         if (ops("d11")) {
           val d11n = nDocs
@@ -231,7 +259,9 @@ object ScaleStress {
         spark.catalog.clearCache()
 
         // ---- documents: ADVERSARIAL (mega-cluster) ----
-        if (mult > 1 && (ops("d4") || ops("d2"))) {
+        // own op key since r11: the 100× CLEAN runs select d2/d4
+        // without repaying the quadratic mega-cluster corpus
+        if (mult > 1 && ops("adv")) {
           docsAdv(spark, base, mult, s"$tmp/docsA$mult")
           val adv = spark.read.parquet(s"$tmp/docsA$mult")
           val (a4p, a4T) = timed(d4(adv))
@@ -502,7 +532,7 @@ object ScaleStress {
               val pr = graft.operators.Graph.pagerank(edges, iters = 10,
                 onRound = (r, s) => rounds += (r -> s), pinEvery = 1)
               pr.count()
-              pr.unpersist()
+              graft.operators.Graph.release(pr) // r11: unpersist can't see pins
             }
             val per = rounds.map { case (r, s) => f"r$r=$s%.2f" }.mkString(" ")
             println(f"STRESS g1x mult=$mult edges=$nE iters=10 total=$prT%.2fs $per")
@@ -514,7 +544,7 @@ object ScaleStress {
                 edges.select(col("src").as("a"), col("dst").as("b")), k = 5,
                 onRound = (r, s) => rounds += (r -> s))
               val s = kc.where(col("in_core")).count()
-              kc.unpersist()
+              graft.operators.Graph.release(kc) // r11: unpersist can't see pins
               s
             }
             val per = rounds.map { case (r, s) => f"r$r=$s%.2f" }.mkString(" ")
