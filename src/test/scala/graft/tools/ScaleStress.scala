@@ -164,10 +164,17 @@ object ScaleStress {
   }
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_STRESS_SHUFFLE: shuffle-partition override (default
+    // 32, the bench posture). The 100× runs exposed that 32 partitions
+    // is the binding constraint once per-partition shuffle data outgrows
+    // executor memory share (d4's 30×→100× bend) — exactly the knob the
+    // production guidance says to size to data; this measures it.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_SHUFFLE", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("scale-stress")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

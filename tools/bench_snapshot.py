@@ -69,6 +69,11 @@ def main(argv):
         "sf": d.get("sf"),
         "cpus": d.get("cpus"),
         "reps": d.get("reps"),
+        # frozen calibration probe (round 11+; see Bench.cal0). When the
+        # input line is a hand-merged fold of several passes, pass the
+        # per-pass list through a "cal0_per_pass" field on the line.
+        "cal0": d.get("cal0"),
+        "cal0_per_pass": d.get("cal0_per_pass"),
         "note": note,
         "n_queries": len(queries),
         "total_sec": round(sum(queries.values()), 3),
