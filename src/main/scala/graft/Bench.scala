@@ -13,19 +13,25 @@ object Bench {
   /** cal0 — the FROZEN environment-calibration probe (added round 11;
     * NEVER edit the workload: cross-round comparability is its whole
     * point). A fixed synthetic CPU-bound aggregate with no data-file
-    * dependency: 2^26 splitmix-constant-hashed longs over 32 range
-    * partitions, grouped to 997 keys, materialized through the noop
-    * sink like every query. Runs once per pass (one untimed warm run,
-    * then the same min-of-reps fold as queries) and is emitted as a
-    * top-level "cal0" field — never counted in the query total. It
-    * turns "the box looks degraded" from pass-ratio folklore into a
-    * measured per-pass scalar, and the baseline-refresh criterion
-    * conditions on it (tools/merge_baseline.py records it per pass). */
+    * dependency: 2^26 xxhash64-hashed longs over 32 range partitions,
+    * grouped to 997 keys, materialized through the noop sink like
+    * every query. Every expression is overflow-free BY CONSTRUCTION so
+    * the probe is identical under both ANSI postures: xxhash64 wraps
+    * internally (a raw splitmix multiply here threw ARITHMETIC_OVERFLOW
+    * under Spark 4's ANSI default — caught in the round-11 shakedown
+    * run before any artifact shipped), and the summed value is
+    * pmod-bounded to 1e9+7 so 2^26 of them stay far inside a long.
+    * Runs once per pass (one untimed warm run, then the same
+    * min-of-reps fold as queries) and is emitted as a top-level
+    * "cal0" field — never counted in the query total. It turns "the
+    * box looks degraded" from pass-ratio folklore into a measured
+    * per-pass scalar, and the baseline-refresh criterion conditions
+    * on it (tools/merge_baseline.py records it per pass). */
   private[graft] def cal0(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1L << 26, 1L, 32)
-      .selectExpr("id * 6364136223846793005L + 1442695040888963407L AS h")
-      .selectExpr("pmod(h, 997) AS k", "h AS v")
+      .selectExpr("xxhash64(id) AS h")
+      .selectExpr("pmod(h, 997) AS k", "pmod(h, 1000000007) AS v")
       .groupBy("k")
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"),

@@ -96,6 +96,16 @@ class BenchSpec extends AnyFunSuite {
     assert(tail.get("errors").size == 7) // 6 named + _truncated marker
   }
 
+  test("cal0 probe actually EXECUTES under the session's ANSI posture") {
+    // The outputLines tests never run the workload; the first cal0
+    // definition shipped with a raw splitmix multiply that threw
+    // ARITHMETIC_OVERFLOW under Spark 4's ANSI default and killed
+    // every bench pass at the probe. This executes the real thing.
+    val spark = SparkSpec.session
+    val wall = Bench.cal0(spark)
+    assert(wall > 0.0 && wall < 120.0, f"cal0 wall $wall%.2f s")
+  }
+
   test("small result sets short-circuit: full line doubles as the final line") {
     val lines = Bench.outputLines(mkResults(5), Map.empty, "/sf", "8", 1,
       cal0Sec = 0.987)
