@@ -19,6 +19,10 @@ def main(argv):
         i = argv.index("--note")
         note = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --force-cal0: override the calibration guard below (document why
+    # in --note when you do).
+    force_cal0 = "--force-cal0" in argv
+    argv = [a for a in argv if a != "--force-cal0"]
     paths = argv
     passes, meta, cal0s = [], [], []
     for p in paths:
@@ -41,6 +45,30 @@ def main(argv):
         print(f"refusing: pass provenance differs: {sorted(set(meta))}")
         return 1
     sf, cpus, reps = meta[0]
+    # Calibration guard (round 11): a refreshed baseline must not be
+    # minted on a degraded box. If the COMMITTED baseline carries a
+    # cal0_min, every input pass's cal0 must sit within 1.1x of it;
+    # with no committed cal0 yet (first refresh after the probe landed)
+    # the passes must at least agree among THEMSELVES within 1.25x —
+    # a wildly spread probe means the box was unstable mid-session.
+    have = [c for c in cal0s if c is not None]
+    if have and not force_cal0:
+        committed = None
+        bp = ROOT / "BASELINE_LOCAL.json"
+        if bp.exists():
+            committed = json.loads(bp.read_text()).get("cal0_min")
+        if committed:
+            bad = [(p, c) for p, c in zip(paths, cal0s)
+                   if c is not None and c > 1.1 * committed]
+            if bad:
+                print(f"refusing: cal0 over 1.1x of committed min {committed}: "
+                      f"{[(Path(p).name, c) for p, c in bad]} "
+                      "(box degraded — rerun when cal0 recovers, or --force-cal0)")
+                return 1
+        elif max(have) > 1.25 * min(have):
+            print(f"refusing: cal0 spread {min(have)}..{max(have)} exceeds "
+                  "1.25x within the session (unstable box — rerun, or --force-cal0)")
+            return 1
     names = set()
     for q in passes:
         names |= set(q)
