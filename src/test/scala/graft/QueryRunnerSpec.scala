@@ -315,6 +315,21 @@ class QueryRunnerSpec extends SparkSpec {
         s"""{"op":"scan","table":"$path","from":"2024-01-01 00:00:00",
            |"to":"2024-12-31 00:00:00"}""".stripMargin)
       assert(epc == 200 && epb == "[]", s"$epc $epb")
+      // the graph serving op over the wire (r11): ranks come back as
+      // JSON rows and repeated requests leave the block store flat —
+      // the server-side face of the pinResult-release contract
+      val edgesDir = Files.createTempDirectory("qr_http_graph_").toString
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+        .write.parquet(s"$edgesDir/edges")
+      val prReq = s"""{"op":"pagerank","edges":"$edgesDir/edges","iters":2}"""
+      val (pc1, pb1) = post("/q", prReq)
+      assert(pc1 == 200 && pb1.count(_ == '{') == 3 && pb1.contains("\"r\""),
+        s"$pc1 $pb1")
+      val pinned = spark.sparkContext.getPersistentRDDs.size
+      val (pc2, pb2) = post("/q", prReq)
+      assert(pc2 == 200 && pb2 == pb1, "pagerank responses must be identical")
+      assert(spark.sparkContext.getPersistentRDDs.size == pinned,
+        "HTTP pagerank requests must not accumulate pinned blocks")
     } finally server.stop()
   }
 
