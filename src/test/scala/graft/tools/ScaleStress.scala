@@ -265,6 +265,16 @@ object ScaleStress {
         }
         spark.catalog.clearCache()
 
+        // advcap: JUST the capped-d2 row on the adversarial corpus —
+        // the knob-combination probes (cap × shuffle partitions) at
+        // 100× don't repay the 5-minute uncapped wall each time
+        if (mult > 1 && ops("advcap") && !ops("adv")) {
+          docsAdv(spark, base, mult, s"$tmp/docsA$mult")
+          val adv = spark.read.parquet(s"$tmp/docsA$mult")
+          val (a2cp, a2cT) = timed(d2(adv, 1000))
+          println(f"STRESS adv d2cap1000 mult=$mult docs=${adv.count()} pairs=$a2cp time=$a2cT%.2fs")
+          spark.catalog.clearCache()
+        }
         // ---- documents: ADVERSARIAL (mega-cluster) ----
         // own op key since r11: the 100× CLEAN runs select d2/d4
         // without repaying the quadratic mega-cluster corpus
