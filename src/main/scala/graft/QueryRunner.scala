@@ -21,8 +21,9 @@ import graft.sources.ZTable
   * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
   *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze"
   *       |"dup_spans"|"split"|"pagerank",
-  *  "edges":"/path/edges.parquet", "iters":3,           // pagerank
+  *  "edges":"/path/edges.parquet", "iters":3,           // pagerank (iters <= 100)
   *  "src":"src", "dst":"dst", "out":"/opt/ranks",       // pagerank (out optional)
+  *  "k":10,                       // pagerank serving: top-k by rank (bounded reply)
   *  "docs":"/path/documents.parquet", "id":"doc_id", "text":"text",
   *  "index":"/path/idx", "buckets":256,                // index build
   *  "terms":["spark","merge"], "k":10,                 // search
@@ -89,28 +90,49 @@ object QueryRunner {
       case "pagerank" => // graph centrality over an edge table (g1's operator)
         val iters = req.get("iters")
           .collect { case n: Number => n.intValue }.getOrElse(3)
+        // client-chosen loop counts must be bounded: every other op's
+        // work is sized by DATA, but an unclamped iters would let one
+        // POST /q park an arbitrarily long pinned fixpoint on the
+        // shared serving pool (pagerank converges in O(10) rounds on
+        // real graphs; 100 is generous headroom, not a tuning limit)
+        require(iters >= 0 && iters <= 100,
+          s"pagerank: iters must be in [0, 100], got $iters")
         val edges = spark.read.parquet(str("edges")).select(
           col(strOpt("src").getOrElse("src")).as("src"),
           col(strOpt("dst").getOrElse("dst")).as("dst"))
         // Serving default is pinResult = true: repeated short-run calls
         // from a long-lived session must not leak the loop caches
         // (Graph.pagerank's scaladoc contract should bind HERE, not on
-        // every HTTP client), and the pin is released before returning
-        // so the block store stays flat across requests.
+        // every HTTP client), and the pin is released — in a finally,
+        // so a failed write/collect cannot strand node-sized blocks in
+        // the long-lived server's block store — before returning.
         val pr = graft.operators.Graph.pagerank(edges, iters, pinResult = true)
-        val out = strOpt("out") match {
-          case Some(p) => // bulk face: ranks land distributed (node-sized
-            // results at graph scale never transit the driver)
-            pr.write.mode("overwrite").parquet(p)
-            spark.range(1).select(lit(p).as("ranks_path"))
-          case None => // serving face: the ranks ARE the response — the
-            // same response-sized materialization as the reference's
-            // serialized query replies (ref src/server/query.rs:234-253)
-            spark.createDataFrame(
-              java.util.Arrays.asList(pr.orderBy("id").collect(): _*), pr.schema)
-        }
-        graft.operators.Graph.release(pr)
-        out
+        try {
+          strOpt("out") match {
+            case Some(p) => // bulk face: ranks land distributed (node-sized
+              // results at graph scale never transit the driver)
+              pr.write.mode("overwrite").parquet(p)
+              spark.range(1).select(lit(p).as("ranks_path"))
+            case None =>
+              // serving face: bounded BY CONSTRUCTION when "k" rides the
+              // request — TakeOrdered ships k rows per partition to the
+              // driver, so a caller who forgets "out" on a 100 M-node
+              // graph gets k rows, not a node-sized collect. Without
+              // "k" the full ranks ARE the response (the reference
+              // serializes full query replies, src/server/query.rs:234-253)
+              // — the documented driver-sized surprise "k" exists to avoid.
+              val ranked = req.get("k")
+                .collect { case n: Number => n.intValue } match {
+                case Some(k) =>
+                  require(k > 0 && k <= 100000,
+                    s"pagerank: k must be in [1, 100000], got $k")
+                  pr.orderBy(col("r").desc, col("id")).limit(k)
+                case None => pr.orderBy("id")
+              }
+              spark.createDataFrame(
+                java.util.Arrays.asList(ranked.collect(): _*), pr.schema)
+          }
+        } finally graft.operators.Graph.release(pr)
       case "scan" =>
         table.scan(str("from"), str("to"), list("cols"))
       case "symbols" =>

@@ -23,20 +23,69 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Session shuffle-partition setting (the harness pins 32; Spark's
+    * default is 200). The `numPartitions` knobs below only engage when
+    * they EXCEED this — repartitioning to the session count would add
+    * exchanges without adding parallelism. */
+  private def sessionShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Shuffle partitions sized to the exploded shingle volume — the knob
+    * the ×100 scale stress measured as the ONE remaining lever on the
+    * exact pair-mining path (STRESS.md: d4 at 30×→100× bent to exponent
+    * ~1.5 at the harness's fixed 32 partitions purely from per-partition
+    * shuffle mass outgrowing executor memory share; at 128 it is linear,
+    * exponent ~0.96). Target ≈ 750 k shingle rows per partition (the
+    * measured-linear operating point: the ×100 corpus's ~1e8 shingle
+    * rows / 128 partitions), floored at the session setting (small
+    * corpora keep the session plan untouched) and capped at 4096 (a
+    * 1000-executor ceiling; beyond it task-scheduling overhead, not
+    * partition size, dominates). */
+  def recommendedShufflePartitions(spark: org.apache.spark.sql.SparkSession,
+      shingleRows: Long): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(session, math.min(4096, math.ceil(shingleRows / 750000.0).toInt))
+  }
+
+  /** [[recommendedShufflePartitions]] from the corpus itself: one
+    * column-pruned pre-pass (count + total token count — the shingle
+    * row count is within n-1 per doc of the token count). The pre-pass
+    * scans `textCol` once; the pair-mining ops it sizes scan it several
+    * times, so the measurement is amortized — and it is what lets the
+    * knob track data volume instead of requiring the caller to have
+    * read STRESS.md. */
+  def autoShufflePartitions(docs: DataFrame, textCol: String): Int = {
+    val rows = docs.agg(
+      coalesce(sum(size(split(col(textCol), " ")).cast(LongType)), lit(0L)))
+      .head.getLong(0)
+    recommendedShufflePartitions(docs.sparkSession, rows)
+  }
+
   /** Word n-gram shingle set: (id, sh), deduplicated per doc by default.
     * Tokenization is split-on-single-space over lowercased text, mirrored
     * in oracle SQL. `dedup = false` skips the distinct — callers that
     * only need the gram STREAM (e.g. a map-side membership probe) avoid
-    * a corpus-wide shuffle that way. */
+    * a corpus-wide shuffle that way. `numPartitions` (when it exceeds
+    * the session shuffle-partition setting) runs the dedup exchange at
+    * that width — the exploded gram stream is |tokens|-sized, the
+    * largest thing this family shuffles, and map-side combine barely
+    * reduces it (per-doc grams are mostly corpus-unique), so partition
+    * sizing must track data volume ([[recommendedShufflePartitions]]). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      dedup: Boolean = true): DataFrame = {
+      dedup: Boolean = true, numPartitions: Int = 0): DataFrame = {
     val w = split(lower(col(textCol)), " ")
     val raw = df.select(col(idCol).as("id"), w.as("w"))
       .where(size(col("w")) >= n)
       .withColumn("i", explode(sequence(lit(1), size(col("w")) - (n - 1))))
       .select(col("id"),
         concat_ws(" ", (0 until n).map(k => element_at(col("w"), col("i") + k)): _*).as("sh"))
-    if (dedup) raw.distinct() else raw
+    if (!dedup) raw
+    else if (numPartitions > sessionShufflePartitions(df))
+      // the repartition IS the distinct's exchange, just at the sized
+      // width: HashPartitioning(id, sh, np) satisfies the aggregate's
+      // ClusteredDistribution, so no second shuffle is planned
+      raw.repartition(numPartitions, col("id"), col("sh")).distinct()
+    else raw.distinct()
   }
 
   /** Exact dedup: group by md5 content fingerprint, keep lowest id. */
@@ -56,17 +105,32 @@ object Dedup {
     * signal (they're corpus-wide background); dropping them bounds the
     * worst key at maxDocFreq² and the whole join at |shingles|·K².
     * Jaccard is then computed over the pruned sets (sizes too), the
-    * standard semantics for stopword-filtered similarity. */
+    * standard semantics for stopword-filtered similarity.
+    *
+    * `numPartitions` (when it exceeds the session shuffle-partition
+    * setting) runs the inverted-index self-join at that width — the
+    * |shingles|-sized exchange the ×100 stress measured as the bend:
+    * at a fixed 32 partitions the 30×→100× exponent was ~1.5 (spill-
+    * bound, not algorithm-bound), at 128 it was ~0.96. Size it with
+    * [[recommendedShufflePartitions]]/[[autoShufflePartitions]]; the
+    * post-combine aggregates (inter, sizes) stay at the session width —
+    * map-side combine bounds their exchanges by output, not input. */
   def jaccardPairs(sh0: DataFrame, thrNum: Int, thrDen: Int,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0, numPartitions: Int = 0): DataFrame = {
     val sh = if (maxDocFreq > 0) {
       val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .where(col("df") > maxDocFreq).select(col("sh"))
       sh0.join(hot, Seq("sh"), "left_anti")
     } else sh0
+    val wide = numPartitions > sessionShufflePartitions(sh0)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("ida"), col("sh"))
-    val b = sh.select(col("id").as("idb"), col("sh"))
+    // the explicit repartition IS the join's exchange at the sized
+    // width: both sides land hash-partitioned on the join key, so the
+    // planner adds no further shuffle
+    def onKey(df: DataFrame): DataFrame =
+      if (wide) df.repartition(numPartitions, col("sh")) else df
+    val a = onKey(sh.select(col("id").as("ida"), col("sh")))
+    val b = onKey(sh.select(col("id").as("idb"), col("sh")))
     val inter = a.join(b, Seq("sh")).where(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
     inter
@@ -375,12 +439,40 @@ object Dedup {
     * shingle df 25 at sf0.1 vs 500 — a dormancy DedupSpec now asserts
     * per graded SF, so a future SF bump that crosses the threshold
     * fails a spec instead of silently diverging d2 from its raw-Jaccard
-    * oracle). */
+    * oracle).
+    *
+    * `maxBucket` DEFAULTS to 1000 since round 12 — the same
+    * measurement-follows-default discipline as maxDocFreq (its r8
+    * precedent): the ×100 ADVERSARIAL stress corpus measured the
+    * uncapped path superlinear (exponent ~1.76, 321.7 s — band buckets
+    * on template mega-clusters grow with corpus size and verify mass
+    * with their square) while `maxBucket = 1000` returned 164.9 s, so
+    * the cap IS the scale path and `maxBucket = 0` is the opt-in for
+    * corpora known mega-cluster-free. RECALL under the default cap,
+    * honestly: pairs BOTH of whose endpoints sit in >1000-doc band
+    * buckets in EVERY band are never candidates — on the ×100
+    * adversarial corpus that cost 1.5 % of pairs (98.5 % returned),
+    * all inside boilerplate mega-clusters that exact dedup /
+    * [[exact]]-then-components handles for free upstream (how
+    * production near-dup pipelines sequence it); on every graded SF and
+    * on clean corpora to ×100 the largest bucket is orders of magnitude
+    * below the cap (dormancy asserted per graded SF in DedupSpec), so
+    * the registered d2 keeps exact parity with its raw-Jaccard oracle.
+    *
+    * `numPartitions`: -1 (default) SIZES the shingle/verify exchanges
+    * from the corpus itself via [[autoShufflePartitions]] — one
+    * column-pruned pre-pass, dormant when the recommendation does not
+    * exceed the session setting (every graded SF); 0 disables; >0 is
+    * the explicit override. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       thrNum: Int, thrDen: Int,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
-      maxDocFreq: Int = 500, maxBucket: Int = 0): DataFrame = {
+      maxDocFreq: Int = 500, maxBucket: Int = 1000,
+      numPartitions: Int = -1): DataFrame = {
+    val np = if (numPartitions == -1) autoShufflePartitions(docs, textCol)
+             else numPartitions
+    val wide = np > sessionShufflePartitions(docs)
     val words = split(lower(col(textCol)), " ")
     // band strings emitted by ONE expression evaluation per row —
     // element_at-per-band would let CollapseProject re-evaluate the
@@ -406,7 +498,7 @@ object Dedup {
     // vs cap 500), pruning changes nothing and the documented LSH miss
     // bound applies verbatim; where boilerplate makes it bite, d4 is
     // the exact contract and d2 is the recall-documented fast path.
-    val sh0 = shingles(docs, idCol, textCol, shingleN)
+    val sh0 = shingles(docs, idCol, textCol, shingleN, numPartitions = np)
     val sh = if (maxDocFreq > 0) {
       val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .where(col("df") > maxDocFreq).select(col("sh"))
@@ -414,17 +506,18 @@ object Dedup {
     } else sh0
     val bucketed0 = sig.select(col("id"),
         posexplode(col("bsig")).as(Seq("band", "sig")))
-    // `maxBucket` (opt-in) drops band buckets holding more than that
-    // many docs BEFORE the self-join. A (band, sig) bucket of B docs
-    // expands to B² candidate pairs, and a mega-cluster of near-
-    // identical boilerplate docs lands in the SAME bucket in ~every
-    // band — quadratic candidate mass from one key, the LSH analogue
-    // of jaccardPairs' hot-shingle blowup. The trade is explicit:
-    // pairs INSIDE a dropped mega-bucket are missed, so enable this
-    // only where mega-clusters are handled by a cheaper contract first
-    // (exact dedup / minhashFilter / components) — which is how
-    // production near-dup pipelines sequence it anyway. Default off:
-    // the registered d2 keeps exact parity with its oracle.
+    // `maxBucket` (DEFAULT 1000 — see the scaladoc's measurement) drops
+    // band buckets holding more than that many docs BEFORE the
+    // self-join. A (band, sig) bucket of B docs expands to B² candidate
+    // pairs, and a mega-cluster of near-identical boilerplate docs
+    // lands in the SAME bucket in ~every band — quadratic candidate
+    // mass from one key, the LSH analogue of jaccardPairs' hot-shingle
+    // blowup. The trade is explicit: pairs INSIDE a dropped mega-bucket
+    // are missed (measured 1.5 % on the ×100 adversarial corpus, zero
+    // everywhere the cap is dormant), which is why mega-clusters belong
+    // to a cheaper contract run first (exact dedup / minhashFilter /
+    // components) — how production near-dup pipelines sequence it
+    // anyway. `maxBucket = 0` opts back into the uncapped quadratic.
     val bucketed = if (maxBucket > 0) {
       val big = bucketed0.groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("bn"))
@@ -436,10 +529,19 @@ object Dedup {
       .where(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
     // Verify candidates with exact Jaccard (join back to shingle sets).
-    val shA = sh.select(col("id").as("ida"), col("sh"))
+    // The two verify joins move |shingles|-sized streams — when `wide`,
+    // the explicit repartitions BECOME those joins' exchanges at the
+    // sized width (same mechanism as jaccardPairs'): the planner sees
+    // both sides hash-partitioned on the join key and adds no shuffle.
+    def onA(df: DataFrame): DataFrame =
+      if (wide) df.repartition(np, col("ida")) else df
+    val shA = onA(sh.select(col("id").as("ida"), col("sh")))
     val shB = sh.select(col("id").as("idb"), col("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = cand.join(shA, Seq("ida")).join(shB, Seq("idb", "sh"))
+    val j1 = onA(cand).join(shA, Seq("ida"))
+    def onB(df: DataFrame): DataFrame =
+      if (wide) df.repartition(np, col("idb"), col("sh")) else df
+    val inter = onB(j1).join(onB(shB), Seq("idb", "sh"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
@@ -546,26 +648,35 @@ object Dedup {
     var prevSig = sig(comp)
     var converged = false
     var rounds = 0
-    while (!converged) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"components: no fixpoint after $maxRounds rounds — the edge " +
-          "list has a component of diameter > maxRounds (use " +
-          "componentsStar, which converges in O(log n) alternations, " +
-          "or raise maxRounds)")
-      val nmin = sym
-        .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-      val next = pin(comp
-        .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
-      val s = sig(next)
+    try {
+      while (!converged) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"components: no fixpoint after $maxRounds rounds — the edge " +
+            "list has a component of diameter > maxRounds (use " +
+            "componentsStar, which converges in O(log n) alternations, " +
+            "or raise maxRounds)")
+        val nmin = sym
+          .join(comp.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
+        val next = pin(comp
+          .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+        val s = sig(next)
+        unpin(comp)
+        comp = next
+        converged = s.compareTo(prevSig) == 0
+        prevSig = s
+      }
+    } catch { case t: Throwable =>
+      // error path (maxRounds throw, lost executor): the caller never
+      // sees the labeling, so the live round cache would be stranded —
+      // drop it and the symmetrized edges before rethrowing
+      sym.unpersist()
       unpin(comp)
-      comp = next
-      converged = s.compareTo(prevSig) == 0
-      prevSig = s
+      throw t
     }
     sym.unpersist()
     comp
@@ -576,12 +687,20 @@ object Dedup {
     * components. This is THE near-dup grouping the pipeline surface
     * builds on (pipe8's leakage-free split, the runner's `split` op) —
     * one definition so the thresholds cannot drift between the
-    * oracle-gated query and the serving path. Returns (id, comp). */
+    * oracle-gated query and the serving path. Returns (id, comp).
+    *
+    * `numPartitions` follows [[minhashLshPairs]]' contract: -1 sizes
+    * the shingle/join exchanges from the corpus (dormant at every
+    * graded SF), 0 disables, >0 overrides. */
   def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thrNum: Int = 4, thrDen: Int = 5,
-      maxDocFreq: Int = 500): DataFrame =
-    components(jaccardPairs(shingles(docs, idCol, textCol, n),
-      thrNum, thrDen, maxDocFreq))
+      maxDocFreq: Int = 500, numPartitions: Int = -1): DataFrame = {
+    val np = if (numPartitions == -1) autoShufflePartitions(docs, textCol)
+             else numPartitions
+    components(jaccardPairs(
+      shingles(docs, idCol, textCol, n, numPartitions = np),
+      thrNum, thrDen, maxDocFreq, numPartitions = np))
+  }
 
   /** Connected components by ALTERNATING SMALL-STAR / LARGE-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -641,25 +760,34 @@ object Dedup {
       .where(col("u") =!= col("v")).distinct())
     var converged = false
     var rounds = 0
-    while (!converged) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"componentsStar: no fixpoint after $maxRounds alternations — " +
-          "star rounds converge in O(log n); this indicates a " +
-          "convergence-detection regression or an edge list far beyond " +
-          "the assumed scale (raise maxRounds only after ruling out the " +
-          "former)")
-      val next = pin(star(star(e, large = true), large = false))
-      converged = sameEdges(e, next, e.count())
-      // next is materialized by its pin, so the previous round's edge
-      // multiset is dead weight NOW. Pins.release, not unpersist: a
-      // localCheckpoint's blocks bypass the cache manager, so the
-      // pre-r11 code (which never unpinned at all — and whose caller
-      // unpersist()s would have been silent no-ops anyway) accumulated
-      // one edge-sized pin per alternation for the session's lifetime.
+    try {
+      while (!converged) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"componentsStar: no fixpoint after $maxRounds alternations — " +
+            "star rounds converge in O(log n); this indicates a " +
+            "convergence-detection regression or an edge list far beyond " +
+            "the assumed scale (raise maxRounds only after ruling out the " +
+            "former)")
+        val next = pin(star(star(e, large = true), large = false))
+        converged = sameEdges(e, next, e.count())
+        // next is materialized by its pin, so the previous round's edge
+        // multiset is dead weight NOW. Pins.release, not unpersist: a
+        // localCheckpoint's blocks bypass the cache manager, so the
+        // pre-r11 code (which never unpinned at all — and whose caller
+        // unpersist()s would have been silent no-ops anyway) accumulated
+        // one edge-sized pin per alternation for the session's lifetime.
+        if (checkpointDir.isEmpty) graft.util.Pins.release(e)
+        e = next
+      }
+    } catch { case t: Throwable =>
+      // error path (maxRounds throw, lost executor): release the live
+      // edge-multiset pin — the caller gets no frame to release it
+      // through, and a long-lived session retrying failed requests
+      // would otherwise accumulate one edge-sized pin per failure
       if (checkpointDir.isEmpty) graft.util.Pins.release(e)
-      e = next
+      throw t
     }
     // stars point leaves at roots; a root's own min neighbor is larger,
     // so least(u, min v) labels roots with themselves. The returned

@@ -116,39 +116,51 @@ object Graph {
     // materialization the chained plan doesn't need) unless the caller
     // asked for a self-contained result (pinResult)
     val willPin = iters >= pinEvery || pinResult
-    for (r <- 1 to iters) rounded(r) {
-      val next = {
-        val contrib = withDeg
-          .join(ranks, col("src") === col("id"))
-          .select(col("dst").as("cid"), expr("r div deg").as("c"))
-          .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
-        nodes
-          .join(contrib, col("id") === col("cid"), "left")
-          .select(col("id"),
-            (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+    try {
+      for (r <- 1 to iters) rounded(r) {
+        val next = {
+          val contrib = withDeg
+            .join(ranks, col("src") === col("id"))
+            .select(col("dst").as("cid"), expr("r div deg").as("c"))
+            .groupBy(col("cid")).agg(sum(col("c")).as("cs"))
+          nodes
+            .join(contrib, col("id") === col("cid"), "left")
+            .select(col("id"),
+              (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+        }
+        if (willPin && (r % pinEvery == 0 || r == iters)) {
+          // a pin materializes everything since the previous pin, so the
+          // earlier pin's blocks are dead weight from here on
+          val pinned = pin(next)
+          if (lastPinned != null) unpin(lastPinned)
+          lastPinned = pinned
+          ranks = pinned
+        } else ranks = next
       }
-      if (willPin && (r % pinEvery == 0 || r == iters)) {
-        // a pin materializes everything since the previous pin, so the
-        // earlier pin's blocks are dead weight from here on
-        val pinned = pin(next)
-        if (lastPinned != null) unpin(lastPinned)
-        lastPinned = pinned
-        ranks = pinned
-      } else ranks = next
-    }
-    if (willPin) {
-      // iters = 0 runs no round, so pinResult pins the initial ranks
-      // here (the r == iters clause never fired)
-      if (lastPinned == null) ranks = pin(ranks)
-      // the final pin is self-contained (checkpoint files / local
-      // blocks), so the loop caches can be released eagerly — no
-      // lazy-plan hazard
+      if (willPin) {
+        // iters = 0 runs no round, so pinResult pins the initial ranks
+        // here (the r == iters clause never fired)
+        if (lastPinned == null) ranks = pin(ranks)
+        // the final pin is self-contained (checkpoint files / local
+        // blocks), so the loop caches can be released eagerly — no
+        // lazy-plan hazard
+        withDeg.unpersist()
+        nodes.unpersist()
+      }
+      // else: the lazy tower runs THROUGH nodes/withDeg — releasing them
+      // here would make the caller's first action recompute from the scan
+      ranks
+    } catch { case t: Throwable =>
+      // a mid-loop failure (lost executor, cancelled job) must not
+      // strand the live pins in a long-lived session: the caller never
+      // sees the frame, so nothing downstream can release them. Loop
+      // caches + the newest pin are dead on this path — drop them all
+      // before rethrowing (the flatness contract the specs pin).
       withDeg.unpersist()
       nodes.unpersist()
+      if (lastPinned != null) unpin(lastPinned)
+      throw t
     }
-    // else: the lazy tower runs THROUGH nodes/withDeg — releasing them
-    // here would make the caller's first action recompute from the scan
-    ranks
   }
 
   /** Free a PINNED result (`pinResult = true` short runs, any long
@@ -231,29 +243,40 @@ object Graph {
     var aliveN = nodes.count()
     var converged = false
     var rounds = 0
-    while (!converged) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
-          "exceeds the bound — raise maxRounds)")
-      graft.util.Timing.rounded(onRound, rounds) {
-        val next = pin(sym
-          .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-          .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
-          .groupBy(col("v")).agg(count(lit(1)).as("d"))
-          .where(col("d") >= k)
-          .select(col("v").as("id")))
-        val n = next.count()
-        // pin() materialized `next` eagerly, so the previous round's
-        // survivor blocks are dead weight now — drop them (nodes, the
-        // round-0 "alive", is still needed for the final join)
-        if (alive ne nodes) unpin(alive)
-        // survivors only shrink: equal counts == fixpoint
-        converged = n == aliveN
-        alive = next
-        aliveN = n
+    try {
+      while (!converged) {
+        rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
+            "exceeds the bound — raise maxRounds)")
+        graft.util.Timing.rounded(onRound, rounds) {
+          val next = pin(sym
+            .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+            .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+            .groupBy(col("v")).agg(count(lit(1)).as("d"))
+            .where(col("d") >= k)
+            .select(col("v").as("id")))
+          val n = next.count()
+          // pin() materialized `next` eagerly, so the previous round's
+          // survivor blocks are dead weight now — drop them (nodes, the
+          // round-0 "alive", is still needed for the final join)
+          if (alive ne nodes) unpin(alive)
+          // survivors only shrink: equal counts == fixpoint
+          converged = n == aliveN
+          alive = next
+          aliveN = n
+        }
       }
+    } catch { case t: Throwable =>
+      // error path (maxRounds throw, lost executor): the caller gets no
+      // frame, so every live pin would be stranded for the session's
+      // lifetime — release the loop caches and the current survivor pin
+      // before rethrowing
+      sym.unpersist()
+      nodes.unpersist()
+      if (alive ne nodes) unpin(alive)
+      throw t
     }
     // materialize the NODE-sized output through its OWN pin — a lineage
     // cut, so out's blocks no longer run through the final survivor's

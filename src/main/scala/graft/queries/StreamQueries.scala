@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.Tables
+
+/** Row type fed to the MemoryStream (top-level: Spark 4.1 requires
+  * non-nested case classes for encoders). */
+case class StreamedDoc(doc_id: Long, text: String)
+
+/** Streaming rows for the GRADED correctness board (round-12 verdict
+  * task #4): until now batch/stream parity lived only in StreamingSpec —
+  * these queries put a STREAMING execution itself under the DuckDB
+  * oracle's rows/schema/hash gate, so a drift in the streaming face
+  * fails the driver's board, not just a local spec.
+  *
+  * Shape: the documents table replays through a MemoryStream into the
+  * streaming operator under test (Trigger.AvailableNow — run-to-
+  * completion, deterministic), the memory sink collects the result, and
+  * the returned frame is the batch-comparable output the oracle checks.
+  * The driver-side collect that feeds the MemoryStream is the TEST
+  * HARNESS, not the operator: it is bounded by the graded corpus
+  * (500–5000 docs), and a production deployment swaps the source for
+  * `readStream.parquet`/Kafka with the identical operator plan
+  * (ScaleStress's stream1 rows measure exactly that file-source path at
+  * ×30 with rate limiting).
+  */
+object StreamQueries {
+
+  /** Memory-sink names must be session-unique: Bench constructs each
+    * query several times (analysis gate + reps), and re-registering a
+    * terminated query's name would collide. */
+  private val runSeq = new AtomicLong(0L)
+
+  /** STREAM1: the pipe1/pipe5 curation signals computed by a REAL
+    * streaming query ([[graft.streaming.Ingest.curateStream]] — the
+    * stateless stream face) over the documents corpus replayed as a
+    * MemoryStream. Output is identical to the batch plan by
+    * construction (the stream face IS the batch plan: per-row
+    * expressions, no state, no watermark), which is what lets the
+    * batch-SQL oracle hash-gate a streaming execution. */
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[StreamedDoc].collect()
+    val mem = MemoryStream[StreamedDoc]
+    mem.addData(docs.toIndexedSeq)
+    val name = s"stream1_curate_run${runSeq.incrementAndGet()}"
+    val q = graft.streaming.Ingest.curateStream(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("doc_id"), col("n_tokens"), col("quality_r"), col("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: pipe1's quality/repetition gates (same DuckDB formulation,
+    * proven against the registered pipe1 row) plus pipe5's digit-run
+    * redaction — the exact signals curateStream emits. */
+  val streamCurateSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    0.4 * LEAST((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b')) AS DOUBLE)
+      |                / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)) * 5.0, 1.0)
+      |    + 0.3 * (1.0 - LEAST((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                / CAST(length(text) AS DOUBLE)) * 20.0, 1.0))
+      |    + 0.3 * LEAST(CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) / 100.0, 1.0) AS quality,
+      |    list_transform(range(1, greatest(len(regexp_extract_all(text, '\S+'))-1, 1)),
+      |      i -> regexp_extract_all(text, '\S+')[i] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+1] || ' ' ||
+      |           regexp_extract_all(text, '\S+')[i+2]) AS grams
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, round(quality, 6) AS quality_r,
+      |  regexp_replace(text, '[0-9]+', '[NUM]', 'g') AS text_clean
+      |FROM sig
+      |WHERE n_tokens >= 20 AND quality >= 0.5
+      |  AND (len(grams) - len(list_distinct(grams))) * 10 <= len(grams)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -278,13 +278,51 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * I/O at scale); an out-of-order row aborts the write job before the
     * committer publishes any file, and only the (tiny, column-pruned)
     * last-ts lookup touches the existing table. */
-  def append(df: DataFrame): Unit = mutate {
+  def append(df: DataFrame): Unit = append(df, allowColumnDrift = false)
+
+  /** Column-SET validation (round 12): an appended batch must present
+    * exactly the table's columns — a typo'd name fails fast the way a
+    * bad projection does (P1's contract), instead of silently minting a
+    * new parquet column on some files and nulls everywhere else (the
+    * drift seam that forced `merge` to be files-authoritative).
+    * Authority order matches the rest of the lifecycle: the recorded
+    * meta schema when stamped, else the files when data exists, else
+    * nothing (a schema-less first append DEFINES the columns). Names
+    * compare case-insensitively, like Spark's own resolution.
+    * `allowColumnDrift = true` is the escape hatch for INTENTIONAL
+    * evolution (e.g. staged column addition where later batches carry a
+    * new column); the recorded schema stays first-write-wins, and
+    * `merge` continues to align to file types — drift remains legal,
+    * it just has to be asked for. */
+  def append(df: DataFrame, allowColumnDrift: Boolean): Unit = mutate {
     // every mutating op recovers earlier crashes on entry — append
     // included: appending into a mid-swap partition (target renamed
     // away, complete staging beside it) would recreate the target with
     // ONLY the new batch, and the next recovery sweep would then drop
     // the staged/retired pre-crash copy as debris — permanent loss
     recoverSwaps()
+    if (!allowColumnDrift) {
+      val expected: Option[Seq[String]] =
+        recordedSchema.map(_.fieldNames.toSeq).orElse(
+          if (hasData)
+            Some(spark.read.parquet(path).drop(partCol).schema.fieldNames.toSeq)
+          else None)
+      expected.foreach { exp =>
+        val expSet = exp.map(_.toLowerCase).toSet
+        val incoming = df.schema.fieldNames.toSeq
+        val inSet = incoming.map(_.toLowerCase).toSet
+        val missing = exp.filterNot(c => inSet.contains(c.toLowerCase))
+        val extra = incoming.filterNot(c => expSet.contains(c.toLowerCase))
+        if (missing.nonEmpty || extra.nonEmpty)
+          throw new IllegalArgumentException(
+            s"append: batch columns drift from the table's (" +
+            (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}" else "") +
+            (if (missing.nonEmpty && extra.nonEmpty) "; " else "") +
+            (if (extra.nonEmpty) s"unknown: ${extra.mkString(", ")}" else "") +
+            s"). Table columns: ${exp.mkString(", ")}. For intentional " +
+            "schema evolution use append(df, allowColumnDrift = true).")
+      }
+    }
     val data = floorResolution(df)
     val checked =
       if (spec.strictOrder && hasData) {

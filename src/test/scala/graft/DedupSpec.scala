@@ -87,12 +87,64 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((0L, 1L)))
     assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
       s"mega-bucket pairs survived the cap: $capped")
-    // (c) uncapped, unpruned: the cluster's 66 pairs ARE found (the
-    // cost the caps exist to bound)
+    // (c) DEFAULTS (maxBucket = 1000 since r12, maxDocFreq = 500): both
+    // caps are dormant on a 12-doc cluster, so its 66 pairs ARE found —
+    // the default cap only bites at mega-cluster scale (the dormancy
+    // spec below pins that it never bites at graded SFs)
     val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 2,
         bands = 24, rowsPerBand = 3)
       .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
     assert(full.count { case (a, b) => a >= 100L && b >= 100L } == 66)
+  }
+
+  test("d2 bucket-cap dormancy: largest band bucket stays far under the 1000 default at every graded SF") {
+    // r12 flipped minhashLshPairs' maxBucket default to 1000 (the ×100
+    // adversarial measurement: uncapped exponent ~1.76 vs 164.9 s for
+    // 98.5 % of pairs capped). The registered d2 shares d4's RAW-Jaccard
+    // oracle, so the flip is only sound while the cap is provably
+    // inactive at graded SFs — this pin fails the moment a data refresh
+    // grows any band bucket within 10× of the cap, instead of letting
+    // d2 silently diverge from its oracle.
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val biggest = Dedup.bandRows(graft.Tables.documents(spark, dir),
+          "doc_id", "text", 3, 72, 24)
+        .groupBy(col("band"), col("bhash")).count()
+        .agg(org.apache.spark.sql.functions.max(col("count"))).head.getLong(0)
+      info(s"$dir max band-bucket size = $biggest")
+      assert(biggest <= 100,
+        s"$dir: a band bucket holds $biggest docs — within 10x of the " +
+          "default maxBucket=1000; d2's default-capped candidates may " +
+          "start diverging from the raw-Jaccard oracle")
+    }
+  }
+
+  test("shuffle-partition sizing: recommendation tracks shingle volume, parity under wide plans") {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(Dedup.recommendedShufflePartitions(spark, 0L) == session)
+    // 1e8 shingle rows (the ×100 corpus) -> ceil(1e8/750k) = 134 wide
+    assert(Dedup.recommendedShufflePartitions(spark, 100000000L) ==
+      math.max(session, 134))
+    // capped at the 1000-executor ceiling
+    assert(Dedup.recommendedShufflePartitions(spark, Long.MaxValue / 4) == 4096)
+    // AUTO is dormant at graded SF: the pre-pass resolves to the session
+    // setting, so registered d2/d4/pipe8 plans are untouched
+    assert(Dedup.autoShufflePartitions(
+      graft.Tables.documents(spark, sf001), "text") == session)
+    // width is a plan property, never a result property: forcing wide
+    // exchanges on the tiny corpus returns the identical pair set
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Double]("jaccard"))).toSet
+    val narrow = pairs(Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), 1, 2))
+    val wide = pairs(Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3, numPartitions = session * 4),
+      1, 2, numPartitions = session * 4))
+    assert(narrow == wide && narrow.nonEmpty)
+    val wideLsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 1, 2,
+        numPartitions = session * 4)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    assert(wideLsh.contains((0L, 1L)))
   }
 
   test("single-pass signature expressions are bit-identical to the agg formulations (sf0.001)") {

@@ -433,4 +433,38 @@ class QueryRunnerSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "bulk-face call must release its pin too")
   }
+
+  test("pagerank op: top-k serving bound, iters clamp, error-path pin release") {
+    val dir = Files.createTempDirectory("qr_graph_k_").toString
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    edges.toDF("src", "dst").write.parquet(s"$dir/edges")
+    val full = QueryRunner.run(spark,
+        s"""{"op":"pagerank","edges":"$dir/edges","iters":3}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // "k" bounds the reply BY CONSTRUCTION (TakeOrdered): k rows, the
+    // k highest ranks (rank desc, id tiebreak), block store stays flat
+    val top2 = QueryRunner.run(spark,
+        s"""{"op":"pagerank","edges":"$dir/edges","iters":3,"k":2}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = full.sortBy { case (id, r) => (-r, id) }.take(2)
+    assert(top2 == expect, s"top2=$top2 expect=$expect")
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "k-bounded serving call must release its pin")
+    // invalid k / iters are refused before any fixpoint runs
+    intercept[IllegalArgumentException] { QueryRunner.run(spark,
+      s"""{"op":"pagerank","edges":"$dir/edges","iters":3,"k":0}""") }
+    intercept[IllegalArgumentException] { QueryRunner.run(spark,
+      s"""{"op":"pagerank","edges":"$dir/edges","iters":101}""") }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // ADVICE r11 (medium): a FAILING bulk-face write must not strand
+    // the pinResult pin — the finally releases it before rethrowing
+    // /dev/null is a char device: creating a directory under it fails
+    intercept[Exception] { QueryRunner.run(spark,
+      s"""{"op":"pagerank","edges":"$dir/edges","iters":3,
+         |"out":"/dev/null/ranks"}""".stripMargin) }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "failed serving request stranded pinned blocks")
+  }
 }

@@ -507,6 +507,26 @@ class StreamingSpec extends SparkSpec {
       "redaction drifted from the driver-side regex oracle")
   }
 
+  test("REGISTERED stream1_curate query (r12: streaming on the graded board) matches pipe1 + regex oracle") {
+    // the SparkEntry-registered query the driver's DuckDB oracle
+    // hash-gates — asserted here against the SAME two independent
+    // references as the spec above, so a local run catches drift before
+    // the board does
+    val out = graft.queries.StreamQueries.streamCurate(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val viaPipe1 = graft.queries.PipelineQueries.qualityFilter(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_r"))).toSeq
+    assert(out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_r"))).toSeq == viaPipe1,
+      "registered streaming row drifted from the registered pipe1 row")
+    val texts = Tables.documents(spark, sf001).selectExpr("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall(r => r.getAs[String]("text_clean") ==
+      texts(r.getAs[Long]("doc_id")).replaceAll("[0-9]+", "[NUM]")),
+      "registered streaming row's redaction drifted from the regex oracle")
+  }
+
   test("j10 on a stream: fragment-bucket interval join equals the registered batch query") {
     // The j10_interval_overlap REGISTERED QUERY replayed as two
     // MemoryStreams through incidentJoinStream — exact frame equality

@@ -30,6 +30,47 @@ class ZTableSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("sym")).toSet == Set("A", "B"))
   }
 
+  test("append refuses column drift; allowColumnDrift is the evolution escape hatch") {
+    // r12 (verdict task #6): append used to accept ANY frame — a typo'd
+    // column minted a new parquet column on some files and nulls
+    // everywhere else (the drift seam that forced merge to be
+    // files-authoritative). Now the column SET must match.
+    val path = tmp()
+    val t = ZTable.create(spark, path, Spec())
+    t.append(sample)
+    val before = t.df.count()
+    // typo'd column name -> refused, nothing written
+    val typo = Seq((ts("2024-01-05 10:00:00"), "Z", 5.0)).toDF("ts", "smy", "v")
+    val e = intercept[IllegalArgumentException] { t.append(typo) }
+    assert(e.getMessage.contains("smy") && e.getMessage.contains("sym"),
+      e.getMessage)
+    assert(t.df.count() == before)
+    // missing column -> refused too (silent null-minting is drift)
+    val narrow = Seq((ts("2024-01-05 10:00:00"), "Z")).toDF("ts", "sym")
+    intercept[IllegalArgumentException] { t.append(narrow) }
+    // extra column -> refused by default...
+    val widened = Seq((ts("2024-01-05 10:00:00"), "Z", 5.0, 7L))
+      .toDF("ts", "sym", "v", "extra")
+    intercept[IllegalArgumentException] { t.append(widened) }
+    // ...but allowed through the documented escape hatch (intentional
+    // evolution; merge stays files-authoritative over the union)
+    t.append(widened, allowColumnDrift = true)
+    assert(t.df.count() == before + 1)
+    // the new column exists in the drifted batch's files (plain reads
+    // infer from one footer — WHICH file wins is undefined, exactly the
+    // ambiguity the default refusal exists to keep out of tables)
+    assert(spark.read.option("mergeSchema", "true").parquet(path)
+      .columns.contains("extra"))
+    // column ORDER is not drift: sets compare, not sequences
+    t.append(Seq(("B", ts("2024-01-06 10:00:00"), 6.0)).toDF("sym", "ts", "v"),
+      allowColumnDrift = true)
+    // (order-permuted frame with the exact column set also passes the
+    // default path)
+    t.append(Seq(("C", ts("2024-01-07 10:00:00"), 7.0, 8L))
+      .toDF("sym", "ts", "v", "extra"), allowColumnDrift = true)
+    assert(t.df.count() == before + 3)
+  }
+
   test("scan projects requested columns only") {
     val path = tmp()
     val t = ZTable.create(spark, path, Spec())

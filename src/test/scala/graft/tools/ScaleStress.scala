@@ -188,13 +188,25 @@ object ScaleStress {
       case Some(s) => s.split(",").map(_.trim).toSet
       case None => (_: String) => true
     }
-    def d4(docs: DataFrame): Long =
-      Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
-        thrNum = 4, thrDen = 5, maxDocFreq = 500).count()
+    // r12: the shingle family self-sizes its heavy exchanges
+    // (Dedup.autoShufflePartitions) — the manual SPARK_GRAFT_STRESS_SHUFFLE
+    // axis remains as an override for knob experiments, but the default
+    // path is what a cold caller gets, and THAT is what must stay linear
+    def d4(docs: DataFrame): Long = {
+      val np = Dedup.autoShufflePartitions(docs, "text")
+      Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3, numPartitions = np),
+        thrNum = 4, thrDen = 5, maxDocFreq = 500, numPartitions = np).count()
+    }
     def d2(docs: DataFrame, maxBucket: Int): Long =
       Dedup.minhashLshPairs(docs, "doc_id", "text",
         thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3,
         maxDocFreq = 500, maxBucket = maxBucket).count()
+    // the operator with NOTHING overridden — the row that proves the
+    // defaults (maxBucket = 1000, auto partitions) are the scale path
+    def d2default(docs: DataFrame): Long =
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        thrNum = 4, thrDen = 5, bands = 24, rowsPerBand = 3).count()
     try {
       for (mult <- mults) {
         // ---- documents: CLEAN (linear ground truth) ----
@@ -271,8 +283,8 @@ object ScaleStress {
         if (mult > 1 && ops("advcap") && !ops("adv")) {
           docsAdv(spark, base, mult, s"$tmp/docsA$mult")
           val adv = spark.read.parquet(s"$tmp/docsA$mult")
-          val (a2cp, a2cT) = timed(d2(adv, 1000))
-          println(f"STRESS adv d2cap1000 mult=$mult docs=${adv.count()} pairs=$a2cp time=$a2cT%.2fs")
+          val (a2cp, a2cT) = timed(d2default(adv))
+          println(f"STRESS adv d2default mult=$mult docs=${adv.count()} pairs=$a2cp time=$a2cT%.2fs")
           spark.catalog.clearCache()
         }
         // ---- documents: ADVERSARIAL (mega-cluster) ----
@@ -283,10 +295,12 @@ object ScaleStress {
           val adv = spark.read.parquet(s"$tmp/docsA$mult")
           val (a4p, a4T) = timed(d4(adv))
           println(f"STRESS adv d4 mult=$mult docs=$nDocs pairs=$a4p time=$a4T%.2fs")
+          // the uncapped OPT-IN (maxBucket = 0): the superlinear row the
+          // r12 default flip retired from the cold-caller path
           val (a2p, a2T) = timed(d2(adv, 0))
-          println(f"STRESS adv d2 mult=$mult docs=$nDocs pairs=$a2p time=$a2T%.2fs")
-          val (a2cp, a2cT) = timed(d2(adv, 1000))
-          println(f"STRESS adv d2cap1000 mult=$mult docs=$nDocs pairs=$a2cp time=$a2cT%.2fs")
+          println(f"STRESS adv d2uncapped mult=$mult docs=$nDocs pairs=$a2p time=$a2T%.2fs")
+          val (a2cp, a2cT) = timed(d2default(adv))
+          println(f"STRESS adv d2default mult=$mult docs=$nDocs pairs=$a2cp time=$a2cT%.2fs")
           spark.catalog.clearCache()
         }
 

@@ -58,6 +58,16 @@ def main(argv):
         if bp.exists():
             committed = json.loads(bp.read_text()).get("cal0_min")
         if committed:
+            # a pass WITHOUT cal0 cannot prove it ran on a healthy box —
+            # mixing one pre-round-11 (or stripped) pass file into a
+            # merge would mint a baseline from an unchecked, possibly
+            # degraded pass. Refuse, don't silently bypass (ADVICE r11).
+            no_cal = [Path(p).name for p, c in zip(paths, cal0s) if c is None]
+            if no_cal:
+                print(f"refusing: committed cal0_min={committed} but these "
+                      f"passes carry no cal0: {no_cal} (regenerate them with "
+                      "the current bench, or --force-cal0)")
+                return 1
             bad = [(p, c) for p, c in zip(paths, cal0s)
                    if c is not None and c > 1.1 * committed]
             if bad:
