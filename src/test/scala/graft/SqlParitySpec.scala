@@ -83,7 +83,11 @@ class SqlParitySpec extends SparkSpec {
     "t14_lexical_stats",
     // pipe13: '0x'-prefixed hex cast + UBIGINT (pipe12's class);
     // a15: quantile_cont (a8's class)
-    "pipe13_weighted_sample", "a15_approx_percentiles")
+    "pipe13_weighted_sample", "a15_approx_percentiles",
+    // stream1: reuses pipe1's list_transform repetition signature
+    // (and the query side is a streaming execution — the parity this
+    // spec checks is covered batch-side by pipe1/pipe5)
+    "stream1_curate")
 
   test("oracle SQL runs verbatim via spark.sql and matches the DataFrame API") {
     SqlSurface.registerViews(spark, sf001)

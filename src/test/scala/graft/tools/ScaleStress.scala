@@ -225,6 +225,13 @@ object ScaleStress {
           val (d2p, d2T) = timed(d2(docs, 0))
           println(f"STRESS clean d2 mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
         }
+        // the all-defaults operator on the CLEAN corpus: proves the r12
+        // default flip (maxBucket=1000 + auto partitions) costs nothing
+        // where the cap is dormant
+        if (ops("d2x")) {
+          val (d2p, d2T) = timed(d2default(docs))
+          println(f"STRESS clean d2default mult=$mult docs=$nDocs pairs=$d2p time=$d2T%.2fs")
+        }
         // d1x: EXACT dedup (md5 fingerprint group-by) — the linear
         // contract at its purest: dup-group count must scale exactly
         // M× (copies are vocab-disjoint, so no cross-copy dups) under
