@@ -85,8 +85,17 @@ object QueryRunner {
         val docs = spark.read.parquet(str("docs"))
         val idc = strOpt("id").getOrElse("doc_id")
         val txt = strOpt("text").getOrElse("text")
+        // components() pins its fixpoint via localCheckpoint (r12) —
+        // materialize the reply, then release in a finally so repeated
+        // /q split requests (or failing ones) leave the long-lived
+        // server's block store flat, like the pagerank op
         val comp = graft.operators.Dedup.nearDupComponents(docs, idc, txt)
-        graft.operators.Sampling.clusterSplit(docs, idc, comp).orderBy("id")
+        try {
+          val out = graft.operators.Sampling.clusterSplit(docs, idc, comp)
+            .orderBy("id")
+          spark.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally graft.util.Pins.release(comp)
       case "pagerank" => // graph centrality over an edge table (g1's operator)
         val iters = req.get("iters")
           .collect { case n: Number => n.intValue }.getOrElse(3)

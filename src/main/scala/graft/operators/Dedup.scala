@@ -611,10 +611,25 @@ object Dedup {
     * with current labels (one hash shuffle on node id) and lowers every
     * node to the min label in its neighborhood; converges in
     * O(component diameter) rounds — near-dup components are shallow
-    * (pairs/chains), so 2-4 rounds in practice. Each round's result is
-    * cached and the previous unpersisted, so lineage stays flat. At
-    * extreme diameters the alternating small-star/large-star variant
-    * halves rounds; the join shape is identical. Returns (id, comp).
+    * (pairs/chains), so 2-4 rounds in practice. At extreme diameters
+    * the alternating small-star/large-star variant halves rounds; the
+    * join shape is identical. Returns (id, comp).
+    *
+    * Each round's labeling is localCheckpoint-PINNED, not persist()ed
+    * (round 12 — the r12 property-sweep ghost, caught with its seed in
+    * validation/r12_prop_sweeps/sweep_4.log): `comp` appears TWICE in
+    * every round's plan (the neighbor-min join and the label-lower
+    * join), so with persist() the logical plan NESTS GEOMETRICALLY —
+    * persist caches data but Catalyst re-analyzes the full tower each
+    * round. Measured on a 12-node diameter-9 graph (tools/GhostProbe):
+    * plan nodes 35 → 12 785 by round 9, per-round wall 2.3 s → 242 s,
+    * driver OOM at 16 g before round 10 — on a tiny graph. Truncating
+    * lineage per round makes round cost O(1) in round count, which is
+    * also the only shape that survives deep-diameter components at
+    * 100 TB. Same contract as [[componentsStar]]: the returned plan
+    * reads through the FINAL pin; callers done with the labeling free
+    * it with `Pins.release(result)` (Bench/Verify sweep it between
+    * queries; the serving op releases per request).
     *
     * `checkpointDir`: when set, each round's labeling is RELIABLY
     * checkpointed there (parquet-class durability via the RDD
@@ -631,9 +646,9 @@ object Dedup {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.persist()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def unpin(df: DataFrame): Unit =
-      if (checkpointDir.isEmpty) df.unpersist()
+      if (checkpointDir.isEmpty) graft.util.Pins.release(df)
     val sym = edges.select(col("ida").as("src"), col("idb").as("dst"))
       .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
       .persist()
@@ -643,8 +658,12 @@ object Dedup {
     // decrease element-wise, so sum(comp) strictly decreases until the
     // fixpoint — one tiny aggregate per round instead of a
     // changed-rows join against the previous labeling.
-    def sig(df: DataFrame): java.math.BigDecimal = // decimal: id sums can pass 2^63 at scale
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    def sig(df: DataFrame): java.math.BigDecimal = { // decimal: id sums can pass 2^63 at scale
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      // sum over zero rows is null: an EMPTY edge list must converge on
+      // the first equality test, not NPE in compareTo
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSig = sig(comp)
     var converged = false
     var rounds = 0
@@ -716,7 +735,9 @@ object Dedup {
     * The edge multiset stabilizes to stars rooted at component minima;
     * the fixpoint is detected by an (edge-count, endpoint-sum)
     * signature, one tiny aggregate per alternation like
-    * [[components]]' label-sum trick. Returns (id, comp).
+    * [[components]]' label-sum trick. Returns (id, comp); nodes
+    * appearing only in self-loops are retained, labeled themselves
+    * (r12 — matching [[components]] and the union-find contract).
     *
     * `checkpointDir`: when set, each alternation reliably checkpoints
     * its edge multiset there instead of `localCheckpoint` — the local
@@ -794,9 +815,22 @@ object Dedup {
     // plan reads through the FINAL pinned edge multiset — the one
     // residue of this call; callers done with the labeling free it
     // with Pins.release(result) (the pin is the plan's leaf).
-    bothDirs(e).groupBy(col("u"))
+    val labels = bothDirs(e).groupBy(col("u"))
       .agg(least(first(col("u")), min(col("v"))).as("comp"))
       .select(col("u").as("id"), col("comp"))
+    // nodes appearing ONLY in self-loops vanish from the star rounds
+    // (the u =!= v entry filter) but are nodes of the input graph —
+    // [[components]] and the union-find contract label them with
+    // themselves (found by the r12 ghost shrinker: the shrunk artifact
+    // List((0,0)) returned {} here vs {0->0} from components). Recover
+    // them at output; the library's own pair miners emit ida < idb
+    // STRICTLY, so this branch is empty there and costs one
+    // filter-scan of the edge list.
+    val loops = edges.where(col("ida") === col("idb"))
+      .select(col("ida").as("id")).distinct()
+    labels.union(
+      loops.join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
   }
 
   /** 64-bit SimHash per document from xxhash64 token hashes — computed

@@ -351,6 +351,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("r12 ghost: the sweep-4 diameter-9 graph is cheap, flat-plan, correct; self-loops kept by BOTH fixpoints") {
+    // The r11 "18/19" property-sweep ghost, caught with its seed this
+    // round (validation/r12_prop_sweeps/sweep_4.log, seed
+    // B5eczG94xWB1NY3cojDJ1kBCGfCNtRXpCrk8ng3379N=, case 57): this
+    // 12-node graph needs TEN min-label rounds, and the persist()-era
+    // components() nested its plan geometrically (comp appears twice
+    // per round) — 35 -> 12 785 plan nodes by round 9, 2.3 s -> 242 s
+    // per round, driver OOM at 16 g (tools/GhostProbe). Pin the fix:
+    // correct labels, a truncated-lineage result plan, bounded wall,
+    // and a flat block store after release.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def live = spark.sparkContext.getPersistentRDDs.size
+    val base = live
+    val ghost = Seq((3L, 11L), (4L, 10L), (2L, 5L), (6L, 9L), (0L, 6L),
+      (5L, 9L), (2L, 11L), (7L, 4L), (10L, 4L), (4L, 8L), (3L, 7L),
+      (7L, 8L), (9L, 0L), (1L, 10L), (9L, 5L)).toDF("ida", "idb")
+    val t0 = System.nanoTime()
+    val labels = Dedup.components(ghost)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(got == (0L to 11L).map(_ -> 0L).toMap, got.toSeq.sorted)
+    assert(labels.queryExecution.logical.collect { case n => n }.size < 20,
+      "components result must read through the final pin, not a nested round tower")
+    assert(wall < 60.0, f"ghost graph took $wall%.1fs — the plan tower is back?")
+    graft.util.Pins.release(labels)
+    assert(live == base, "components must release retired rounds and, via the caller, its result")
+    // the shrunk artifact List((0,0)): a self-loop-only node is a node
+    // of the graph — BOTH fixpoints label it with itself (pre-r12,
+    // componentsStar returned {} here vs components' {0->0})
+    val loop = Seq((0L, 0L)).toDF("ida", "idb")
+    val cl = Dedup.components(loop)
+    assert(cl.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
+    graft.util.Pins.release(cl)
+    val sl = Dedup.componentsStar(loop)
+    assert(sl.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
+    graft.util.Pins.release(sl)
+    // a self-loop on a CONNECTED node must not duplicate its row
+    val mixed = Seq((5L, 5L), (5L, 9L), (2L, 2L)).toDF("ida", "idb")
+    val sm = Dedup.componentsStar(mixed)
+    val rows = sm.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 3 && rows.toMap == Map(5L -> 5L, 9L -> 5L, 2L -> 2L),
+      rows.toSeq.sorted)
+    graft.util.Pins.release(sm)
+    assert(live == base)
+  }
+
   test("components fixpoints: reliable checkpoint path and iteration caps") {
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap

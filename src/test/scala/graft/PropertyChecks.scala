@@ -9,18 +9,34 @@ import graft.operators.AsOfJoin
 import graft.util.Dec
 
 /** Shared ScalaCheck parameterization: green-by-CONSTRUCTION, not by
-  * seed. The initial seed is PINNED (default: the r9 judge's logged
-  * failing seed for the block-pair property — the most adversarial
-  * starting point we know), so two `sbt test` runs draw identical
-  * cases. Seed diversity is still one env var away:
+  * seed. The initial seed is PINNED (default: the r12 ghost sweep's
+  * logged failing seed — its case 57 for the components property is
+  * the diameter-9 graph that OOM'd the label-prop fixpoint,
+  * validation/r12_prop_sweeps/sweep_4.log — the most adversarial
+  * starting point we know; the r9 judge's block-pair seed it replaces
+  * is preserved below — one env var away — and the ghost's failing
+  * GRAPH is additionally pinned deterministically in DedupSpec, so the
+  * regression case survives any future seed change), so two `sbt test`
+  * runs draw identical cases. Seed
+  * diversity is still one env var away:
   *   GRAFT_PROP_SEED=random sbt test     # fresh seeds (nightly style)
   *   GRAFT_PROP_SEED=<base64> sbt test   # reproduce a logged failure
   */
 object PropSeed {
-  val JudgeSeed = "ZtlTiymLCGMXLgL2EN4eA6NGllvtejs5z4v9vlw4skI="
+  val R9JudgeSeed = "ZtlTiymLCGMXLgL2EN4eA6NGllvtejs5z4v9vlw4skI="
+  val GhostSeed = "B5eczG94xWB1NY3cojDJ1kBCGfCNtRXpCrk8ng3379N="
+  val JudgeSeed = GhostSeed
   private val pinned: Option[org.scalacheck.rng.Seed] =
     sys.env.get("GRAFT_PROP_SEED") match {
-      case Some("random") => None
+      case Some("random") =>
+        // r12 (the 18/19 incident's last lesson): a GREEN log must be
+        // reproducible too, not just a failing one — draw ONE fresh
+        // seed per JVM, print it, and pin it, so every logged sweep
+        // carries its own reproduction handle
+        // (GRAFT_PROP_SEED=<printed base64>).
+        val s = org.scalacheck.rng.Seed.random()
+        println(s"[PropSeed] fresh initial seed: ${s.toBase64}")
+        Some(s)
       case Some(s) => Some(org.scalacheck.rng.Seed.fromBase64(s).get)
       case None => Some(org.scalacheck.rng.Seed.fromBase64(JudgeSeed).get)
     }
@@ -265,7 +281,11 @@ object PropertyChecks extends Properties("graft") {
       es <- Gen.listOfN(m, for {
         a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
       } yield (a.toLong, b.toLong))
-    } yield es.filter { case (a, b) => a != b }.distinct) { edges =>
+      // self-loops stay IN (r12): the ghost shrinker walked out of the
+      // old a != b domain and found componentsStar dropping
+      // self-loop-only nodes — now part of the contract, so part of
+      // the domain (and shrunk candidates can no longer leave it)
+    } yield es.distinct) { edges =>
       edges.isEmpty || {
         val df = edges.toDF("ida", "idb")
         // union-find oracle, normalized to min-node-id labels
