@@ -150,6 +150,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      // same disk-cache kill as decodeJpegError (r12): without it every
+      // ImageIO.read from a byte stream writes a temp FILE per image
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         r.kind match {
           case "png" | "bmp" =>
@@ -256,19 +259,33 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      // r12 decode-path cost fixes (value-identical — the registered m4
+      // row is hash-gated): ImageIO's default stream cache writes a
+      // TEMP FILE PER IMAGE (the m4 drift's disk dependence — an
+      // arithmetic cal0 can't see disk latency); one reader per
+      // partition skips the per-image reader-registry search, the same
+      // decoder-context shape as the encode side's writer; bulk getRGB
+      // replaces w*h per-pixel calls with one (identical conversion
+      // path, so identical values).
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
       rows.map { r =>
         require(r.kind == "jpeg", s"media ${r.media_id}: expected jpeg, got ${r.kind}")
-        val img = javax.imageio.ImageIO.read(
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.bytes))
+        reader.setInput(iis, true, true)
+        val img = try reader.read(0) finally iis.close()
         require(img != null, s"media ${r.media_id}: undecodable jpeg")
         val w = img.getWidth
         val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var sumErr = 0L
         var maxErr = 0
         var i = 0
         while (i < w * h) {
           val ideal = ((r.media_id * 31 + 7L * i) % 256).toInt
-          val got = img.getRGB(i % w, i / w) & 0xFF // gray: B == G == R ± codec noise
+          val got = px(i) & 0xFF // gray: B == G == R ± codec noise
           val e = math.abs(got - ideal)
           sumErr += e
           if (e > maxErr) maxErr = e
