@@ -45,7 +45,7 @@ object Similarity {
     VectorOps.cosFrom(VectorOps.dot(a, b),
       sqrt(VectorOps.normSq(a)), sqrt(VectorOps.normSq(b)))
 
-  private def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+  private[graft] def toDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
   /** Brute-force top-k by cosine against the vector of `queryId`.
     * The 1-row query side is broadcast; compiles to scan + TakeOrdered. */
@@ -210,6 +210,28 @@ object Similarity {
     m.toDouble / 1000001.5 - 1.0
   }
 
+  /** The full L-table plane matrix, flat (t·numPlanes + h)·dim + d —
+    * the [[graft.plans.SignBands]] reference-object layout. Same
+    * [[planeComponent]] values the per-table [[lshBucket]] literals
+    * carry, so fused and per-table signatures agree bit-for-bit. */
+  private[graft] def planesFlat(numPlanes: Int, numTables: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](numTables.toInt * numPlanes * dim)
+    var t = 0
+    while (t < numTables) {
+      var h = 0
+      while (h < numPlanes) {
+        var d = 0
+        while (d < dim) {
+          out((t * numPlanes + h) * dim + d) = planeComponent(t * numPlanes + h, d)
+          d += 1
+        }
+        h += 1
+      }
+      t += 1
+    }
+    out
+  }
+
   /** Deterministic random-hyperplane sign bits: bucket = H-bit signature.
     * Planes are materialized once as array literals; signing a vector is
     * H codegen'd dot products, fully inside whole-stage codegen.
@@ -303,30 +325,33 @@ object Similarity {
       numPlanes: Int, numTables: Int, multiProbe: Boolean): DataFrame = {
     require(numPlanes <= 60, "numPlanes must fit a packed long lane")
     val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // all L signatures in ONE fused codegen expression (plane matrix is
+    // a flat reference object): the array-of-lshBucket formulation this
+    // replaces inlined L·H·dim literal doubles into the generated class
+    // and crossed janino's 64 KB method limit at planner-sized bandings
+    // (11×79 observed) — Spark then ran the signing stage INTERPRETED on
+    // exactly the configs where LSH works hardest. Signatures are
+    // bit-identical (see SignBands scaladoc); measured 33 s → fused at
+    // 11×79/sf0.1 with zero codegen fallbacks.
     val signed = vecs
-      .withColumn("bks", array((0 until numTables).map(t =>
-        lshBucket(col("v"), numPlanes, table = t)): _*))
-    // All L signatures packed into ⌈L/(60/H)⌉ long columns (H-bit lanes).
-    // The per-joined-row dedup condition below runs on EVERY bucket-join
-    // match (~collision mass × L rows), so it must be a handful of
-    // primitive shift/mask ops per table — the element_at-per-table
-    // array formulation this replaces generated a bytecode-huge CASE
-    // chain with per-access bounds checks and measured ~7× slower on
-    // the candidate stage. Packing runs once per VECTOR (N rows), the
-    // cheap side of the asymmetry, and the join carries 2 longs instead
-    // of an L-long array.
-    val lanes = math.max(1, 60 / numPlanes) // tables per packed long
-    val nPk = (numTables + lanes - 1) / lanes
-    def packCol(j: Int): Column =
-      (j * lanes until math.min((j + 1) * lanes, numTables))
-        .map(t => shiftleft(element_at(col("bks"), t + 1), (t - j * lanes) * numPlanes))
-        .reduce(_.bitwiseOR(_))
-    val packed = signed.select(
-      (Seq(col("id"), col("bks")) ++ (0 until nPk).map(j => packCol(j).as(s"pk$j"))): _*)
-    val pkNames = (0 until nPk).map(j => s"pk$j")
+      .withColumn("bks", VectorOps.signBands(col("v"),
+        planesFlat(numPlanes, numTables, dim = 64), numPlanes, numTables, dim = 64))
+    // All L signatures packed into one ⌈L/(60/H)⌉-long array column
+    // (H-bit lanes). The per-joined-row dedup condition below runs on
+    // EVERY bucket-join match (~collision mass × L rows), so it must be
+    // a handful of primitive shift/mask ops per table. Packing and the
+    // first-collision scan are single fused expressions (PackLanes /
+    // FirstCollision, VectorExprs.scala): the per-table Column-chain
+    // formulations they replace generated stage methods past HotSpot's
+    // 8 KB JIT ceiling at planner-sized bandings — janino compiled them
+    // fine, but the JVM ran the stage in its BYTECODE interpreter,
+    // measured 2× slower than even Spark's expression-interpreted
+    // fallback (11×79/sf0.1: 38 s chain-form vs 6 s fused).
+    val packed = signed.select(col("id"), col("bks"),
+      VectorOps.packLanes(col("bks"), numPlanes, numTables).as("pks"))
     val bucketed = packed
-      .select((Seq(col("id")) ++ pkNames.map(col) :+
-        posexplode(col("bks")).as(Seq("tbl", "bucket"))): _*)
+      .select(col("id"), col("pks"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
     // probe side: the exact bucket, plus — under multiprobe — each
     // single-bit-flip neighbor bucket. Only this side expands; the
     // build side stays at exact signatures, so a Hamming-≤1 pair meets
@@ -335,40 +360,26 @@ object Similarity {
     val probed =
       if (!multiProbe) bucketed
       else packed
-        .select((Seq(col("id")) ++ pkNames.map(col) :+
-          posexplode(col("bks")).as(Seq("tbl", "sig"))): _*)
-        .select((Seq(col("id")) ++ pkNames.map(col) ++ Seq(col("tbl"),
+        .select(col("id"), col("pks"),
+          posexplode(col("bks")).as(Seq("tbl", "sig")))
+        .select(col("id"), col("pks"), col("tbl"),
           explode(array((col("sig") +: (0 until numPlanes).map(h =>
-            col("sig").bitwiseXOR(lit(1L << h)))): _*)).as("bucket"))): _*)
-    val a = probed.select((Seq(col("tbl"), col("bucket"), col("id").as("ida")) ++
-      pkNames.map(n => col(n).as(n + "a"))): _*)
-    val b = bucketed.select((Seq(col("tbl"), col("bucket"), col("id").as("idb")) ++
-      pkNames.map(n => col(n).as(n + "b"))): _*)
-    // first table index where the two signatures collide (equal, or
-    // within 1 bit under multiprobe) — least(CASE...) over primitive
-    // lane ops, fully inside whole-stage codegen. `f & (f-1) == 0`
-    // tests popcount ≤ 1 without a bit_count call.
-    val laneMask = (1L << numPlanes) - 1
-    def collides(t: Int): Column = {
-      val j = t / lanes
-      val off = (t % lanes) * numPlanes
-      val f = shiftright(col(s"pk${j}a"), off)
-        .bitwiseXOR(shiftright(col(s"pk${j}b"), off))
-        .bitwiseAND(lit(laneMask))
-      if (!multiProbe) f === 0L
-      else f.bitwiseAND(f - 1) === 0L
-    }
-    val firstCollision = least((0 until numTables).map(i =>
-      when(collides(i), lit(i))): _*)
+            col("sig").bitwiseXOR(lit(1L << h)))): _*)).as("bucket"))
+    val a = probed.select(col("tbl"), col("bucket"),
+      col("id").as("ida"), col("pks").as("pksa"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("idb"), col("pks").as("pksb"))
     // CANDIDATES, then VERIFY: the L-fold replicated self-join carries
     // only ids + packed signatures (pairs deduped without a distinct —
     // each pair survives only in the FIRST table where its signatures
-    // collide); the dim-sized vectors join in once per side afterwards,
-    // so the collision mass never shuffles dim-width payloads. At
-    // dim=64/L=16 the bucket rows are ~30× narrower than carrying the
-    // vectors through the join — the gap that matters at 100 TB.
+    // collide, equal or within 1 bit under multiprobe); the dim-sized
+    // vectors join in once per side afterwards, so the collision mass
+    // never shuffles dim-width payloads. At dim=64/L=16 the bucket rows
+    // are ~30× narrower than carrying the vectors through the join —
+    // the gap that matters at 100 TB.
     a.join(b, Seq("tbl", "bucket")).where(col("ida") < col("idb"))
-      .where(col("tbl") === firstCollision)
+      .where(col("tbl") === VectorOps.firstCollision(
+        col("pksa"), col("pksb"), numPlanes, numTables, multiProbe))
       .select(col("ida"), col("idb"))
   }
 

@@ -178,6 +178,263 @@ case class SparseFill(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** All L random-hyperplane LSH signatures of a vector in ONE expression:
+  * array of `numTables` longs, table t's H-bit signature at index t.
+  *
+  * Why a custom Expression: the Column formulation —
+  * `array(lshBucket(t=0), ..., lshBucket(t=L-1))`, each bucket H
+  * `when(DotProduct(v, literal plane) > 0, 1L << h)` terms — inlines
+  * L·H·dim literal doubles into the projection's generated Java. At the
+  * planner-sized 11-plane/79-table banding that class crosses janino's
+  * 64 KB method limit ("Code grows beyond 64 KB"), and Spark silently
+  * evaluates the signing stage INTERPRETED at exactly the large configs
+  * where LSH is working hardest (measured: 33 s candidate stage at
+  * 11x79/sf0.1). Here the plane matrix is one flat double[] reference
+  * object and signing is a three-deep primitive loop — generated code
+  * size is constant in L/H/dim, fully inside whole-stage codegen. Same
+  * rationale as [[PqEncode]].
+  *
+  * Bit-compatible with the formulation it replaces: per plane a
+  * sequential left-to-right double dot ([[DotProduct]] order — double
+  * multiply is commutative, so operand order is immaterial), sign test
+  * `> 0`, bit h set via exact power-of-two addition. A null vector or a
+  * length-mismatched vector yields ALL-ZERO signatures, exactly as
+  * `when(null > 0, ...).otherwise(0)` summed did — never a null array —
+  * so the expression is non-nullable. Array elements must be non-null
+  * (the DotProduct contract).
+  *
+  * `planes` is laid out (t·numPlanes + h)·dim + d. */
+case class SignBands(child: Expression, planes: Array[Double],
+    numPlanes: Int, numTables: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (numPlanes < 1 || numPlanes > 60 || numTables < 1 || dim < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"SignBands needs 1<=numPlanes<=60, numTables>=1, dim>=1, " +
+            s"got ($numPlanes, $numTables, $dim)")
+      else if (planes.length != numTables * numPlanes * dim)
+        TypeCheckResult.TypeCheckFailure(
+          s"SignBands: plane matrix length ${planes.length} != " +
+            s"$numTables*$numPlanes*$dim")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"SignBands requires array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Long](numTables)
+    val a = child.eval(input)
+    if (a != null) {
+      val v = a.asInstanceOf[ArrayData]
+      if (v.numElements() == dim) {
+        val fl = isFloat
+        var t = 0
+        while (t < numTables) {
+          var sig = 0L
+          var h = 0
+          while (h < numPlanes) {
+            var acc = 0.0
+            val off = (t * numPlanes + h) * dim
+            var i = 0
+            while (i < dim) {
+              val e = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+              acc += e * planes(off + i)
+              i += 1
+            }
+            if (acc > 0) sig |= (1L << h)
+            h += 1
+          }
+          out(t) = sig
+          t += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val out = ctx.freshName("out")
+    val t = ctx.freshName("t")
+    val h = ctx.freshName("h")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val sig = ctx.freshName("sig")
+    val off = ctx.freshName("off")
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |long[] $out = new long[$numTables];
+         |if (!${childGen.isNull} && ${childGen.value}.numElements() == $dim) {
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    long $sig = 0L;
+         |    for (int $h = 0; $h < $numPlanes; $h++) {
+         |      double $acc = 0.0;
+         |      int $off = ($t * $numPlanes + $h) * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $acc += ((double) ${childGen.value}.$get($i)) * $pRef[$off + $i];
+         |      }
+         |      if ($acc > 0) $sig |= (1L << $h);
+         |    }
+         |    $out[$t] = $sig;
+         |  }
+         |}
+         |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
+}
+
+/** Packs L H-bit LSH signatures into ⌈L/(60/H)⌉ longs (lane layout of
+  * [[graft.operators.Similarity.lshCandidates]]): output j ORs together
+  * `bks(t) << ((t − j·lanes)·numPlanes)` for the tables in its lane
+  * group. One expression instead of nPk shiftleft/element_at/OR Column
+  * chains — at 79 tables those chains (with [[FirstCollision]]'s CASE
+  * tower) pushed the stage's generated methods past HotSpot's 8 KB JIT
+  * ceiling, so janino SUCCEEDED but the JVM ran the stage in its
+  * bytecode interpreter: measured 2× slower than even Spark's
+  * expression-interpreted fallback. Tiny constant-size code here keeps
+  * the whole stage JIT-compiled. */
+case class PackLanes(child: Expression, numPlanes: Int, numTables: Int)
+    extends UnaryExpression {
+
+  private def lanes: Int = math.max(1, 60 / numPlanes)
+  private def nPk: Int = (numTables + lanes - 1) / lanes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (numPlanes < 1 || numPlanes > 60 || numTables < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"PackLanes needs 1<=numPlanes<=60 and numTables>=1, got ($numPlanes, $numTables)")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"PackLanes requires array<bigint> signatures, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bks = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](nPk)
+    if (bks.numElements() == numTables) {
+      var t = 0
+      while (t < numTables) {
+        out(t / lanes) |= bks.getLong(t) << ((t % lanes) * numPlanes)
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bks => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      s"""
+         |long[] $out = new long[$nPk];
+         |if ($bks.numElements() == $numTables) {
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    $out[$t / $lanes] |= $bks.getLong($t) << (($t % $lanes) * $numPlanes);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackLanes =
+    copy(child = newChild)
+}
+
+/** First table index where two lane-packed signature sets collide —
+  * exact lane equality, or Hamming ≤ 1 under multiprobe (`f & (f−1) == 0`
+  * tests popcount ≤ 1 without a bit_count call) — or null when none do.
+  * Replaces the `least(when(collides(0), 0), ..., when(collides(L−1),
+  * L−1))` Column tower that ran per JOINED row (collision mass × L
+  * terms) and, at 79 tables, helped push the join stage past the JIT's
+  * huge-method ceiling (see [[PackLanes]]). Null/short inputs yield
+  * null, matching least-of-all-null. */
+case class FirstCollision(left: Expression, right: Expression,
+    numPlanes: Int, numTables: Int, multiProbe: Boolean)
+    extends BinaryExpression {
+
+  private def lanes: Int = math.max(1, 60 / numPlanes)
+  private def nPk: Int = (numTables + lanes - 1) / lanes
+  private def laneMask: Long = (1L << numPlanes) - 1
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ok(left) || !ok(right)) TypeCheckResult.TypeCheckFailure(
+      s"FirstCollision requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (numPlanes < 1 || numPlanes > 60 || numTables < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"FirstCollision needs 1<=numPlanes<=60 and numTables>=1, got ($numPlanes, $numTables)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != nPk || y.numElements() != nPk) return null
+    var t = 0
+    while (t < numTables) {
+      val off = (t % lanes) * numPlanes
+      val f = ((x.getLong(t / lanes) ^ y.getLong(t / lanes)) >> off) & laneMask
+      if (if (multiProbe) (f & (f - 1)) == 0 else f == 0) return t
+      t += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("t")
+      val f = ctx.freshName("f")
+      val off = ctx.freshName("off")
+      val hit = ctx.freshName("hit")
+      val test = if (multiProbe) s"($f & ($f - 1L)) == 0L" else s"$f == 0L"
+      s"""
+         |if ($a.numElements() != $nPk || $b.numElements() != $nPk) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hit = false;
+         |  for (int $t = 0; $t < $numTables && !$hit; $t++) {
+         |    int $off = ($t % $lanes) * $numPlanes;
+         |    long $f = (($a.getLong($t / $lanes) ^ $b.getLong($t / $lanes)) >> $off) & ${laneMask}L;
+         |    if ($test) { ${ev.value} = $t; $hit = true; }
+         |  }
+         |  ${ev.isNull} = !$hit;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstCollision =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the vector expressions. */
 object VectorOps {
   def dot(a: Column, b: Column): Column =
@@ -207,4 +464,19 @@ object VectorOps {
 
   def sparseFill(entries: Column, width: Int): Column =
     ColumnBridge.column(SparseFill(ColumnBridge.expression(entries), width))
+
+  def signBands(v: Column, planes: Array[Double],
+      numPlanes: Int, numTables: Int, dim: Int): Column =
+    ColumnBridge.column(SignBands(
+      ColumnBridge.expression(v), planes, numPlanes, numTables, dim))
+
+  def packLanes(bks: Column, numPlanes: Int, numTables: Int): Column =
+    ColumnBridge.column(PackLanes(
+      ColumnBridge.expression(bks), numPlanes, numTables))
+
+  def firstCollision(a: Column, b: Column, numPlanes: Int, numTables: Int,
+      multiProbe: Boolean): Column =
+    ColumnBridge.column(FirstCollision(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      numPlanes, numTables, multiProbe))
 }

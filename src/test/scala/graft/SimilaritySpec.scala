@@ -160,6 +160,59 @@ class SimilaritySpec extends SparkSpec {
     assert(fromStored == direct)
   }
 
+  test("SignBands: fused multi-table signatures are bit-identical to per-table lshBucket") {
+    import graft.plans.VectorOps
+    val emb = graft.Tables.embeddings(spark, sf001)
+    // registered-row config: fused vs the per-table Column formulation
+    // it replaced (that tree still compiles fine at 6x16)
+    val v = emb.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    def fusedSigs(p: Int, t: Int) = v.select(col("id"),
+      VectorOps.signBands(col("v"),
+        Similarity.planesFlat(p, t, 64), p, t, 64).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perTable = v.select(col("id"),
+      array((0 until 16).map(i =>
+        Similarity.lshBucket(col("v"), 6, table = i)): _*).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fusedSigs(6, 16) == perTable, "fused/per-table signature mismatch at 6x16")
+    // planner-sized shape that used to blow janino's method limit under
+    // the array-of-buckets formulation (11 planes x 79 tables): checked
+    // against an independent driver-side scalar signing, NOT the old
+    // Column tree — regenerating that tree here would put the exact
+    // "Failed to compile" noise this expression exists to kill back
+    // into the suite log
+    val raw = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val planes = Similarity.planesFlat(11, 79, 64)
+    val expect = raw.map { case (id, vec) =>
+      id -> (0 until 79).map { t =>
+        var sig = 0L
+        for (h <- 0 until 11) {
+          var acc = 0.0
+          val off = (t * 11 + h) * 64
+          for (i <- 0 until 64) acc += vec(i).toDouble * planes(off + i)
+          if (acc > 0) sig |= (1L << h)
+        }
+        sig
+      }
+    }
+    assert(fusedSigs(11, 79) == expect, "fused signature mismatch at 11x79")
+    // degenerate inputs keep the summed-when semantics: null vector and
+    // wrong-dim vector both sign to ALL-ZERO signatures, never null
+    val weird = Seq(
+      (0L, null.asInstanceOf[Array[Double]]),
+      (1L, Array(1.0, -2.0)), // dim != 64
+      (2L, Array.fill(64)(0.5))).toDF("id", "v")
+    val sigs = weird.select(col("id"),
+      VectorOps.signBands(col("v"),
+        Similarity.planesFlat(4, 3, 64), 4, 3, 64).as("bks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == Seq(0L, 0L, 0L))
+    assert(sigs(1L) == Seq(0L, 0L, 0L))
+    assert(sigs(2L).exists(_ != 0L))
+  }
+
   test("multi-table LSH amplifies single-table recall; multi-probe IVF likewise") {
     val emb = graft.Tables.embeddings(spark, sf001)
     def pairSet(df: org.apache.spark.sql.DataFrame) =

@@ -28,15 +28,25 @@ object LshProfile {
         println(f"PHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
         r
       }
-      val full = Similarity.lshNeighborPairsMulti(
-        emb, "vec_id", "embedding", 6, 16, 0.3, multiProbe = true)
-      // warm up
-      timed("full_cold")(full.count())
-      timed("full_warm")(full.count())
-      val cands = Similarity.lshCandidates(
-        emb, "vec_id", "embedding", 6, 16, multiProbe = true)
-      timed("cands_cold")(println("cands=" + cands.count()))
-      timed("cands_warm")(println("cands=" + cands.count()))
+      if (args.length >= 2) {
+        // candidate-stage-only profile at an explicit banding (e.g. the
+        // planner-sized 11x79 that used to blow janino's method limit)
+        val (p, t) = (args(0).toInt, args(1).toInt)
+        val cands = Similarity.lshCandidates(
+          emb, "vec_id", "embedding", p, t, multiProbe = true)
+        timed(s"cands_${p}x${t}_cold")(println("cands=" + cands.count()))
+        timed(s"cands_${p}x${t}_warm")(println("cands=" + cands.count()))
+      } else {
+        val full = Similarity.lshNeighborPairsMulti(
+          emb, "vec_id", "embedding", 6, 16, 0.3, multiProbe = true)
+        // warm up
+        timed("full_cold")(full.count())
+        timed("full_warm")(full.count())
+        val cands = Similarity.lshCandidates(
+          emb, "vec_id", "embedding", 6, 16, multiProbe = true)
+        timed("cands_cold")(println("cands=" + cands.count()))
+        timed("cands_warm")(println("cands=" + cands.count()))
+      }
     } finally spark.stop()
   }
 }
