@@ -20,7 +20,9 @@ import graft.sources.ZTable
   * Request:
   * {"op":"scan"|"symbols"|"range"|"ohlcv"|"describe"|"compact"|"delete"|"merge"
   *       |"ewma"|"check"|"index"|"search"|"native_scan"|"analyze"
-  *       |"dup_spans"|"split"|"pagerank",
+  *       |"dup_spans"|"split"|"pagerank"|"sql",
+  *  "query":"SELECT ...", "tables":["events"],    // sql (read-only; SqlGate)
+  *                        // direct callers may pass "tables":{"name":"/path"}
   *  "edges":"/path/edges.parquet", "iters":3,           // pagerank (iters <= 100)
   *  "src":"src", "dst":"dst", "out":"/opt/ranks",       // pagerank (out optional)
   *  "k":10,                       // pagerank serving: top-k by rank (bounded reply)
@@ -42,8 +44,12 @@ object QueryRunner {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
-  /** Dispatch one JSON request to a DataFrame (the testable core). */
-  def run(spark: SparkSession, json: String): DataFrame = {
+  /** Dispatch one JSON request to a DataFrame (the testable core).
+    * `root` is set by the HTTP shim: ops that name tables then resolve
+    * them UNDER the root (path-segment-safe), never as raw paths. */
+  def run(spark: SparkSession, json: String): DataFrame = run(spark, json, None)
+
+  def run(spark: SparkSession, json: String, root: Option[String]): DataFrame = {
     val req = mapper.readValue(json, classOf[Map[String, Any]])
     def str(k: String): String = req.get(k) match {
       case Some(s: String) => s
@@ -57,6 +63,28 @@ object QueryRunner {
     }
     lazy val table = ZTable.open(spark, str("table"))
     str("op") match {
+      case "sql" => // read-only SQL over an explicit table set (SqlGate)
+        val tables: Map[String, String] = req.get("tables") match {
+          case Some(xs: Seq[_]) =>
+            // name list — the serving-face form: resolved under the
+            // server root, same escape-proofing as the GET routes
+            val r = root.getOrElse(throw new IllegalArgumentException(
+              "sql: a 'tables' name list needs the HTTP server's root; " +
+                "direct callers pass {name: path}"))
+            xs.map(_.toString).map { n =>
+              require(n.nonEmpty && n != "." && n != ".." &&
+                !n.contains('/') && !n.contains('\\'), s"invalid table name '$n'")
+              n -> s"$r/$n"
+            }.toMap
+          case Some(m: Map[_, _]) =>
+            // explicit paths — engine-side callers only: over HTTP this
+            // would hand every client the whole filesystem
+            require(root.isEmpty,
+              "sql over the serving face takes 'tables' as a name list under the root")
+            m.map { case (k, v) => k.toString -> v.toString }.toMap
+          case _ => Map.empty
+        }
+        SqlGate.run(spark, str("query"), tables)
       case "index" => // build an inverted text index from a document table
         graft.operators.InvertedIndex.build(
           spark.read.parquet(str("docs")),
@@ -93,8 +121,19 @@ object QueryRunner {
         try {
           val out = graft.operators.Sampling.clusterSplit(docs, idc, comp)
             .orderBy("id")
-          spark.createDataFrame(
-            java.util.Arrays.asList(out.collect(): _*), out.schema)
+          strOpt("out") match {
+            case Some(p) => // bulk face (the pagerank "out" shape): a
+              // corpus-sized split lands distributed; the JSON reply is
+              // a one-row summary, so nothing doc-scale transits the
+              // driver — the serving face below otherwise holds up to
+              // three driver-resident copies of the reply (collect here,
+              // local relation, server-side toJSON collect)
+              out.write.mode("overwrite").parquet(p)
+              spark.range(1).select(lit(p).as("split_path"))
+            case None =>
+              spark.createDataFrame(
+                java.util.Arrays.asList(out.collect(): _*), out.schema)
+          }
         } finally graft.util.Pins.release(comp)
       case "pagerank" => // graph centrality over an edge table (g1's operator)
         val iters = req.get("iters")

@@ -20,7 +20,9 @@ import org.apache.spark.sql.SparkSession
   *   - `GET /ohlcv/{table}/{from}/{to}?symbols=A,B&col=sym&price=v&...`
   *     (`src/server/ohlcv.rs:47-65` path scheme incl. the
   *     symbols query param)
-  *   - `GET /` — liveness hello
+  *   - `GET /` — HTML index of the root's tables, linking the chart UI
+  *     (the reference serves a static index, `src/server/mod.rs:40-154`)
+  *   - `GET /favicon.ico` — generated 16×16 ICO
   *   - `GET /chart/{table}` — the candlestick UI ([[ChartPage]]): a
   *     dependency-free canvas page over the /symbols + /ohlcv JSON,
   *     the frontend face the reference ships as `frontend/` (uPlot)
@@ -65,8 +67,11 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0,
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
   private def respond(ex: HttpExchange, code: Int, body: String,
-      ct: String = "application/json"): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ct: String = "application/json"): Unit =
+    respondBytes(ex, code, body.getBytes(StandardCharsets.UTF_8), ct)
+
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+      ct: String): Unit = {
     try { // close even when the client vanished mid-write
       ex.getResponseHeaders.set("content-type", ct)
       ex.sendResponseHeaders(code, bytes.length)
@@ -75,7 +80,35 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0,
   }
 
   private def runToJson(json: String): String =
-    QueryRunner.run(spark, json).toJSON.collect().mkString("[", ",", "]")
+    QueryRunner.run(spark, json, Some(root)).toJSON.collect().mkString("[", ",", "]")
+
+  /** `GET /` — the reference serves an HTML index page from
+    * `src/server/static/` (ref `src/server/mod.rs:40-154`); the analog
+    * here is a dependency-free page listing the root's table dirs with
+    * links into the chart UI. Directory listing only — never opens a
+    * table, so a malformed dir can't 500 the liveness page. */
+  private def indexHtml(): String = {
+    val rootP = java.nio.file.Paths.get(root)
+    val tables =
+      if (!java.nio.file.Files.isDirectory(rootP)) Seq.empty[String]
+      else {
+        val s = java.nio.file.Files.list(rootP)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString).filterNot(_.startsWith("_"))
+          .toSeq.sorted
+        finally s.close()
+      }
+    val items = tables.map { t =>
+      val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      s"""<li><a href="/chart/$esc">$esc</a></li>"""
+    }.mkString("\n")
+    s"""<!doctype html><html><head><meta charset="utf-8"><title>graft</title>
+       |<link rel="icon" href="/favicon.ico"></head>
+       |<body><h1>graft</h1><p>tables under $root:</p><ul>
+       |$items
+       |</ul></body></html>""".stripMargin
+  }
 
   /** The reference frontend's exact OHLCV contract
     * (ref `src/server/ohlcv.rs:30-46` structs, consumed by
@@ -153,7 +186,9 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0,
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           respond(ex, 200, runToJson(body))
         case ("GET", "/") =>
-          respond(ex, 200, "graft", "text/plain")
+          respond(ex, 200, indexHtml(), "text/html")
+        case ("GET", "/favicon.ico") =>
+          respondBytes(ex, 200, StaticAssets.favicon, "image/x-icon")
         case ("GET", p) if p.startsWith("/symbols/") =>
           p.stripPrefix("/symbols/").split("/") match {
             case Array(tbl, column) =>
@@ -208,6 +243,33 @@ class GraftServer(spark: SparkSession, root: String, port: Int = 0,
   def stop(): Unit = {
     server.stop(0)
     pool.shutdownNow()
+  }
+}
+
+/** Minimal static assets for route parity with the reference's
+  * `src/server/static/` dir (`src/server/mod.rs:40-154` serves an index
+  * page and favicon). */
+private object StaticAssets {
+  /** A valid 16×16 32-bpp ICO, generated not checked in: solid
+    * dark-teal square. 6-byte header + 16-byte dir entry +
+    * 40-byte BITMAPINFOHEADER + 1024 px bytes + 64 AND-mask bytes. */
+  lazy val favicon: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(6 + 16 + 40 + 16 * 16 * 4 + 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(1) // reserved, type=icon, count=1
+    buf.put(16.toByte).put(16.toByte).put(0.toByte).put(0.toByte) // w, h, colors, reserved
+    buf.putShort(1).putShort(32) // planes, bpp
+    buf.putInt(40 + 16 * 16 * 4 + 64).putInt(6 + 16) // image bytes, offset
+    buf.putInt(40).putInt(16).putInt(32) // BIH size, width, height*2
+    buf.putShort(1).putShort(32) // planes, bpp
+    buf.putInt(0).putInt(16 * 16 * 4).putInt(0).putInt(0).putInt(0).putInt(0)
+    var i = 0
+    while (i < 16 * 16) { // BGRA
+      buf.put(0x70.toByte).put(0x60.toByte).put(0x20.toByte).put(0xff.toByte)
+      i += 1
+    }
+    buf.put(new Array[Byte](64)) // AND mask: all opaque
+    buf.array()
   }
 }
 

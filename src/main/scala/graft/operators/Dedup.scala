@@ -633,11 +633,13 @@ object Dedup {
     *
     * `checkpointDir`: when set, each round's labeling is RELIABLY
     * checkpointed there (parquet-class durability via the RDD
-    * checkpoint mechanism) instead of persisted in executor memory —
-    * on a real cluster an executor loss mid-fixpoint then recomputes
-    * from the last checkpoint rather than killing the job. Local runs
-    * and tests can leave it None (persist + label-sum convergence is
-    * correct, just not failure-tolerant). `maxRounds` bounds the
+    * checkpoint mechanism) instead of the default localCheckpoint —
+    * the local variant truncates lineage, so its blocks are NOT
+    * recomputable: an executor loss mid-fixpoint kills the job (a
+    * strictly worse failure trade than plain persist, accepted for the
+    * plan-tower fix above). Cluster deployments should set it — same
+    * wording and trade as [[componentsStar]]; local runs and tests can
+    * leave it None. `maxRounds` bounds the
     * O(diameter) loop: a pathological edge list (or a convergence-
     * detection regression) fails with a clear error instead of
     * spinning the cluster forever. */
@@ -777,8 +779,21 @@ object Dedup {
     // plan still nests geometrically and analysis OOMs after ~6 rounds.
     // pin() truncates lineage to a materialized RDD: localCheckpoint by
     // default, reliable checkpoint when checkpointDir is set.
-    var e = pin(edges.select(col("ida").as("u"), col("idb").as("v"))
-      .where(col("u") =!= col("v")).distinct())
+    val all = pin(edges.select(col("ida").as("u"), col("idb").as("v")).distinct())
+    // nodes appearing ONLY in self-loops vanish from the star rounds
+    // (the u =!= v entry filter) but are nodes of the input graph —
+    // [[components]] and the union-find contract label them with
+    // themselves (found by the r12 ghost shrinker: the shrunk artifact
+    // List((0,0)) returned {} here vs {0->0} from components). Their
+    // recovery set is pinned HERE, from the entry pin — deriving it
+    // from the raw `edges` plan in the returned labeling (the r12
+    // shape) re-evaluated the full upstream input per action, doubling
+    // d9's mining cost and breaking the pin-only contract below. One
+    // input scan total: `loops` materializes off `all`'s blocks before
+    // round 1 releases them.
+    val loops = pin(all.where(col("u") === col("v"))
+      .select(col("u").as("id")).distinct())
+    var e = all.where(col("u") =!= col("v"))
     var converged = false
     var rounds = 0
     try {
@@ -804,30 +819,26 @@ object Dedup {
       }
     } catch { case t: Throwable =>
       // error path (maxRounds throw, lost executor): release the live
-      // edge-multiset pin — the caller gets no frame to release it
-      // through, and a long-lived session retrying failed requests
-      // would otherwise accumulate one edge-sized pin per failure
-      if (checkpointDir.isEmpty) graft.util.Pins.release(e)
+      // edge-multiset pin AND the self-loop recovery pin — the caller
+      // gets no frame to release them through, and a long-lived session
+      // retrying failed requests would otherwise accumulate pins per
+      // failure
+      if (checkpointDir.isEmpty) {
+        graft.util.Pins.release(e)
+        graft.util.Pins.release(loops)
+      }
       throw t
     }
     // stars point leaves at roots; a root's own min neighbor is larger,
     // so least(u, min v) labels roots with themselves. The returned
-    // plan reads through the FINAL pinned edge multiset — the one
-    // residue of this call; callers done with the labeling free it
-    // with Pins.release(result) (the pin is the plan's leaf).
+    // plan reads through the FINAL pinned edge multiset and the tiny
+    // self-loop recovery pin — the TWO residues of this call; callers
+    // done with the labeling free both with Pins.release(result) (the
+    // release walks every pinned leaf of the plan). The pair miners
+    // emit ida < idb strictly, so `loops` is empty there.
     val labels = bothDirs(e).groupBy(col("u"))
       .agg(least(first(col("u")), min(col("v"))).as("comp"))
       .select(col("u").as("id"), col("comp"))
-    // nodes appearing ONLY in self-loops vanish from the star rounds
-    // (the u =!= v entry filter) but are nodes of the input graph —
-    // [[components]] and the union-find contract label them with
-    // themselves (found by the r12 ghost shrinker: the shrunk artifact
-    // List((0,0)) returned {} here vs {0->0} from components). Recover
-    // them at output; the library's own pair miners emit ida < idb
-    // STRICTLY, so this branch is empty there and costs one
-    // filter-scan of the edge list.
-    val loops = edges.where(col("ida") === col("idb"))
-      .select(col("ida").as("id")).distinct()
     labels.union(
       loops.join(labels.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp")))

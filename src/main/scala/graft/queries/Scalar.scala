@@ -428,6 +428,44 @@ object Scalar {
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-15 23:59:59'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** S8: offline column-type migration (reference
+    * `scripts/convert_col.jl:28-60`) — events → ZTable, then
+    * migrateColumn rewrites `user_id` bigint → int into a new table
+    * root. The probe aggregates the MIGRATED table per event_type with
+    * min/max/sum over the retyped column (its int type reaches the
+    * output schema, so the gate checks the retype itself, not just row
+    * survival) plus a decimal sum over an untouched column (migration
+    * must not disturb neighbors). The oracle computes the same cast on
+    * the original events — the migration must be value-lossless across
+    * every partition. */
+  def migrateColumn(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_mig_src_").toString
+    val outPath = Files.createTempDirectory("graft_mig_out_").toString
+    deleteRecursively(Paths.get(path))
+    deleteRecursively(Paths.get(outPath))
+    val t = ZTable.create(spark, path,
+      ZTableSpec(tsCol = "ts", partitionBy = ZPartitionBy.Day, strictOrder = false))
+    t.append(Tables.events(spark, dir))
+    val migrated = t.migrateColumn("user_id", "int", outPath)
+    migrated.df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("min_uid"),
+        max(col("user_id")).as("max_uid"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val migrateColumnSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  min(CAST(user_id AS INTEGER)) AS min_uid,
+      |  max(CAST(user_id AS INTEGER)) AS max_uid,
+      |  CAST(SUM(CAST(user_id AS INTEGER)) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** DEL1: copy-on-write takedown — append events to a ZTable, DELETE the
     * matching rows (`deleteWhere` rewrites only partitions containing
     * matches), aggregate what remains. The oracle filters the original

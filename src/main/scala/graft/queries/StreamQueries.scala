@@ -63,6 +63,46 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** STREAM2: the PRODUCTION source and sink paths under the oracle
+    * gate — no MemoryStream, no driver-side corpus collect anywhere.
+    * The events table is staged as parquet files (a distributed write),
+    * read back with `readStream.parquet` (the file source a deployment
+    * actually runs), and landed through [[graft.streaming.Ingest
+    * .ingestZTable]] — the exactly-once foreachBatch sink with the
+    * batch-id high-water mark, resolution flooring, and day-partition
+    * rollover. The graded frame aggregates the LANDED ZTable, so the
+    * oracle (same aggregate over the original events) gates the whole
+    * source→sink→scan loop: a lost/duplicated micro-batch, a partition
+    * misroute, or a ts-mangling rewrite all hash-mismatch. */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val run = runSeq.incrementAndGet()
+    val base = java.nio.file.Files.createTempDirectory(s"stream2_run$run").toString
+    val ev = Tables.events(spark, dir)
+    ev.write.mode("overwrite").parquet(s"$base/staged")
+    val streamed = spark.readStream.schema(ev.schema).parquet(s"$base/staged")
+    val spec = graft.sources.ZTableSpec(tsCol = "ts",
+      partitionBy = graft.sources.ZPartitionBy.Day, strictOrder = false)
+    val q = graft.streaming.Ingest.ingestZTable(
+      streamed, s"$base/table", s"$base/ckpt", spec)
+    q.awaitTermination()
+    graft.sources.ZTable.createOrOpen(spark, s"$base/table", spec).df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: the same aggregate over the original events table — the
+    * streamed ingest must be byte-lossless end to end. */
+  val streamIngestSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Oracle: pipe1's quality/repetition gates (same DuckDB formulation,
     * proven against the registered pipe1 row) plus pipe5's digit-run
     * redaction — the exact signals curateStream emits. */

@@ -267,10 +267,15 @@ object Multimodal {
       // decoder-context shape as the encode side's writer; bulk getRGB
       // replaces w*h per-pixel calls with one (identical conversion
       // path, so identical values).
+      // setUseCache mutates GLOBAL JVM state on the executor — any other
+      // ImageIO user in the same JVM loses stream-file caching too. The
+      // encode side sets the same flag, so within this library the
+      // setting is uniform; an embedding application that needs cached
+      // ImageIO streams elsewhere must isolate executors.
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("jpeg").next()
-      rows.map { r =>
+      val out = rows.map { r =>
         require(r.kind == "jpeg", s"media ${r.media_id}: expected jpeg, got ${r.kind}")
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.bytes))
@@ -292,6 +297,16 @@ object Multimodal {
           i += 1
         }
         (r.media_id, w.toLong * h, sumErr.toDouble / (w * h), maxErr)
+      }
+      // reader.dispose() at partition end (the encode side's writer
+      // shape): native decoder resources are otherwise held until GC
+      new Iterator[(Long, Long, Double, Int)] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) reader.dispose()
+          h
+        }
+        def next(): (Long, Long, Double, Int) = out.next()
       }
     }.toDF("media_id", "n_units", "mean_abs_err", "max_abs_err")
   }

@@ -333,9 +333,11 @@ class DedupSpec extends SparkSpec {
   test("r11: componentsStar releases retired alternation pins") {
     // pre-r11, every alternation's localCheckpoint pin leaked for the
     // session's lifetime (invisible to unpersist AND clearCache —
-    // graft.util.Pins). Pin the fix: one residue pin (the final edge
-    // multiset the returned labeling reads through), freeable via
-    // Pins.release on the result.
+    // graft.util.Pins). Pin the fix: exactly TWO residue pins (the
+    // final edge multiset the returned labeling reads through, plus the
+    // tiny self-loop recovery set — r13, which also keeps the raw input
+    // plan OUT of the result so actions never re-run the upstream
+    // mining), both freed by one Pins.release on the result.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     def live = spark.sparkContext.getPersistentRDDs.size
@@ -344,11 +346,34 @@ class DedupSpec extends SparkSpec {
     (1 to 2).foreach { i =>
       val labels = Dedup.componentsStar(path) // ~log2(40) alternations
       assert(labels.collect().forall(_.getAs[Long]("comp") == 1L))
-      assert(live == base + 1,
-        s"call $i: expected exactly the final edge-multiset pin, got ${live - base}")
+      assert(live == base + 2,
+        s"call $i: expected the final edge-multiset pin + the self-loop " +
+          s"recovery pin, got ${live - base}")
       graft.util.Pins.release(labels)
       assert(live == base, s"call $i: release must empty the block store")
     }
+  }
+
+  test("r13: componentsStar result plan is pin-only — actions never re-run the input") {
+    // ADVICE r12 (medium): the self-loop recovery referenced the RAW
+    // edges plan in the returned labeling, so every action on the
+    // result re-evaluated the full upstream input — for d9 that re-ran
+    // the entire shingle+jaccardPairs mining per action. Pin the fix
+    // with an input whose evaluation count is observable.
+    val evals = spark.sparkContext.longAccumulator("edge_evals")
+    val raw = Seq((1L, 2L), (2L, 3L), (7L, 7L), (9L, 9L)).toDF("ida", "idb")
+    val counted = raw.filter { _ => evals.add(1L); true }
+    val labels = Dedup.componentsStar(counted)
+    val n0 = evals.value
+    assert(n0 > 0, "entry pin must have materialized the input once")
+    // several actions on the result: input must not be touched again
+    assert(labels.count() == 5)
+    assert(labels.collect().length == 5)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 9L))
+    assert(evals.value == n0,
+      s"result actions re-evaluated the input: $n0 -> ${evals.value}")
+    graft.util.Pins.release(labels)
   }
 
   test("r12 ghost: the sweep-4 diameter-9 graph is cheap, flat-plan, correct; self-loops kept by BOTH fixpoints") {

@@ -164,6 +164,15 @@ class QueryRunnerSpec extends SparkSpec {
     assert(split.columns.toSeq == Seq("id", "root", "split"))
     assert(split.count() == 500)
     assert(split.select("split").distinct().count() == 3)
+    // bulk face: "out" writes the split distributed, answers a summary
+    // row, and matches the serving-face rows exactly
+    val outDir = Files.createTempDirectory("qr_split_out_").toString + "/s"
+    val summary = QueryRunner.run(spark,
+      s"""{"op":"split","docs":"$sf001/documents.parquet","out":"$outDir"}""")
+    assert(summary.head.getString(0) == outDir)
+    val written = spark.read.parquet(outDir).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(written == split.collect().map(_.toSeq).toSeq)
   }
 
   test("analyze request profiles every column in one pass") {
@@ -211,6 +220,128 @@ class QueryRunnerSpec extends SparkSpec {
       s"""{"op":"symbols","table":"$path","col":"sym"}""").count() == 0)
     val r = QueryRunner.run(spark, s"""{"op":"range","table":"$path"}""").head
     assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("sql op: read-only SQL over an explicit table set (the /q query door)") {
+    val path = mkTable() // ZTable root (has _meta.json -> opens via facade)
+    val pq = Files.createTempDirectory("qr_sql_pq_").toString + "/k"
+    Seq(("A", 10L), ("B", 20L), ("C", 30L)).toDF("sym", "w").write.parquet(pq)
+    def sql(q: String, tables: (String, String)*): org.apache.spark.sql.DataFrame =
+      QueryRunner.run(spark, s"""{"op":"sql","query":"$q","tables":{""" +
+        tables.map { case (k, v) => s""""$k":"$v"""" }.mkString(",") + "}}")
+    // aggregate over a ZTable; join against plain parquet; CTE; EXISTS
+    // subquery (relations inside subquery expressions gate too)
+    val agg = sql("SELECT sym, count(*) AS n FROM t GROUP BY sym ORDER BY sym",
+      "t" -> path).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(agg == Seq(("A", 3L), ("B", 1L)))
+    val joined = sql(
+      "SELECT t.sym, sum(k.w) AS sw FROM t JOIN k ON t.sym = k.sym " +
+        "GROUP BY t.sym ORDER BY t.sym", "t" -> path, "k" -> pq)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(joined == Seq(("A", 30L), ("B", 20L)))
+    val cte = sql(
+      "WITH big AS (SELECT * FROM t WHERE v > 1.5) SELECT count(*) AS n FROM big",
+      "t" -> path).head.getLong(0)
+    assert(cte == 3L)
+    val exists = sql(
+      "SELECT count(*) AS n FROM t WHERE EXISTS (SELECT 1 FROM k WHERE k.sym = t.sym)",
+      "t" -> path, "k" -> pq).head.getLong(0)
+    assert(exists == 4L)
+    // READ-ONLY: DDL/DML/session commands are refused by plan class
+    // before anything runs — including spellings with no 'write' keyword
+    for (stmt <- Seq(
+        s"INSERT INTO t VALUES (now(), 'Z', 9.0)",
+        "CREATE TABLE x (a INT)",
+        "DROP TABLE t",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE t",
+        s"CREATE VIEW v1 AS SELECT * FROM t",
+        s"INSERT OVERWRITE DIRECTORY '/tmp/qr_sql_out' SELECT * FROM t"))
+      assert(intercept[IllegalArgumentException] { sql(stmt, "t" -> path) }
+        .getMessage.contains("read-only"), stmt)
+    // catalog escape: multipart file-source relations and unregistered
+    // names never reach the session catalog
+    for (stmt <- Seq(
+        s"SELECT * FROM parquet.`$pq`",
+        "SELECT * FROM somewhere_else"))
+      assert(intercept[IllegalArgumentException] { sql(stmt, "t" -> path) }
+        .getMessage.contains("unknown table"), stmt)
+    // a CTE shadowing a served table name is refused (substitution would
+    // otherwise read the table where Spark's analyzer would read the CTE)
+    val shadow = intercept[IllegalArgumentException] {
+      sql("WITH t AS (SELECT 1 AS one) SELECT * FROM t", "t" -> path)
+    }
+    assert(shadow.getMessage.contains("shadow"))
+    // tables-as-name-list requires the HTTP root (direct callers pass paths)
+    val noRoot = intercept[IllegalArgumentException] {
+      QueryRunner.run(spark,
+        """{"op":"sql","query":"SELECT 1 AS one","tables":["t"]}""")
+    }
+    assert(noRoot.getMessage.contains("root"))
+    // no table set at all: pure expressions still work (reference /q
+    // evaluates bare programs too)
+    val bare = QueryRunner.run(spark,
+      """{"op":"sql","query":"SELECT 1 + 1 AS two"}""").head.getInt(0)
+    assert(bare == 2)
+  }
+
+  test("sql over HTTP: root-resolved names only, byte-identical to the engine (S9)") {
+    val root = Files.createTempDirectory("qr_sql_http_").toString
+    graft.Tables.lineitem(spark, sf001).write.parquet(s"$root/lineitem")
+    val server = new GraftServer(spark, root)
+    val port = server.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def post(body: String): (Int, String) = {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port/q"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode, resp.body)
+      }
+      def req(query: String, tables: Any): String = {
+        val m = new java.util.LinkedHashMap[String, Object]()
+        m.put("op", "sql"); m.put("query", query); m.put("tables", tables.asInstanceOf[Object])
+        mapper.writeValueAsString(m)
+      }
+      // the flagship oracle statement (sql1's text) through the wire,
+      // byte-identical to the engine answering the same staged table
+      val (c1, b1) = post(req(graft.queries.Tpch.q1Sql,
+        java.util.List.of("lineitem")))
+      val direct = graft.SqlGate.run(spark, graft.queries.Tpch.q1Sql,
+          Map("lineitem" -> s"$root/lineitem"))
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(c1 == 200 && b1 == direct, s"$c1 ${b1.take(200)}")
+      // raw path maps are refused on the serving face...
+      val (c2, b2) = post(req("SELECT 1 AS one",
+        java.util.Map.of("t", s"$root/lineitem")))
+      assert(c2 == 400 && b2.contains("name list"), s"$c2 $b2")
+      // ...and name-list entries cannot escape the root
+      val (c3, b3) = post(req("SELECT 1 AS one", java.util.List.of("../etc")))
+      assert(c3 == 400 && b3.contains("invalid table name"), s"$c3 $b3")
+      // writes are refused over the wire with the reason in the message
+      val (c4, b4) = post(req("DROP TABLE lineitem", java.util.List.of("lineitem")))
+      assert(c4 == 400 && b4.contains("read-only"), s"$c4 $b4")
+      // static-route parity (ref src/server/mod.rs:40-154): the index
+      // page lists root tables linking the chart UI; favicon serves ICO
+      def get(p: String): java.net.http.HttpResponse[Array[Byte]] =
+        client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val idx = get("/")
+      val idxBody = new String(idx.body, java.nio.charset.StandardCharsets.UTF_8)
+      assert(idx.statusCode == 200 &&
+        idx.headers.firstValue("content-type").orElse("").startsWith("text/html"))
+      assert(idxBody.contains("/chart/lineitem"), idxBody)
+      val fav = get("/favicon.ico")
+      assert(fav.statusCode == 200 &&
+        fav.headers.firstValue("content-type").orElse("") == "image/x-icon")
+      // ICO magic: reserved=0, type=1, count=1
+      assert(fav.body.take(6).toSeq == Seq[Byte](0, 0, 1, 0, 1, 0))
+    } finally server.stop()
   }
 
   test("unknown op and missing fields raise clean errors") {
@@ -378,7 +509,7 @@ class QueryRunnerSpec extends SparkSpec {
             java.net.URI.create(s"http://127.0.0.1:$port/"))
           .timeout(java.time.Duration.ofSeconds(10)).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
-      assert(alive.statusCode == 200 && alive.body == "graft",
+      assert(alive.statusCode == 200 && alive.body.contains("graft"),
         "liveness GET must be served while a slow /q runs")
       ServerGates.release.countDown()
       val (sc0, sb0) = Await.result(slow, 60.seconds)
