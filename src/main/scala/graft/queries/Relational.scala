@@ -487,23 +487,40 @@ object Relational {
     * distinct counts (SQL-derivable) plus per-group flags asserting the
     * HLL estimate landed within 3x the configured rsd of the exact
     * value — the hash gate fails iff the sketch ever violates its
-    * accuracy contract. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * accuracy contract.
+    *
+    * The exact truth counts come from a PERSISTED fixture (the sim2/sim3
+    * truth-set precedent, fingerprint-keyed on lineitem's parquet
+    * footers): computing `count_distinct` inline made the registered row
+    * spend most of its wall on the ORACLE's cost, not the sketch it
+    * exists to time — the r4 "gates measure the operator, not the
+    * oracle" rule. The timed plan is one sketch pass plus a 3-row
+    * broadcast join with the fixture; AggSpec re-derives the exact
+    * counts independently at spec SFs so the fixture itself is checked. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val truth = spark.read.parquet(SimilarityQueries.cachedArtifact(
+      dir, "a11-exact", "a11truth", file = "lineitem.parquet") { tmp =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    })
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       // rsd 0.02: sketch cost scales ~1/rsd^2 (0.01 doubles the runtime
       // of the whole query for precision the use case doesn't need)
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("asup"),
-        count_distinct(col("l_partkey")).as("n_parts"),
-        count_distinct(col("l_suppkey")).as("n_supps"))
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+      .join(broadcast(truth), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
         (abs(col("ap") - col("n_parts")) <= col("n_parts") * lit(0.06))
           .as("hll_parts_ok"),
         (abs(col("asup") - col("n_supps")) <= col("n_supps") * lit(0.06))
           .as("hll_supps_ok"))
       .orderBy("l_returnflag")
+  }
 
   val approxDistinctSql: String =
     """SELECT l_returnflag,

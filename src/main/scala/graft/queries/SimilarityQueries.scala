@@ -291,9 +291,10 @@ object SimilarityQueries {
     * rounds, and an mtime key made every round rebuild — and
     * re-commit — fixtures whose content never changed; the footer
     * digest is the real freshness signal. */
-  private def embPrint(dir: String, tag: String): String = {
+  private[queries] def embPrint(dir: String, tag: String,
+      file: String = "embeddings.parquet"): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "embeddings.parquet").toAbsolutePath.normalize
+    val src = Paths.get(dir, file).toAbsolutePath.normalize
     val files =
       if (Files.isDirectory(src)) {
         val s = Files.list(src) // close the NIO stream (fd leak otherwise)
@@ -324,10 +325,11 @@ object SimilarityQueries {
     * oracle's. Built in a temp sibling then RENAMED into place — a
     * concurrent reader of the fixture dir never sees a half-written
     * overwrite. Returns the artifact path. */
-  private def cachedArtifact(dir: String, tag: String, name: String)(
+  private[queries] def cachedArtifact(dir: String, tag: String, name: String,
+      file: String = "embeddings.parquet")(
       build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val print = embPrint(dir, tag)
+    val print = embPrint(dir, tag, file)
     val root = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures")
     val sf = Paths.get(dir).getFileName.toString
     val data = Paths.get(root, s"$name-$sf")

@@ -312,7 +312,7 @@ object ScaleStress {
         }
 
         // ---- embeddings ----
-        if (!ops("sim2") && !ops("sim14") && !ops("sim6b")) { /* skip the build too */ }
+        if (!ops("sim2") && !ops("sim14") && !ops("sim6b") && !ops("sim10")) { /* skip the build too */ }
         else {
         val emb: DataFrame =
           if (mult == 1) Tables.embeddings(spark, base)
@@ -394,6 +394,47 @@ object ScaleStress {
           println(f"STRESS sim14 mult=$mult vecs=$nVecs cells=$cells " +
             f"build=$buildT%.2fs serve10=$serveT%.2fs " +
             f"avgCellsProbed=${probed / 10.0}%.1f")
+        }
+
+        // sim10 — the IVF-PQ serving TIER (train + partitioned build +
+        // adaptive ADC probe + exact rerank), the composed layout a
+        // 100 TB deployment actually serves from. Claims under
+        // measurement: build is scan/round-dominated (PQ train iters +
+        // one partitioned write, no shuffle in the encode), and the
+        // probe wall tracks CELLS READ — rows scanned are
+        // (probed/cells)·N m-byte codes, so serve time should grow with
+        // corpus size only through that byte count, staying ~16× under
+        // a full-width scan of the same cells.
+        if (ops("sim10")) {
+          val cells = 16
+          val (model, trainT) = timed {
+            graft.operators.Pq.train(emb, "vec_id", "embedding",
+              m = 16, ksub = 16, iters = 2)
+          }
+          val idx = s"$tmp/ivfpq_$mult"
+          val (_, buildT) = timed {
+            IvfIndex.buildPq(emb, "vec_id", "embedding", cells, idx, model)
+          }
+          val panel = (0L until 10L).toSeq
+          val qvs = emb.where(col("vec_id").isin(panel.map(Long.box): _*))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+            .toMap
+          val (_, serveT) = timed {
+            panel.foreach { qid =>
+              IvfIndex.searchPqAdaptive(spark, idx, emb, "vec_id", "embedding",
+                qid, 10, recallTarget = 0.95, candidates = 300).count()
+            }
+          }
+          // probe accounting OUTSIDE the serve timing, same auto-beta path
+          var probed = 0
+          panel.foreach { qid =>
+            probed += IvfIndex.adaptiveProbeCells(idx, qvs(qid), 0.95)._1.length
+          }
+          println(f"STRESS sim10 mult=$mult vecs=$nVecs cells=$cells " +
+            f"train=$trainT%.2fs build=$buildT%.2fs serve10=$serveT%.2fs " +
+            f"avgCellsProbed=${probed / 10.0}%.1f")
+          spark.catalog.clearCache()
         }
         }
 
