@@ -100,4 +100,30 @@ class SqlParitySpec extends SparkSpec {
     }
     assert(mismatches.isEmpty, s"SQL/DataFrame mismatch: $mismatches")
   }
+
+  test("the read-only SQL door (SqlGate, r13) answers the whole Spark-dialect corpus bitwise-identically") {
+    // Every statement the session-view face runs must come back
+    // identical through the serving door's parse/gate/substitute path —
+    // joins, EXISTS/IN subqueries, grouping sets, windows, CTEs all
+    // cross the UnresolvedRelation rewrite here, so a substitution bug
+    // (dropped alias, missed subquery, case issue) fails by NAME.
+    SqlSurface.registerViews(spark, sf001)
+    // events: the registered view pre-converts raw nanos to µs
+    // timestamps (Tables.events); the door serves raw paths, so stage
+    // the converted table once, as a server root would hold it
+    val staged = java.nio.file.Files.createTempDirectory("sqlgate_ev_")
+      .toString + "/events"
+    Tables.events(spark, sf001).write.parquet(staged)
+    val tmap = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+      .map(n => n -> s"$sf001/$n.parquet").toMap + ("events" -> staged)
+    val names = (SparkEntry.oracleSql.keySet -- duckdbOnly).toSeq.sorted
+    val mismatches = names.flatMap { n =>
+      val viaGate = SqlGate.run(spark, SparkEntry.oracleSql(n), tmap)
+        .collect().toSeq
+      val viaSql = spark.sql(SparkEntry.oracleSql(n)).collect().toSeq
+      if (viaGate == viaSql) None else Some(n)
+    }
+    assert(mismatches.isEmpty, s"SqlGate/spark.sql mismatch: $mismatches")
+  }
 }
