@@ -60,7 +60,30 @@ object SqlGate {
       // DELETE/UPDATE/MERGE/CTAS/INSERT all land in the two cases above)
       case d: InsertIntoDir => throw new IllegalArgumentException(
         s"sql is read-only: statement contains ${d.nodeName}")
-      case _ =>
+      // EXECUTE IMMEDIATE compiles and runs its INNER statement (a
+      // string, invisible to this parse) against the SESSION CATALOG at
+      // analysis time — a gate-and-allowlist bypass in one keyword. It
+      // parses to a plain UnresolvedLeafNode (not Command/
+      // ParsedStatement), so it must be refused by name. Scripting
+      // blocks (BEGIN..END → CompoundBody) are already Commands.
+      case x: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate =>
+        throw new IllegalArgumentException(
+          s"sql is read-only: ${x.nodeName} would run its inner statement " +
+            "outside the gate")
+      case p =>
+        // reflect/java_method evaluate ARBITRARY static JVM methods with
+        // caller-chosen arguments — not a table write, but an escalation
+        // no serving face should hand out. Refused at the unresolved-
+        // function level (the only place the name is still visible).
+        p.expressions.foreach(_.foreach {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.length == 1 &&
+                Set("reflect", "java_method").contains(f.nameParts.head.toLowerCase) =>
+            throw new IllegalArgumentException(
+              s"sql refuses ${f.nameParts.head}: arbitrary JVM reflection is " +
+                "not available on the serving face")
+          case _ =>
+        })
     }
     val lower = tables.map { case (k, v) => k.toLowerCase -> v }
     val cteNames = parsed.collectWithSubqueries {

@@ -259,6 +259,21 @@ class QueryRunnerSpec extends SparkSpec {
         s"INSERT OVERWRITE DIRECTORY '/tmp/qr_sql_out' SELECT * FROM t"))
       assert(intercept[IllegalArgumentException] { sql(stmt, "t" -> path) }
         .getMessage.contains("read-only"), stmt)
+    // EXECUTE IMMEDIATE would compile and run its INNER string against
+    // the session catalog at analysis time — outside both the read-only
+    // gate and the table allowlist; refused by node name
+    val execImm = intercept[IllegalArgumentException] {
+      sql("EXECUTE IMMEDIATE 'SELECT 1 AS one'", "t" -> path)
+    }
+    assert(execImm.getMessage.contains("read-only"), execImm.getMessage)
+    // arbitrary static-JVM-method reflection is an escalation, not a read
+    for (fn <- Seq("reflect", "java_method", "JAVA_METHOD")) {
+      val e = intercept[IllegalArgumentException] {
+        sql(s"SELECT $fn('java.lang.System', 'setProperty', 'graft.x', 'y') AS r",
+          "t" -> path)
+      }
+      assert(e.getMessage.contains("reflection"), s"$fn: ${e.getMessage}")
+    }
     // catalog escape: multipart file-source relations and unregistered
     // names never reach the session catalog
     for (stmt <- Seq(
