@@ -94,6 +94,68 @@ object MultimodalQueries {
       |  TRUE AS err_ok
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** M5: REAL image resize — decode the PNG/BMP payloads, exact 2×2 box
+    * downsample (floor mean, remainder row/column cropped), re-encode in
+    * the same lossless format, then decode the RESIZED payloads and sum
+    * their pixels. Every leg — generator encode, decode, pooling
+    * arithmetic, re-encode, second decode — sits under the hash gate,
+    * because DuckDB recomputes the pooled sums from the gray closed form
+    * alone. Exact integers end to end; no tolerance. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.resizeBox(
+          Multimodal.realMediaFromDocs(Tables.documents(spark, dir))
+            .filter(col("kind") =!= "wav"), factor = 2)).toDF()
+      .orderBy("media_id")
+
+  /** The pooled-pixel closed form: output pixel (ox,oy) of image id is
+    * (Σ_{dx,dy∈{0,1}} gray(id, (2oy+dy)·w + 2ox+dx)) // 4 with
+    * gray(id,i) = (id·31 + 7i) mod 256; dims floor-halve. range(200)
+    * bounds the correlated scan (wo·ho ≤ 11·7). */
+  val mediaResizeSql: String =
+    """SELECT media_id, kind, CAST(wo * ho AS BIGINT) AS n_units,
+      |  CAST((SELECT SUM((
+      |      (media_id*31 + 7*((2*(j.range//wo))*w + 2*(j.range%wo)))   % 256
+      |    + (media_id*31 + 7*((2*(j.range//wo))*w + 2*(j.range%wo)+1)) % 256
+      |    + (media_id*31 + 7*((2*(j.range//wo)+1)*w + 2*(j.range%wo)))   % 256
+      |    + (media_id*31 + 7*((2*(j.range//wo)+1)*w + 2*(j.range%wo)+1)) % 256
+      |  ) // 4) FROM range(200) j WHERE j.range < wo * ho) AS BIGINT) AS unit_sum
+      |FROM (SELECT doc_id AS media_id,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+      |        8 + doc_id % 16 AS w,
+      |        (8 + doc_id % 16) // 2 AS wo,
+      |        (8 + doc_id % 8) // 2 AS ho
+      |      FROM documents WHERE doc_id % 3 < 2)
+      |ORDER BY media_id""".stripMargin
+
+  /** M6: REAL audio frame sampling — decode the WAV PCM payloads, keep
+    * every 3rd frame of 32 samples (frames 0,3,6,…; the trailing
+    * partial frame included), re-encode as WAV, then decode the SAMPLED
+    * payloads and sum the surviving samples. Same end-to-end discipline
+    * as m5: the oracle recomputes kept-count and kept-sum from the
+    * sample closed form, so a dropped frame, an off-by-one at a frame
+    * boundary, or a header/byte-order slip in the re-encode flips the
+    * gate. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.frameSampleWav(
+          Multimodal.realMediaFromDocs(Tables.documents(spark, dir))
+            .filter(col("kind") === "wav"), frameLen = 32, everyN = 3)).toDF()
+      .orderBy("media_id")
+
+  /** Kept sample i of clip id: i < 200 + id mod 100 and ⌊i/32⌋ ≡ 0
+    * (mod 3); value (id·131 + 11i) mod 65536 − 32768. */
+  val frameSampleSql: String =
+    """SELECT doc_id AS media_id, 'wav' AS kind,
+      |  (SELECT COUNT(*) FROM range(400) i
+      |   WHERE i.range < 200 + doc_id % 100 AND (i.range // 32) % 3 = 0
+      |  ) AS n_units,
+      |  CAST((SELECT SUM((doc_id*131 + 11*i.range) % 65536 - 32768)
+      |   FROM range(400) i
+      |   WHERE i.range < 200 + doc_id % 100 AND (i.range // 32) % 3 = 0
+      |  ) AS BIGINT) AS unit_sum
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
+
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'

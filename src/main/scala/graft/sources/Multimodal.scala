@@ -96,6 +96,27 @@ object Multimodal {
   // formulas alone: the m2 hash gate fails iff the PNG/BMP/WAV encode or
   // decode path corrupts a single pixel or sample.
 
+  /** Encode 16-bit mono PCM samples as a canonical 44-byte-header WAV
+    * (s16le). Shared by the generator and [[frameSampleWav]] so both
+    * sides of the sample→bytes→sample loop use one byte layout. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bytes = new Array[Byte](44 + n * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(n * 2)
+    var i = 0
+    while (i < n) { bb.putShort(samples(i)); i += 1 }
+    bytes
+  }
+
   /** Deterministic REAL media from doc ids: PNG and BMP images (gray
     * ramp pixels) and 16-bit mono PCM WAV clips. */
   def realMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
@@ -105,24 +126,14 @@ object Multimodal {
       (id % 3) match {
         case 2 =>
           val n = (200 + id % 100).toInt
-          val bytes = new Array[Byte](44 + n * 2)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          // canonical 44-byte PCM WAV header, mono 16 kHz s16le
-          bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
-          bb.putInt(36 + n * 2)
-          bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
-          bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
-          bb.putInt(16); bb.putShort(1); bb.putShort(1)
-          bb.putInt(16000); bb.putInt(32000); bb.putShort(2); bb.putShort(16)
-          bb.put("data".getBytes(StandardCharsets.US_ASCII))
-          bb.putInt(n * 2)
+          val samples = new Array[Short](n)
           var i = 0
           while (i < n) {
-            bb.putShort((((id * 131 + 11L * i) % 65536) - 32768).toShort)
+            samples(i) = (((id * 131 + 11L * i) % 65536) - 32768).toShort
             i += 1
           }
-          MediaRow(id, "wav", bytes, MediaMeta("wav", 0, 0, 16000, n * 1000L / 16000))
+          MediaRow(id, "wav", encodeWav(samples, 16000),
+            MediaMeta("wav", 0, 0, 16000, n * 1000L / 16000))
         case k =>
           val fmt = if (k == 0) "png" else "bmp"
           val w = (8 + id % 16).toInt
@@ -311,23 +322,110 @@ object Multimodal {
     }.toDF("media_id", "n_units", "mean_abs_err", "max_abs_err")
   }
 
-  /** STUB image resize: recomputes metadata, payload passthrough-truncated
-    * deterministically (a real impl would re-encode pixels). */
-  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+  // ---- REAL resize / frame-sample -----------------------------------
+  //
+  // The two transform stages of a media curation pipeline, on the same
+  // real-codec tier as m2: decode the actual payload, transform the
+  // decoded units with EXACT integer arithmetic, re-encode in the same
+  // (lossless) container. Because the transforms are closed-form over
+  // closed-form inputs, the DuckDB oracle recomputes the transformed
+  // sums symbolically — the m5/m6 gates fail iff any leg of
+  // encode→decode→transform→re-encode→decode drops or corrupts a unit.
+  // Per-partition decoder contexts, no shuffle, partition-parallel at
+  // any corpus size — the binary column never moves.
+
+  /** REAL image resize: exact box downsample by integer `factor`.
+    * Output pixel (ox,oy) = floor(mean of the factor×factor input block
+    * at (factor·ox, factor·oy)); a trailing remainder row/column is
+    * cropped (floor-division output dims — the usual crop-then-pool
+    * semantics). PNG/BMP rows are decoded, downsampled, re-encoded in
+    * their own format; other kinds pass through untouched. */
+  def resizeBox(media: Dataset[MediaRow], factor: Int = 2): Dataset[MediaRow] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val spark = media.sparkSession
     import spark.implicits._
-    media.map { r =>
-      if (r.kind != "image") r
-      else {
-        val keep = math.min(r.bytes.length, math.max(1, w * h / 64))
-        r.copy(bytes = r.bytes.take(keep),
-          meta = r.meta.copy(width = w, height = h))
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp file per image
+      rows.map { r =>
+        r.kind match {
+          case "png" | "bmp" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.bytes))
+            require(img != null, s"media ${r.media_id}: undecodable ${r.kind}")
+            val w = img.getWidth
+            val h = img.getHeight
+            val wo = w / factor
+            val ho = h / factor
+            require(wo > 0 && ho > 0,
+              s"media ${r.media_id}: ${w}x$h too small for factor $factor")
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val out = new java.awt.image.BufferedImage(
+              wo, ho, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var oy = 0
+            while (oy < ho) {
+              var ox = 0
+              while (ox < wo) {
+                var s = 0
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  val base = (oy * factor + dy) * w + ox * factor
+                  while (dx < factor) { s += px(base + dx) & 0xFF; dx += 1 }
+                  dy += 1
+                }
+                val g = s / (factor * factor) // floor: all terms >= 0
+                out.setRGB(ox, oy, (g << 16) | (g << 8) | g)
+                ox += 1
+              }
+              oy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, r.kind, bos)
+            r.copy(bytes = bos.toByteArray,
+              meta = r.meta.copy(width = wo, height = ho))
+          case _ => r
+        }
       }
     }
   }
 
-  /** STUB frame sampling: every nth byte-block stands in for every nth
-    * frame of a video payload. */
+  /** REAL audio frame sampling: decode WAV PCM, keep every `everyN`-th
+    * frame of `frameLen` samples (frames 0, N, 2N, …; a trailing
+    * partial frame participates like any other), re-encode as WAV.
+    * Non-wav kinds pass through untouched. */
+  def frameSampleWav(media: Dataset[MediaRow], frameLen: Int,
+      everyN: Int): Dataset[MediaRow] = {
+    require(frameLen >= 1 && everyN >= 1,
+      s"frameLen/everyN must be >= 1, got $frameLen/$everyN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      if (r.kind != "wav") r
+      else {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val data = ais.readAllBytes()
+        ais.close()
+        val bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = data.length / 2
+        val kept = Array.newBuilder[Short]
+        var i = 0
+        while (i < n) {
+          if ((i / frameLen) % everyN == 0) kept += bb.getShort(i * 2)
+          i += 1
+        }
+        val samples = kept.result()
+        val rate = if (r.meta.sampleRate > 0) r.meta.sampleRate else 16000
+        r.copy(bytes = encodeWav(samples, rate),
+          meta = r.meta.copy(durationMs = samples.length * 1000L / rate))
+      }
+    }
+  }
+
+  /** STUB frame sampling for the codec-less tier: every nth byte-block
+    * stands in for every nth frame of a VIDEO payload (no video codec in
+    * this container; the real-audio twin is [[frameSampleWav]]). */
   def frameSampleStub(media: Dataset[MediaRow], everyN: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._

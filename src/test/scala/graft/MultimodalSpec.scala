@@ -84,13 +84,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(m).rdd.getNumPartitions == 7)
   }
 
-  test("resize stub touches only images and rewrites metadata") {
-    val out = Multimodal.resizeStub(media, 32, 32).collect()
-    assert(out.filter(_.kind == "image").forall(r =>
-      r.meta.width == 32 && r.meta.height == 32))
-    val orig = media.collect().map(r => r.media_id -> r).toMap
-    assert(out.filter(_.kind != "image").forall(r =>
-      r.meta == orig(r.media_id).meta))
+  test("real resize: box-pooled payloads decode to the closed-form sums") {
+    val real = Multimodal.realMediaFromDocs(Tables.documents(spark, sf001))
+    val resized = Multimodal.resizeBox(real, factor = 2)
+    val decoded = Multimodal.decodeFeatures(
+        resized.filter(_.kind != "wav")).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val id = d.media_id
+      val w = (8 + id % 16).toInt
+      val h = (8 + id % 8).toInt
+      val (wo, ho) = (w / 2, h / 2)
+      def g(i: Long) = (id * 31 + 7 * i) % 256
+      val expect = (for (oy <- 0 until ho; ox <- 0 until wo) yield
+        (g((2L * oy) * w + 2 * ox) + g((2L * oy) * w + 2 * ox + 1) +
+         g((2L * oy + 1) * w + 2 * ox) + g((2L * oy + 1) * w + 2 * ox + 1)) / 4).sum
+      assert(d.n_units == wo.toLong * ho, s"media $id resized units")
+      assert(d.unit_sum == expect, s"media $id resized sum (${d.kind})")
+    }
+    // format preserved (magic bytes), metadata floor-halved, wav untouched
+    val rows = resized.limit(12).collect()
+    val orig = real.collect().map(r => r.media_id -> r).toMap
+    rows.foreach { r =>
+      r.kind match {
+        case "png" =>
+          assert(r.bytes.take(4).sameElements(Array(0x89, 'P', 'N', 'G').map(_.toByte)))
+          assert(r.meta.width == orig(r.media_id).meta.width / 2)
+        case "bmp" =>
+          assert(r.bytes.take(2).sameElements("BM".getBytes))
+          assert(r.meta.height == orig(r.media_id).meta.height / 2)
+        case "wav" =>
+          assert(r.bytes.sameElements(orig(r.media_id).bytes), "wav passthrough")
+      }
+    }
+  }
+
+  test("real frame sampling: kept WAV frames decode to the closed-form sums") {
+    val real = Multimodal.realMediaFromDocs(Tables.documents(spark, sf001))
+    val sampled = Multimodal.frameSampleWav(real, frameLen = 32, everyN = 3)
+    val decoded = Multimodal.decodeFeatures(
+        sampled.filter(_.kind == "wav")).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      val id = d.media_id
+      val n = 200 + id % 100
+      val kept = (0L until n).filter(i => (i / 32) % 3 == 0)
+      val expect = kept.map(i => (id * 131 + 11 * i) % 65536 - 32768).sum
+      assert(d.n_units == kept.length, s"clip $id kept samples")
+      assert(d.unit_sum == expect, s"clip $id kept sum")
+    }
+    // images pass through byte-identically; durations shrink on wav
+    val orig = real.collect().map(r => r.media_id -> r).toMap
+    sampled.limit(12).collect().foreach { r =>
+      if (r.kind != "wav")
+        assert(r.bytes.sameElements(orig(r.media_id).bytes), "image passthrough")
+      else assert(r.meta.durationMs < orig(r.media_id).meta.durationMs)
+    }
   }
 
   test("frame sampling shrinks video payloads only") {
