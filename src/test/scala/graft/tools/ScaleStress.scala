@@ -21,7 +21,8 @@ import graft.operators.{Dedup, IvfIndex, Similarity}
   * sim14c ANN, stream1 streaming, g1x/g2x/g3x graph, life1/life1n/
   * life1c ZTable lifecycle, nat1 native engine, ivm1x incremental
   * views, spill1 memory-bounded execution (pair with
-  * SPARK_DRIVER_MEM=2g for the capped run).
+  * SPARK_DRIVER_MEM=2g for the capped run), media1 multimodal
+  * encode→transform→decode (round 13).
   *
   * TWO document-corpus constructions (deterministic, hash-keyed):
   *  - CLEAN ×M (linear ground truth): copy j remaps doc_id (+j·10M) and
@@ -281,6 +282,31 @@ object ScaleStress {
               .write.format("noop").mode("overwrite").save()
           }
           println(f"STRESS clean d11 mult=$mult docs=$nDocs rows=$d11n time=$d11T%.2fs")
+        }
+        // media1 (round 13): the multimodal family's linearity row —
+        // the one north-star family with no ×N measurement until now.
+        // Full pipeline per doc: synthesize + encode (PNG/BMP/WAV) →
+        // transform (2×2 box resize on images, every-3rd-frame sampling
+        // on audio) → decode the TRANSFORMED payloads → tiny agg. All
+        // stages are per-partition mapPartitions with per-partition
+        // codec contexts; the ONLY exchange is the final two-long agg,
+        // so wall must scale ~M× (payloads never move). doc_id remap
+        // shifts the id-derived dims/kinds per copy, so unit totals are
+        // reported, not pinned, and time-per-unit is the flat claim.
+        if (ops("media1")) {
+          import graft.sources.Multimodal
+          val (mres, mT) = timed {
+            val real = Multimodal.realMediaFromDocs(docs)
+            val resized = Multimodal.resizeBox(
+              real.filter(_.kind != "wav"), factor = 2)
+            val sampled = Multimodal.frameSampleWav(
+              real.filter(_.kind == "wav"), frameLen = 32, everyN = 3)
+            Multimodal.decodeFeatures(resized.unionAll(sampled)).toDF()
+              .agg(sum(col("n_units")), sum(col("unit_sum")), count(lit(1)))
+              .collect()(0)
+          }
+          println(f"STRESS clean media1 mult=$mult docs=$nDocs " +
+            f"media=${mres.getLong(2)} units=${mres.getLong(0)} time=$mT%.2fs")
         }
         spark.catalog.clearCache()
 
