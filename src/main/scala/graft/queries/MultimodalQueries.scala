@@ -156,6 +156,30 @@ object MultimodalQueries {
       |  ) AS BIGINT) AS unit_sum
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
 
+  /** M7: REAL feature extraction — per-image 8-bin gray histogram over
+    * DECODED pixels (empty bins included). Completes the
+    * decode/feature-extract/resize/frame-sample set on the real-codec
+    * tier: the oracle recomputes every bin count from the gray closed
+    * form, so a binning slip or a decode corruption on any single
+    * pixel flips the hash. */
+  def grayHist(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.grayHistogram(
+        Multimodal.realMediaFromDocs(Tables.documents(spark, dir))
+          .filter(col("kind") =!= "wav"), bins = 8)
+      .orderBy("media_id", "bin")
+
+  val grayHistSql: String =
+    """SELECT media_id, kind, CAST(b.range AS INT) AS bin,
+      |  (SELECT COUNT(*) FROM range(400) i
+      |   WHERE i.range < w * h
+      |     AND ((media_id*31 + 7*i.range) % 256) // 32 = b.range
+      |  ) AS n_px
+      |FROM (SELECT doc_id AS media_id,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+      |        8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |      FROM documents WHERE doc_id % 3 < 2), range(8) b
+      |ORDER BY media_id, bin""".stripMargin
+
   val mediaFeaturesSql: String =
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'

@@ -423,6 +423,38 @@ object Multimodal {
     }
   }
 
+  /** REAL feature extraction over DECODED pixels: per-image gray
+    * histogram (bin = gray · bins / 256), all bins emitted including
+    * empty ones. The real-tier twin of the stub byte-histogram
+    * [[extractFeatures]]: same init-once-per-partition batch shape, but
+    * the units being binned come out of the actual image codec, so the
+    * m7 gate covers decode AND binning. Integer counts only — exactly
+    * oracle-checkable. */
+  def grayHistogram(media: Dataset[MediaRow], bins: Int = 8): DataFrame = {
+    require(bins >= 1 && 256 % bins == 0,
+      s"bins must divide 256, got $bins")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        require(r.kind == "png" || r.kind == "bmp",
+          s"media ${r.media_id}: grayHistogram expects an image, got ${r.kind}")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.bytes))
+        require(img != null, s"media ${r.media_id}: undecodable ${r.kind}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val hist = new Array[Long](bins)
+        var i = 0
+        while (i < w * h) { hist((px(i) & 0xFF) / width) += 1L; i += 1 }
+        (0 until bins).map(b => (r.media_id, r.kind, b, hist(b)))
+      }
+    }.toDF("media_id", "kind", "bin", "n_px")
+  }
+
   /** STUB frame sampling for the codec-less tier: every nth byte-block
     * stands in for every nth frame of a VIDEO payload (no video codec in
     * this container; the real-audio twin is [[frameSampleWav]]). */

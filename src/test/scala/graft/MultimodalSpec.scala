@@ -119,6 +119,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real feature extraction: decoded-pixel gray histograms match the closed form") {
+    val imgs = Multimodal.realMediaFromDocs(Tables.documents(spark, sf001))
+      .filter(_.kind != "wav")
+    val hist = Multimodal.grayHistogram(imgs, bins = 8).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    assert(hist.nonEmpty)
+    hist.foreach { case (id, rows) =>
+      assert(rows.length == 8, s"media $id: all bins emitted")
+      val n = (8 + id % 16) * (8 + id % 8)
+      val expect = (0L until n).map(i => (id * 31 + 7 * i) % 256)
+        .groupBy(g => (g / 32).toInt).view.mapValues(_.size.toLong).toMap
+      rows.foreach { r =>
+        val b = r.getAs[Int]("bin")
+        assert(r.getAs[Long]("n_px") == expect.getOrElse(b, 0L),
+          s"media $id bin $b")
+      }
+      assert(rows.map(_.getAs[Long]("n_px")).sum == n, s"media $id total px")
+    }
+  }
+
   test("real frame sampling: kept WAV frames decode to the closed-form sums") {
     val real = Multimodal.realMediaFromDocs(Tables.documents(spark, sf001))
     val sampled = Multimodal.frameSampleWav(real, frameLen = 32, everyN = 3)

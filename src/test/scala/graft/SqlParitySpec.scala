@@ -22,8 +22,8 @@ class SqlParitySpec extends SparkSpec {
     // list_cosine_similarity (sim5)
     "t7_repetition", "pipe1_quality_filter", "pipe3_token_pack",
     "sim4_centroids", "sim5_topk_batch", "m1_media_meta", "m2_media_features",
-    // m5/m6: correlated range() scans + `//` integer division
-    "m5_resize_box", "m6_frame_sample",
+    // m5/m6/m7: correlated range() scans + `//` integer division
+    "m5_resize_box", "m6_frame_sample", "m7_gray_hist",
     // d6: string_split + UNNEST(range) lateral
     "d6_decontaminate",
     // sim6/sim8/sim9/sim10 share sim1's list_cosine_similarity oracle;
