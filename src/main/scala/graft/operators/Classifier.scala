@@ -112,10 +112,12 @@ object Classifier {
     * gradient). Converges in 3-5 iterations where first-order GD needs
     * tens of scans. `ridge` regularizes the solve (per-row scale). */
   def trainLogRegNewton(df: DataFrame, featCol: String, labelCol: String,
-      iters: Int = 4, ridge: Double = 1e-8): Array[Double] = {
+      iters: Int = 4, ridge: Double = 1e-8, dim: Int = -1): Array[Double] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val d = df.select(size(col(featCol))).head.getInt(0)
+    // dim > 0 skips the feature-width probe job — callers that built the
+    // feature vector know its width (r13: one less driver action per fit)
+    val d = if (dim > 0) dim else df.select(size(col(featCol))).head.getInt(0)
     val data = df.select(col(featCol), col(labelCol).cast("int"))
       .as[(Array[Float], Int)]
     var w = new Array[Double](d)

@@ -221,21 +221,31 @@ object DedupQueries {
     *    kept, SemDeDup's accepted recall loss — stays under
     *    [[SemDedupLeakBound]] of the exact pair set. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     // hash init: one TakeOrdered job instead of k−1 sequential farthest-
-    // point scans — the large-k regime SemDeDup actually runs in
+    // point scans — the large-k regime SemDeDup actually runs in.
+    // localCheckpoint, not persist (r13 optimization, guide §5): the
+    // labeling feeds FOUR subtrees of the gate plan below; the pin
+    // materializes it once and the whole gate — previously three serial
+    // driver actions (witness count, pair agg head, emb count) plus a
+    // driver-built result row — collapses into ONE lazy plan whose
+    // aggregates Spark schedules concurrently under the caller's single
+    // action. Values are identical: same frames, same expressions, the
+    // former driver-side comparisons now literal column expressions.
+    // The pin is the kcore/componentsStar residue discipline:
+    // Bench/Verify sweep pins between queries; callers use Pins.release.
     val res = graft.operators.Similarity.semDeDup(emb, "vec_id", "embedding",
-      k = 16, iters = 3, threshold = SemDedupThreshold, init = "hash").persist()
+      k = 16, iters = 3, threshold = SemDedupThreshold, init = "hash")
+      .localCheckpoint()
     val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
-    val witnessViolations = res.where(!col("kept"))
+    val witness = res.where(!col("kept"))
       .join(res.select(col("id").as("witness"), col("kept").as("w_kept"),
         col("cell").as("w_cell")), Seq("witness"))
       .join(vecs, Seq("id"))
       .join(vecs.select(col("id").as("witness"), col("v").as("wv")), Seq("witness"))
       .where(!col("w_kept") || col("w_cell") =!= col("cell") ||
         graft.operators.Similarity.cosine(col("v"), col("wv")) < SemDedupThreshold)
-      .count()
+      .agg(count(lit(1)).as("n_witness_bad"))
     val pairAgg = graft.operators.Similarity
       .cosinePairs(emb, "vec_id", "embedding", SemDedupThreshold)
       .select(col("ida"), col("idb"))
@@ -243,17 +253,20 @@ object DedupQueries {
         col("cell").as("ca")), Seq("ida"))
       .join(res.select(col("id").as("idb"), col("kept").as("kb"),
         col("cell").as("cb")), Seq("idb"))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(lit(1)).as("n_true_pairs"),
         coalesce(sum(when(col("ka") && col("kb") &&
-          col("ca") === col("cb"), 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("ka") && col("kb"), 1L).otherwise(0L)), lit(0L)))
-      .head
-    res.unpersist()
-    val (nPairs, sameCellKept, bothKept) =
-      (pairAgg.getLong(0), pairAgg.getLong(1), pairAgg.getLong(2))
-    Seq((emb.count(), nPairs, witnessViolations == 0L, sameCellKept == 0L,
-        bothKept <= nPairs * SemDedupLeakBound))
-      .toDF("n_vecs", "n_true_pairs", "witness_ok", "independent_ok", "leak_ok")
+          col("ca") === col("cb"), 1L).otherwise(0L)), lit(0L)).as("same_cell_kept"),
+        coalesce(sum(when(col("ka") && col("kb"), 1L).otherwise(0L)), lit(0L))
+          .as("both_kept"))
+    emb.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(pairAgg)
+      .crossJoin(witness)
+      .select(col("n_vecs"), col("n_true_pairs"),
+        (col("n_witness_bad") === 0L).as("witness_ok"),
+        (col("same_cell_kept") === 0L).as("independent_ok"),
+        (col("both_kept").cast("double") <=
+          col("n_true_pairs").cast("double") * lit(SemDedupLeakBound))
+          .as("leak_ok"))
   }
 
   private val SemDedupThreshold = 0.3

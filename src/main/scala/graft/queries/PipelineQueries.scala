@@ -645,18 +645,28 @@ object PipelineQueries {
       .select(concat(col("feats"), array(lit(1.0f))).as("x"), col("y"))
       .persist()
     val w = graft.operators.Classifier.trainLogRegNewton(data, "x", "y",
-      iters = 5)
-    val acc = data.select(avg(
-        ((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
-          === col("y")).cast("int")))
-      .head.getDouble(0)
-    val lossT = graft.operators.Classifier.logLoss(data, "x", "y", w)
-    val loss0 = graft.operators.Classifier.logLoss(data, "x", "y",
-      new Array[Double](w.length))
-    val n = data.count()
-    val nPos = data.agg(sum(col("y"))).head.getLong(0)
+      iters = 5, dim = TextClfBuckets + 1)
+    // ONE evaluation pass (r13 optimization, guide §5): accuracy, trained
+    // loss, w=0 loss, n and n_pos are all aggregates of the same cached
+    // frame with FIXED weights — the original ran them as five serial
+    // driver actions (five jobs); identical expressions, one job.
+    def lossExpr(wv: Array[Double]): org.apache.spark.sql.Column = {
+      val p = least(greatest(
+        graft.operators.Classifier.score(col("x"), wv), lit(1e-12)),
+        lit(1.0 - 1e-12))
+      avg(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)))
+    }
+    val st = data.agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("npos"),
+        avg(((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
+          === col("y")).cast("int")).as("acc"),
+        lossExpr(w).as("loss_t"),
+        lossExpr(new Array[Double](w.length)).as("loss_0"))
+      .head
     data.unpersist()
-    (n, nPos, acc, lossT, loss0)
+    (st.getLong(0), st.getLong(1), st.getDouble(2), st.getDouble(3),
+      st.getDouble(4))
   }
 
   /** Feature width for ml2's hashing trick: ~6× the corpus's active
