@@ -651,11 +651,26 @@ object Dedup {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def unpin(df: DataFrame): Unit =
       if (checkpointDir.isEmpty) graft.util.Pins.release(df)
+    // The symmetrized edge list is PRE-PARTITIONED on the join key (r13
+    // optimization, guide §2.4): every round's neighbor-min join reads
+    // `sym` by dst, and an InMemoryRelation keeps its outputPartitioning,
+    // so paying the edge-sized exchange ONCE here removes it from every
+    // round (the comp/nmin sides are node-sized and stay partitioned by
+    // id through the pins — localCheckpoint preserves partitioning).
+    val symP = sessionShufflePartitions(edges)
     val sym = edges.select(col("ida").as("src"), col("idb").as("dst"))
       .union(edges.select(col("idb").as("src"), col("ida").as("dst")))
+      .repartition(symP, col("dst"))
       .persist()
-    var comp = pin(sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    // Init = identity labeling LOWERED by one propagation round (r13):
+    // comp0(v) = min(v, min neighbor(v)) comes out of one aggregate over
+    // the already-dst-partitioned sym — the same exchange the old
+    // identity init paid for its distinct, but it does round 1's work,
+    // so the fixpoint arrives one full round (join + agg + join + pin +
+    // sig job) earlier. Same fixpoint by the ball-min invariant:
+    // comp_t(v) = min over the radius-(t+1) ball instead of radius-t.
+    var comp = pin(sym.groupBy(col("dst")).agg(min(col("src")).as("nmin"))
+      .select(col("dst").as("id"), least(col("dst"), col("nmin")).as("comp")))
     // Convergence via the label-sum signature: labels only ever
     // decrease element-wise, so sum(comp) strictly decreases until the
     // fixpoint — one tiny aggregate per round instead of a
@@ -771,9 +786,13 @@ object Dedup {
     // both sides already distinct). A count/endpoint-sum signature is
     // cheaper but can collide mid-convergence — unlike [[components]]'
     // label-sum (monotone: labels only decrease), star rounds REWRITE
-    // edges, so nothing makes a hash signature monotone here.
-    def sameEdges(a: DataFrame, b: DataFrame, na: Long): Boolean =
-      b.count() == na && a.union(b).distinct().count() == na
+    // edges, so nothing makes a hash signature monotone here. `na` is
+    // CARRIED between alternations (r13: each round's next.count()
+    // becomes the following round's na — the old shape recounted the
+    // previous pin every round, one extra job per alternation), and the
+    // union-distinct job only runs when the counts already agree.
+    def sameEdges(a: DataFrame, b: DataFrame, na: Long, nb: Long): Boolean =
+      nb == na && a.union(b).distinct().count() == na
     // each alternation composes two joins+distinct over the previous
     // round's FULL plan — persist alone caches data but the logical
     // plan still nests geometrically and analysis OOMs after ~6 rounds.
@@ -794,6 +813,7 @@ object Dedup {
     val loops = pin(all.where(col("u") === col("v"))
       .select(col("u").as("id")).distinct())
     var e = all.where(col("u") =!= col("v"))
+    var eCount = e.count()
     var converged = false
     var rounds = 0
     try {
@@ -807,7 +827,9 @@ object Dedup {
             "the assumed scale (raise maxRounds only after ruling out the " +
             "former)")
         val next = pin(star(star(e, large = true), large = false))
-        converged = sameEdges(e, next, e.count())
+        val nextCount = next.count()
+        converged = sameEdges(e, next, eCount, nextCount)
+        eCount = nextCount
         // next is materialized by its pin, so the previous round's edge
         // multiset is dead weight NOW. Pins.release, not unpersist: a
         // localCheckpoint's blocks bypass the cache manager, so the
