@@ -164,11 +164,13 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
   private def recoverSwaps(): Unit = {
     val root = Paths.get(path)
     if (!Files.exists(root)) return
-    // orphaned merge stage roots (crash before/while the per-dir
-    // rewrites consumed them) are pure debris: dot-prefixed so scans
-    // never see them, and the merge they belonged to never committed
-    lsDir(root).filter(_.getFileName.toString.startsWith(".merge-stage-"))
-      .foreach(rmTree)
+    // orphaned merge/delete stage roots (crash before/while the swaps
+    // consumed them) are pure debris: dot-prefixed so scans never see
+    // them, and the op they belonged to never committed
+    lsDir(root).filter { d =>
+      val n = d.getFileName.toString
+      n.startsWith(".merge-stage-") || n.startsWith(".delete-stage-")
+    }.foreach(rmTree)
     Seq(".compacting", ".deleting", ".merging").foreach { suf =>
       lsDir(root).filter(_.getFileName.toString.endsWith(suf)).foreach { tmp =>
         val target = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(suf))
@@ -636,12 +638,13 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * ONLY the partition directories that contain matches — the takedown
     * / right-to-be-forgotten primitive a training-data store needs.
     *
-    * Scale shape: the per-partition probe is a `pred`-filtered count, so
-    * parquet pushdown + row-group stats bound it (a partition with no
+    * Scale shape: the probe is ONE `pred`-filtered count over the table,
+    * so parquet pushdown + row-group stats bound it (a partition with no
     * candidate row groups reads only footers); untouched partitions are
     * never rewritten; affected ones rewrite once, ts-sorted, preserving
-    * the scan layout. Partition probes/rewrites dispatch concurrently
-    * like compact. Returns the number of rows deleted. */
+    * the scan layout — all of them in ONE staged partitionBy job
+    * ([[stagedRewrite]]), never a job per directory. Returns the number
+    * of rows deleted. */
   def deleteWhere(pred: org.apache.spark.sql.Column): Long = mutate {
     val root = Paths.get(path)
     if (!Files.exists(root)) return 0L
@@ -656,25 +659,56 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       .groupBy(partKeyStr.as("p__"))
       .count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = parts
-      .filter(d => hitsByPart.contains(dirToPartValue(d)))
-      .map { dir => Future {
-        val hits = hitsByPart(dirToPartValue(dir))
+    val affected = parts.filter(d => hitsByPart.contains(dirToPartValue(d)))
+    stagedRewrite(affected,
+      spark.read.parquet(path).where(!coalesce(pred, lit(false))))
+    hitsByPart.values.sum
+  }
+
+  /** ONE staged rewrite job for every affected partition dir (r13
+    * optimization, guide §1.2/§2.6): the surviving rows of ALL affected
+    * partitions are written by a single partitionBy job into a
+    * dot-prefixed stage root (invisible to scans; swept by
+    * [[recoverSwaps]] if orphaned), then each affected dir goes through
+    * the same two-rename [[swapIn]] protocol as before. The old shape
+    * dispatched one Spark job per affected directory — date-grain-many
+    * scheduling round trips per delete — where one job moves the same
+    * bytes; the swap/crash story is unchanged (stage commits fully
+    * before the first rename; each moved half is _SUCCESS-marked so a
+    * mid-swap crash still rolls forward). File contract unchanged: one
+    * ts-sorted file per rewritten partition; a fully-drained partition
+    * stages empty and is dropped by [[dropIfEmptied]] after its swap. */
+  private def stagedRewrite(affected: List[java.nio.file.Path],
+      survivors: DataFrame): Unit = {
+    if (affected.isEmpty) return
+    val affectedNames = affected.map(dirToPartValue).toSet
+    val stage = Paths.get(path)
+      .resolve(s".delete-stage-${ProcessHandle.current.pid}")
+    try {
+      survivors
+        .where(partKeyStr.isInCollection(affectedNames))
+        // discovery infers a VOID partition column when ONLY the
+        // null-key partition exists — normalize to string so the
+        // staged partitionBy write accepts it (null still lands in
+        // the hive-default dir)
+        .withColumn(partCol, col(partCol).cast("string"))
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(spec.tsCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+      affected.foreach { dir =>
+        val staged = stage.resolve(partValueToDirName(dirToPartValue(dir)))
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
-        spark.read.parquet(dir.toString)
-          .where(!coalesce(pred, lit(false)))
-          .sortWithinPartitions(col(spec.tsCol))
-          .write.mode("overwrite").parquet(tmp.toString)
+        if (Files.exists(staged)) Files.move(staged, tmp)
+        else Files.createDirectories(tmp) // fully-drained partition
+        // the staged write committed before any swap began — mark the
+        // moved half complete so recovery rolls a mid-swap crash
+        // forward (the retired per-dir jobs got this from their commit)
+        if (!Files.exists(tmp.resolve("_SUCCESS")))
+          Files.createFile(tmp.resolve("_SUCCESS"))
         swapIn(dir, tmp)
         dropIfEmptied(dir)
-        deleted.addAndGet(hits)
-      }}
-    awaitAll(jobs)
-    deleted.get
+      }
+    } finally if (Files.exists(stage)) rmTree(stage)
   }
 
   /** Copy-on-write deletion by KEY LIST — the GDPR/right-to-be-
@@ -685,9 +719,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * key set (planner picks broadcast for the typical bounded request
     * list, shuffled-hash beyond it — no forced hint, the dq4 lesson),
     * the rewrite a left_anti; ONLY partitions holding a matching key
-    * rewrite, once, ts-sorted. The key projection is persisted for the
-    * duration (one probe + up to one rewrite per touched partition
-    * re-read it) and released before returning. Returns rows deleted. */
+    * rewrite, once, ts-sorted, all in ONE staged job ([[stagedRewrite]]).
+    * The key projection is persisted for the duration (the probe and
+    * the staged rewrite both read it) and released before returning.
+    * Returns rows deleted. */
   def deleteMatching(keys: org.apache.spark.sql.DataFrame,
       keyCol: String): Long = mutate {
     val root = Paths.get(path)
@@ -703,25 +738,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .groupBy(partKeyStr.as("p__"))
         .count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val deleted = new java.util.concurrent.atomic.AtomicLong(0L)
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val jobs = parts
-        .filter(d => hitsByPart.contains(dirToPartValue(d)))
-        .map { dir => Future {
-          val hits = hitsByPart(dirToPartValue(dir))
-          val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
-          spark.read.parquet(dir.toString)
-            .join(k, Seq(keyCol), "left_anti")
-            .sortWithinPartitions(col(spec.tsCol))
-            .write.mode("overwrite").parquet(tmp.toString)
-          swapIn(dir, tmp)
-          dropIfEmptied(dir)
-          deleted.addAndGet(hits)
-        }}
-      awaitAll(jobs)
-      deleted.get
+      val affected = parts.filter(d => hitsByPart.contains(dirToPartValue(d)))
+      stagedRewrite(affected,
+        spark.read.parquet(path).join(k, Seq(keyCol), "left_anti"))
+      hitsByPart.values.sum
     } finally k.unpersist()
   }
 
@@ -732,9 +752,11 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     * late restatements.
     *
     * Scale shape: phase 1 drops current versions of matched keys with
-    * one probe (semi-join against the distinct source keys) + one
-    * rewrite (anti-join) per partition directory, dispatched
-    * concurrently; partitions with no matched key are never rewritten,
+    * one probe (semi-join against the distinct source keys) + ONE
+    * staged rewrite job covering every affected partition (source half
+    * unioned with the anti-join survivors, split back into its
+    * directories by the partitionBy write — stagedRewrite's shape);
+    * partitions with no matched key are never rewritten,
     * and the key set is delta-sized (broadcast when small, AQE picks a
     * shuffle join when not — never a nested loop, keys are equi).
     * Phase 2 writes all source rows into their ts-derived partitions in
@@ -807,11 +829,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .groupBy(partKeyStr.as("p__"))
         .count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    // each affected partition's staging dir carries BOTH halves —
+    // Each affected partition's staging dir carries BOTH halves —
     // surviving old rows (anti-join) AND this partition's source rows —
     // so the two-rename swap is the only mutation and a crash at any
     // point leaves a complete copy under exactly one name (see the
@@ -820,45 +838,42 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // cannot lose anything.
     val affected = parts.filter(d => hitsByPart.contains(dirToPartValue(d)))
     val affectedNames = affected.map(dirToPartValue).toSet
-    // The SOURCE half of every staging dir is written by ONE
-    // partitionBy job up front (dot-prefixed root: invisible to scans,
-    // swept by recoverSwaps if orphaned). The original per-job
-    // unionByName re-scanned all of src's cached partitions once per
-    // affected directory — affected × srcPartitions tiny tasks, which a
-    // 64-partition delta into 31 dates turned into ~2 000 concurrent
-    // tasks (measured 12 s where this shape takes ~3 s; harmless only
-    // when the delta arrives as a narrow scan).
+    // BOTH halves of every staging dir come from ONE partitionBy job
+    // (r13 optimization, guide §1.2/§2.6 — stagedRewrite's shape): the
+    // source half unioned with the affected partitions' anti-join
+    // survivors, repartitioned by the partition key and ts-sorted, into
+    // the dot-prefixed stage root (invisible to scans, swept by
+    // recoverSwaps if orphaned). The retired shape wrote the source
+    // half up front but still dispatched one anti-join append JOB per
+    // affected directory — date-grain-many scheduling round trips; the
+    // union moves the same bytes in one job, and each staged dir is now
+    // one globally ts-sorted file instead of two half-sorted ones.
     if (affected.nonEmpty)
       withPartCol(src)
         .where(partKeyStr.isInCollection(affectedNames))
+        .unionByName(spark.read.parquet(path)
+          .where(partKeyStr.isInCollection(affectedNames))
+          .join(srcKeys, keyCols, "left_anti"))
         .repartition(col(partCol))
         .sortWithinPartitions(col(spec.tsCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
-    val jobs = affected.map { dir => Future {
+    val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
+    affected.foreach { dir =>
       val pval = dirToPartValue(dir)
-      val hits = hitsByPart(pval)
       val tmp = dir.resolveSibling(dir.getFileName.toString + ".merging")
-      // seed the staging dir with the pre-staged source half (absent
-      // when every matched key's replacement lands in another
-      // partition), then APPEND the surviving old rows. _SUCCESS is
-      // written by the append job's commit, so recovery's
-      // roll-forward condition (_SUCCESS present) still implies both
-      // halves are complete; both writes are per-file ts-sorted (the
-      // append path's file contract).
       val staged = stage.resolve(partValueToDirName(pval))
+      // absent = fully drained: every old row matched and every
+      // replacement's ts moved it to another partition
       if (Files.exists(staged)) Files.move(staged, tmp)
       else Files.createDirectories(tmp)
-      spark.read.parquet(dir.toString)
-        .join(srcKeys, keyCols, "left_anti")
-        .sortWithinPartitions(col(spec.tsCol))
-        .write.mode("append").parquet(tmp.toString)
+      // the staged write committed before any swap began — mark the
+      // moved half complete so recovery rolls a mid-swap crash forward
+      if (!Files.exists(tmp.resolve("_SUCCESS")))
+        Files.createFile(tmp.resolve("_SUCCESS"))
       swapIn(dir, tmp)
-      // fully drained: every old row matched and every replacement's ts
-      // moved it to another partition
       dropIfEmptied(dir)
-      replaced.addAndGet(hits)
-    }}
-    awaitAll(jobs)
+      replaced.addAndGet(hitsByPart(pval))
+    }
     val written = src.count()
     // partKeyStr, not a raw (nullable) cast: a null-ts source row —
     // legal under strictOrder = false — must land in the hive-default
