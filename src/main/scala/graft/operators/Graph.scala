@@ -251,9 +251,13 @@ object Graph {
             s"kcore: no fixpoint after $maxRounds rounds (peeling depth " +
             "exceeds the bound — raise maxRounds)")
         graft.util.Timing.rounded(onRound, rounds) {
+          // both semi joins reference the IDENTICAL `alive` subtree via
+          // join conditions (r13: a renamed projection per side made the
+          // canonical plans differ, so the node-set broadcast was built
+          // twice per round; with matching subtrees it is reused)
           val next = pin(sym
-            .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
-            .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(alive, col("v") === col("id"), "left_semi")
+            .join(alive, col("u") === col("id"), "left_semi")
             .groupBy(col("v")).agg(count(lit(1)).as("d"))
             .where(col("d") >= k)
             .select(col("v").as("id")))

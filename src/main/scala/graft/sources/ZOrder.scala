@@ -29,6 +29,17 @@ object ZOrder {
     else least(lit(MaxVal.toLong), greatest(lit(0L),
       ((c - lit(lo)) * lit(MaxVal.toDouble / (hi - lo))).cast("long")))
 
+  /** [[scale]] with PER-ROW bounds columns — the one-job compaction path
+    * scales each row against its own partition's min/max, so the bounds
+    * arrive as when-chain columns instead of literals. Arithmetic is the
+    * scalar variant's exactly (one division of the same two doubles,
+    * then the same multiply/clamp), so a row scales bit-identically to
+    * a per-partition literal rewrite. */
+  def scaleCol(c: Column, lo: Column, hi: Column): Column =
+    when(!(hi > lo), lit(0L)).otherwise(
+      least(lit(MaxVal.toLong), greatest(lit(0L),
+        ((c - lo) * (lit(MaxVal.toDouble) / (hi - lo))).cast("long"))))
+
   /** Cluster a string column by hash bucket: no linear order to exploit,
     * but equal values land together, which is exactly what an equality
     * predicate's row-group pruning needs. */

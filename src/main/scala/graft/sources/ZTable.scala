@@ -169,7 +169,8 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // them, and the op they belonged to never committed
     lsDir(root).filter { d =>
       val n = d.getFileName.toString
-      n.startsWith(".merge-stage-") || n.startsWith(".delete-stage-")
+      n.startsWith(".merge-stage-") || n.startsWith(".delete-stage-") ||
+        n.startsWith(".compact-stage-")
     }.foreach(rmTree)
     Seq(".compacting", ".deleting", ".merging").foreach { suf =>
       lsDir(root).filter(_.getFileName.toString.endsWith(suf)).foreach { tmp =>
@@ -582,25 +583,85 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     // table root, and a concurrent partition job's .compacting dir
     // would land in its partition discovery
     if (clusterBy.nonEmpty && parts.nonEmpty) { val _ = (linearCol, statsByPart) }
-    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val jobs = parts.map { dir => Future {
-      val dataFiles = lsDir(dir).filter { f =>
-        val n = f.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    // Per-dir rewrite DECISION, driver-side (unchanged semantics: over
+    // file budget, or clusterBy always; zero-row/stats-less partitions
+    // skipped — a delete that emptied a dir has no stats row and
+    // nothing to cluster).
+    val decisions: List[(java.nio.file.Path, String, Int)] =
+      parts.flatMap { dir =>
+        val dataFiles = lsDir(dir).filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val bytes = dataFiles.map(Files.size).sum
+        val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val partVal = dirToPartValue(dir)
+        val statsOk = clusterBy.isEmpty || statsByPart.contains(partVal) ||
+          keys.forall(k => linearCol(k).isEmpty)
+        if ((dataFiles.length > nOut ||
+            (clusterBy.nonEmpty && dataFiles.nonEmpty)) && statsOk)
+          Some((dir, partVal, nOut))
+        else None
       }
-      val bytes = dataFiles.map(Files.size).sum
-      val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      // a partition whose data files hold ZERO rows (a delete that
-      // emptied it) has no stats row — nothing to cluster, and
-      // dereferencing the missing stats would NPE inside the Future
-      val partVal = dirToPartValue(dir)
-      val statsOk = clusterBy.isEmpty || statsByPart.contains(partVal) ||
-        keys.forall(k => linearCol(k).isEmpty)
-      if ((dataFiles.length > nOut ||
-          (clusterBy.nonEmpty && dataFiles.nonEmpty)) && statsOk) {
+    if (decisions.isEmpty) return 0
+    if (decisions.forall(_._3 == 1)) {
+      // FAST PATH (r13 optimization, guide §1.2/§2.6): every rewritten
+      // partition targets ONE output file — the steady-state shape
+      // (fresh appends, date-grain dirs under the byte budget) — so the
+      // whole rewrite is ONE staged partitionBy job + the per-dir
+      // two-rename swaps, instead of a Spark job per directory (each of
+      // which paid its own range-sampling pass). Per-file layout is
+      // EXACT: hash repartition by the partition key + within-task sort
+      // means each written file holds exactly its directory's rows in
+      // key order (a subsequence of a sorted task is sorted), identical
+      // to the per-dir rewrite. Per-partition Morton scaling arrives as
+      // when-chain bounds columns (ZOrder.scaleCol — bit-identical
+      // arithmetic to the literal form).
+      val names = decisions.map(_._2).toSet
+      val stage = root.resolve(s".compact-stage-${ProcessHandle.current.pid}")
+      try {
+        val base = spark.read.parquet(path)
+          .where(partKeyStr.isInCollection(names))
+          .withColumn(partCol, col(partCol).cast("string"))
+        val laid =
+          if (clusterBy.isEmpty)
+            base.repartition(col(partCol))
+              .sortWithinPartitions(col(spec.tsCol))
+          else {
+            val scaled = keys.map { k =>
+              linearCol(k) match {
+                case Some(c) =>
+                  def bound(pre: String) = decisions.foldLeft(lit(Double.NaN)) {
+                    case (e, (_, pv, _)) => when(partKeyStr === pv,
+                      lit(statsByPart(pv).getAs[Double](s"${pre}_$k"))).otherwise(e)
+                  }
+                  ZOrder.scaleCol(c, bound("lo"), bound("hi"))
+                case None => ZOrder.bucket(col(k))
+              }
+            }
+            base.withColumn("z__", ZOrder.interleave(scaled))
+              .repartition(col(partCol))
+              .sortWithinPartitions(col("z__"))
+              .drop("z__")
+          }
+        laid.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+        decisions.foreach { case (dir, pv, _) =>
+          val staged = stage.resolve(partValueToDirName(pv))
+          val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
+          if (Files.exists(staged)) Files.move(staged, tmp)
+          else Files.createDirectories(tmp)
+          if (!Files.exists(tmp.resolve("_SUCCESS")))
+            Files.createFile(tmp.resolve("_SUCCESS"))
+          swapIn(dir, tmp)
+        }
+      } finally if (Files.exists(stage)) rmTree(stage)
+      decisions.size
+    } else {
+      // general path: per-dir range split into nOut sized files —
+      // unchanged, dispatched concurrently
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val jobs = decisions.map { case (dir, partVal, nOut) => Future {
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
         val base = spark.read.parquet(dir.toString)
         val laid =
@@ -627,11 +688,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           }
         laid.write.mode("overwrite").parquet(tmp.toString)
         swapIn(dir, tmp) // staging fully written before any rename
-        rewritten.incrementAndGet()
-      }
-    }}
-    awaitAll(jobs)
-    rewritten.get
+      }}
+      awaitAll(jobs)
+      decisions.size
+    }
   }
 
   /** Copy-on-write delete: remove every row matching `pred`, rewriting
