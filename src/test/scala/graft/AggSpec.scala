@@ -30,6 +30,35 @@ class AggSpec extends SparkSpec {
     assert(BottomKSketch.quantile(all, 0.01) == rows.take(10).map(_._3).min)
   }
 
+  test("Percentiles.exactBy bit-equals the percentile() aggregate: ties, odd/even, singletons") {
+    // r13 pin: the sort-based order-statistics replacement (a8/a15/dq3)
+    // must reproduce the built-in's doubles EXACTLY — including the
+    // no-interpolation short-circuits (integral position; equal
+    // bracketing keys) whose algebraic blend differs in the last ulp.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 7}"
+      // heavy ties (quantized) + irrational-ish tails + singleton group
+      val v = if (i % 3 == 0) (rnd.nextInt(40) / 4.0)
+              else rnd.nextDouble() * 1e6 / 3.0
+      (if (i == 1) "solo" else g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
+    val ours = graft.functions.Percentiles.exactBy(df, "g", col("v"), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val ref = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.map(_._2).mkString("D,")}D))").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((g, vs) <- ours; i <- ps.indices)
+      assert(java.lang.Double.doubleToRawLongBits(vs(i)) ==
+        java.lang.Double.doubleToRawLongBits(ref(g)(i)),
+        s"group $g ${ps(i)._1}: ${vs(i)} != ${ref(g)(i)}")
+  }
+
   test("a14 rollup: merged day sketches equal the single-pass sketch (sf0.001)") {
     val r = Relational.quantileRollup(spark, sf001).head
     assert(r.getAs[Boolean]("merge_ok"))
