@@ -55,6 +55,17 @@ object Dedup {
     * knob track data volume instead of requiring the caller to have
     * read STRESS.md. */
   def autoShufflePartitions(docs: DataFrame, textCol: String): Int = {
+    // Catalyst's size estimate (file bytes for a scan) is free — no job.
+    // Widening only ENGAGES past ~24M shingle rows at the harness's 32
+    // session partitions (750k/partition × 32) ≈ 144 MB of raw text;
+    // even at a pathological 20× parquet text-compression ratio that is
+    // ≥ 7 MB on disk, so any corpus under 4 MB of source bytes cannot
+    // cross the threshold and the exact token-count pre-pass would be a
+    // wasted full scan (r13 optimization, guide §1.2 — measure the
+    // cheap proxy first, pay the exact pass only where it can matter).
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(4L * 1024 * 1024))
+      return sessionShufflePartitions(docs)
     val rows = docs.agg(
       coalesce(sum(size(split(col(textCol), " ")).cast(LongType)), lit(0L)))
       .head.getLong(0)
@@ -780,7 +791,13 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       val self = if (large) linked
         else linked.union(m.select(col("u"), col("m").as("v")))
-      self.where(col("u") =!= col("v")).distinct()
+      val out = self.where(col("u") =!= col("v"))
+      // only the alternation boundary (the small star, whose output is
+      // pinned and set-compared) needs the exchange-costing distinct;
+      // duplicate edges between the chained stars are harmless — `m` is
+      // a min and the trailing distinct dedups the final multiset (r13:
+      // one less edge-sized exchange per alternation)
+      if (large) out else out.distinct()
     }
     // SOUND fixpoint test: exact set equality (|A| = |B| = |A ∪ B|,
     // both sides already distinct). A count/endpoint-sum signature is

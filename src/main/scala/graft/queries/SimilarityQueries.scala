@@ -413,20 +413,27 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
       .toMap
-    var hits = 0
-    var allPruned = true
-    ServePanel.foreach { qid =>
+    // the panel's probes are independent requests — run them through a
+    // small driver pool so each query's tiny cell-scan job back-fills
+    // the previous one's tail (r13 optimization, guide §2.6: overlap
+    // independent jobs) instead of paying panel-many serial job walls;
+    // the served results are unchanged per query, only their jobs overlap
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val served = Await.result(Future.sequence(ServePanel.map { qid => Future {
       val qv = qvs(qid)
       // rank cells ONCE; scanCells executes the same probe searchAdaptive
       // would, without re-ranking the centroid sidecar
       val (cells, qnorm) = graft.operators.IvfIndex.adaptiveProbeCells(
         idxPath, qv, PrunedRecallTarget, beta = PrunedBeta)
-      allPruned &&= cells.length < ServeCells
       val got = graft.operators.IvfIndex.scanCells(spark, idxPath, cells,
           qv, qnorm, k = 10, excludeId = Some(qid))
         .select(col("id")).collect().map(_.getLong(0))
-      hits += got.count(truth(qid).contains)
-    }
+      (cells.length < ServeCells, got.count(truth(qid).contains))
+    }}), Duration.Inf)
+    val allPruned = served.forall(_._1)
+    val hits = served.map(_._2).sum
     val recall = hits.toDouble / (10 * ServePanel.size)
     Seq((emb.count(), ServePanel.size.toLong,
         recall >= PrunedRecallBound, allPruned))
