@@ -99,15 +99,19 @@ object Graph {
       graft.util.Timing.rounded(onRound, r)(f)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = sym.select(col("src").as("id")).distinct().persist()
-    val (withDeg, base, ranks0) = rounded(0) {
+    // nodes derive from the CACHED degree-joined edges (r13: deriving
+    // them from `sym` evaluated the caller's edge pipeline a second
+    // time during setup — every node appears as a src in the symmetric
+    // multiset, so the sets are identical)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = sym.join(deg, "src").persist()
+    val nodes = withDeg.select(col("src").as("id")).distinct().persist()
+    val (base, ranks0) = rounded(0) {
       val n = nodes.count()
-      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      val withDeg = sym.join(deg, "src").persist()
       val base = (15L * Scale) / (100L * n)
       // the initial ranks are one select over the persisted node set —
       // depth-1 lineage, nothing to truncate
-      (withDeg, base, nodes.select(col("id"), lit(Scale / n).as("r")))
+      (base, nodes.select(col("id"), lit(Scale / n).as("r")))
     }
     var ranks = ranks0
     var lastPinned: DataFrame = null

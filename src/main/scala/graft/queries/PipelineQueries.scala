@@ -395,16 +395,23 @@ object PipelineQueries {
         explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("t"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("t")), 1, 4), 16, 10).cast(LongType) % B).as("bk"))
-    val tgt = bk.where(col("lang") === "en")
-      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
-    val raw = bk.groupBy(col("bk")).agg(count(lit(1)).as("cr"))
-    val nt = bk.where(col("lang") === "en").agg(count(lit(1)).as("nt"))
-    val nr = bk.agg(count(lit(1)).as("nr"))
+    // ONE pass over the hashed token stream for all four statistics
+    // (r13 optimization, guide §2.3 "aggregate before you shuffle"): the
+    // retired shape ran tgt/raw/nt/nr as four separate aggregations,
+    // each re-evaluating the per-token md5 explode; one grouped
+    // aggregate carries both counts (ct = conditional sum, identical to
+    // the old left-join-then-coalesce value), and the scalar totals roll
+    // up from the B-row stats frame instead of rescanning the corpus.
+    val stats = bk.groupBy(col("bk")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"),
+      coalesce(sum(col("ct")), lit(0L)).as("nt")) // empty corpus: 0, not null
     val lam = 0.01
-    val w = raw.join(tgt, Seq("bk"), "left")
-      .crossJoin(nt).crossJoin(nr) // one-row stats frames: scalar broadcast
+    val w = stats
+      .crossJoin(tot) // one-row stats frame: scalar broadcast
       .select(col("bk"),
-        (log(lit(1.0 - lam) * coalesce(col("ct"), lit(0L)) / col("nt")
+        (log(lit(1.0 - lam) * col("ct") / col("nt")
            + lit(lam / B)) -
          log(lit(1.0 - lam) * col("cr") / col("nr")
            + lit(lam / B))).as("w"))
