@@ -94,9 +94,24 @@ object Dedup {
     else if (numPartitions > sessionShufflePartitions(df))
       // the repartition IS the distinct's exchange, just at the sized
       // width: HashPartitioning(id, sh, np) satisfies the aggregate's
-      // ClusteredDistribution, so no second shuffle is planned
+      // ClusteredDistribution, so no second shuffle is planned. The
+      // (id, sh) key is deliberate on this measured ×100 scale path:
+      // it spreads a pre-cap hot shingle across partitions, and the
+      // wide pair-mining callers re-key their join exchanges explicitly
+      // anyway (jaccardPairs/minhashLshPairs onKey).
       raw.repartition(numPartitions, col("id"), col("sh")).distinct()
-    else raw.distinct()
+    else
+      // session width (r13 optimization, guide §2.4 "share one
+      // exchange"): partition by sh ALONE — HashPartitioning(sh) still
+      // satisfies the distinct's ClusteredDistribution(id, sh) (subset
+      // rule), and every downstream pair-mining op is sh-keyed, so the
+      // hot-shingle df aggregate, the anti-join and the inverted-index
+      // self-join in jaccardPairs all reuse THIS one exchange instead
+      // of planning their own (measured: 2 edge-sized exchanges removed
+      // from the d4 plan). A pre-cap hot shingle concentrates in one
+      // partition here, but the aggregates are hash-based and
+      // spillable, and the hot keys are dropped before the join.
+      raw.repartition(col("sh")).distinct()
   }
 
   /** Exact dedup: group by md5 content fingerprint, keep lowest id. */
