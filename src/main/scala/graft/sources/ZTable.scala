@@ -340,7 +340,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     try {
       withPartCol(checked)
         .repartition(col(partCol))
-        .sortWithinPartitions(col(spec.tsCol))
+        // partCol FIRST: a dynamic-partition write requires its child
+        // ordered by the partition columns and INSERTS a sort when it
+        // is not — which lets the optimizer ELIMINATE a child sort on
+        // ts alone, silently unsorting the files (caught r13 by the
+        // z1b plan pin's listener). With the partition key as the sort
+        // prefix the writer's requirement is satisfied by this very
+        // sort and the per-file ts order actually survives.
+        .sortWithinPartitions(col(partCol), col(spec.tsCol))
         .write.mode("append").partitionBy(partCol).parquet(path)
       recordSchemaIfMissing(data.schema)
     } catch {
@@ -513,7 +520,9 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
     val migrated = spark.read.parquet(path)
       .withColumn(colName, col(colName).cast(newType))
     migrated
-      .sortWithinPartitions(col(spec.tsCol))
+      // partCol first — see append: the dynamic-partition writer's own
+      // sort otherwise eliminates the ts ordering
+      .sortWithinPartitions(col(partCol), col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(outPath)
     out.recordSchemaIfMissing(migrated.schema)
     out
@@ -604,7 +613,14 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         else None
       }
     if (decisions.isEmpty) return 0
-    if (decisions.forall(_._3 == 1)) {
+    // the clusterBy fast path carries per-partition Morton bounds as
+    // when-chains over the partition key — O(#dirs) expressions; cap the
+    // chain so a many-thousand-directory table cannot blow up plan size
+    // or codegen (beyond the cap the per-dir jobs are big enough that
+    // job-scheduling overhead no longer dominates)
+    val fastOk = decisions.forall(_._3 == 1) &&
+      (clusterBy.isEmpty || decisions.size <= 256)
+    if (fastOk) {
       // FAST PATH (r13 optimization, guide §1.2/§2.6): every rewritten
       // partition targets ONE output file — the steady-state shape
       // (fresh appends, date-grain dirs under the byte budget) — so the
@@ -624,9 +640,12 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .where(partKeyStr.isInCollection(names))
           .withColumn(partCol, col(partCol).cast("string"))
         val laid =
+          // partCol first in both sorts — see append: the staged
+          // partitionBy writer's own partition-column sort otherwise
+          // eliminates the layout key's ordering entirely
           if (clusterBy.isEmpty)
             base.repartition(col(partCol))
-              .sortWithinPartitions(col(spec.tsCol))
+              .sortWithinPartitions(col(partCol), col(spec.tsCol))
           else {
             val scaled = keys.map { k =>
               linearCol(k) match {
@@ -641,7 +660,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
             }
             base.withColumn("z__", ZOrder.interleave(scaled))
               .repartition(col(partCol))
-              .sortWithinPartitions(col("z__"))
+              .sortWithinPartitions(col(partCol), col("z__"))
               .drop("z__")
           }
         laid.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
@@ -753,7 +772,9 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         // the hive-default dir)
         .withColumn(partCol, col(partCol).cast("string"))
         .repartition(col(partCol))
-        .sortWithinPartitions(col(spec.tsCol))
+        // partCol first — see append: the staged writer's own sort
+        // otherwise eliminates the ts ordering inside the files
+        .sortWithinPartitions(col(partCol), col(spec.tsCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
       affected.foreach { dir =>
         val staged = stage.resolve(partValueToDirName(dirToPartValue(dir)))
@@ -915,7 +936,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           .where(partKeyStr.isInCollection(affectedNames))
           .join(srcKeys, keyCols, "left_anti"))
         .repartition(col(partCol))
-        .sortWithinPartitions(col(spec.tsCol))
+        .sortWithinPartitions(col(partCol), col(spec.tsCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
     val replaced = new java.util.concurrent.atomic.AtomicLong(0L)
     affected.foreach { dir =>
@@ -943,7 +964,7 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         if (affectedNames.isEmpty) Set("") else affectedNames))
     remainder
       .repartition(col(partCol))
-      .sortWithinPartitions(col(spec.tsCol))
+      .sortWithinPartitions(col(partCol), col(spec.tsCol))
       .write.mode("append").partitionBy(partCol).parquet(path)
     recordSchemaIfMissing(src.schema)
     (replaced.get, written)

@@ -336,10 +336,14 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"), s)
   }
 
-  test("z1b: clusterBy compaction rewrites as one Morton-key range exchange + in-partition sort") {
+  test("z1b: clusterBy compaction is ONE staged exchange on the partition key + in-partition Morton sort") {
     // the rewrite plan lives inside ZTable.compact — capture it with a
-    // QueryExecutionListener and pin: one range exchange on z__, a sort,
-    // and NO hash shuffle (the layout job must stay a linear rewrite)
+    // QueryExecutionListener and pin the r13 single-file fast path: one
+    // hash exchange on the PARTITION key (the staged partitionBy job
+    // that replaced the per-directory range-sampling jobs), an
+    // in-partition sort on the Morton interleave (CollapseProject
+    // inlines the z__ alias into the Sort, so match the interleave's
+    // bit-op signature), and no second exchange
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -359,7 +363,8 @@ class PlanSpec extends SparkSpec {
       val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
       def rewritePlans(): Seq[String] = {
         import scala.jdk.CollectionConverters._
-        captured.asScala.toSeq.filter(_.contains("z__"))
+        // the staged rewrite is the only write into the compact stage root
+        captured.asScala.toSeq.filter(_.contains(".compact-stage-"))
       }
       while (rewritePlans().isEmpty && System.nanoTime < deadline) Thread.sleep(100)
       val plans = rewritePlans()
@@ -368,13 +373,21 @@ class PlanSpec extends SparkSpec {
         // AQE's toString repeats the tree under "== Initial Plan ==" —
         // pin only the final plan section
         val s = full.split("== Initial Plan ==").head
-        // nOut files → rangepartitioning(z__, nOut); at test SF nOut=1
-        // and repartitionByRange legitimately collapses to a single
-        // partition — either way exactly ONE exchange, never a hash one
+        // ONE exchange: the staged write's hash repartition on the
+        // partition key (never a second shuffle, never a range-sampling
+        // pass per directory)
         val exchanges = "Exchange (range|hash)partitioning|Exchange SinglePartition"
           .r.findAllIn(s).toSeq
-        assert(exchanges.length == 1 && !exchanges.head.contains("hash"), s)
-        assert("Sort \\[z__".r.findFirstIn(s).isDefined, s)
+        assert(exchanges.length == 1, s)
+        assert(s.contains("Exchange hashpartitioning(p_date"), s)
+        // the in-partition sort is (partition key, Morton key) — the
+        // partition-column prefix keeps the dynamic-partition writer
+        // from inserting its own sort and ELIMINATING the layout order
+        // (the r13 finding this pin now guards), and the Morton
+        // interleave (shiftleft chains) must still feed z__ below it
+        assert("Sort \\[p_date#\\d+ ASC NULLS FIRST, z__#\\d+L? ASC NULLS FIRST\\], false"
+          .r.findFirstIn(s).isDefined, s)
+        assert(s.contains("shiftleft("), s)
       }
     } finally spark.listenerManager.unregister(listener)
   }
