@@ -327,17 +327,18 @@ object Scalar {
     * around it is unchanged: two group-aggs + two broadcast joins of
     * a type-count-sized stats frame, corpus scanned twice. */
   def outliers(spark: SparkSession, dir: String): DataFrame = {
-    // medians via the sort-based order-statistics helper (r13,
-    // functions.Percentiles) — bitwise-identical to the retired
-    // value-buffering `percentile` aggregate, without its per-group map
+    // NOTE r13: a8/a15 moved to the sort-based functions.Percentiles
+    // (big lineitem groups, measured 0.6x); dq3 was tried on it and
+    // REVERTED — on events' small per-type groups the window sort costs
+    // more than the built-in's value buffer (measured 1.15-1.38x across
+    // three boards), and the scaladoc's 100 TB path swaps to
+    // approx_percentile anyway, so the local exact aggregate stays.
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    val med = graft.functions.Percentiles.exactBy(ev, "event_type",
-        col("value"), Seq("m" -> 0.5))
-      .select(col("event_type"), round(col("m"), 6).as("med_r"))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med_r"))
     val dev = ev.join(broadcast(med), Seq("event_type"))
-    val mad = graft.functions.Percentiles.exactBy(dev, "event_type",
-        abs(col("value") - col("med_r")), Seq("m" -> 0.5))
-      .select(col("event_type"), round(col("m"), 6).as("mad_r"))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med_r), 0.5)"), 6).as("mad_r"))
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"), col("med_r"), col("mad_r"))
       .agg(count(lit(1)).as("n"),
