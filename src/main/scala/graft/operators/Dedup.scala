@@ -673,8 +673,18 @@ object Dedup {
       maxRounds: Int = 100): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY pin on the local path (r14, guide §1.2 pass count): every
+    // pin here — the init labeling and each round's `next` — is
+    // immediately followed by the label-sum signature aggregate, and a
+    // lazy localCheckpoint lets that ONE sig job both materialize the
+    // blocks and compute the sum, where the eager pin paid a separate
+    // materialization job first (2 jobs/round -> 1; fixed scheduling
+    // latency dominates these node-sized rounds — r13 OptProbe). Safe
+    // because sig() computes every partition (lineage truncates at that
+    // job's end) BEFORE the previous round's blocks are released. The
+    // reliable-checkpoint path keeps eager semantics.
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
     def unpin(df: DataFrame): Unit =
       if (checkpointDir.isEmpty) graft.util.Pins.release(df)
     // The symmetrized edge list is PRE-PARTITIONED on the join key (r13
@@ -795,6 +805,14 @@ object Dedup {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Round pins are LAZY on the local path (r14, guide §1.2 pass
+    // count): each alternation's pin is immediately followed by
+    // next.count(), which materializes every partition in the same job
+    // (2 jobs/alternation -> 1). The ENTRY pins (`all`, `loops`) stay
+    // EAGER: `loops` must hold blocks before round 1 releases `e`'s
+    // leaves (= `all`'s blocks), and nothing counts it in between.
+    def pinLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
     def bothDirs(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     def star(e: DataFrame, large: Boolean): DataFrame = {
@@ -858,8 +876,8 @@ object Dedup {
             "convergence-detection regression or an edge list far beyond " +
             "the assumed scale (raise maxRounds only after ruling out the " +
             "former)")
-        val next = pin(star(star(e, large = true), large = false))
-        val nextCount = next.count()
+        val next = pinLazy(star(star(e, large = true), large = false))
+        val nextCount = next.count() // materializes the lazy pin
         converged = sameEdges(e, next, eCount, nextCount)
         eCount = nextCount
         // next is materialized by its pin, so the previous round's edge

@@ -28,6 +28,14 @@ object Graph {
   /** Total rank mass in fixed-point units (1.0 ≡ 10¹²). */
   val Scale = 1000000000000L
 
+  /** [[kcore]]'s survivor sets are broadcast into the per-round semi
+    * joins only while the EXACT previous-round count sits under this cap
+    * (~10M longs ≈ 150 MB built — comfortably inside executor memory,
+    * far under the 8 GB broadcast hard cap); larger sets keep the
+    * shuffled join. Overridable via spark.graft.kcore.broadcastCap for
+    * clusters with different executor memory. */
+  private[graft] val BroadcastSurvivorCapDefault = 10000000L
+
   /** PageRank with damping 0.85 over the UNDIRECTED view of `edges`
     * (both directions added, so every node has out-degree ≥ 1 and no
     * dangling-mass redistribution is needed): for `iters` rounds,
@@ -232,6 +240,20 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint()
       else { val d = df.localCheckpoint(); d }
+    // Loop-round pin: LAZY on the local path (r14, guide §1.2 pass
+    // count) — every round's pin is immediately followed by the
+    // survivor count, and a lazy localCheckpoint lets that one count
+    // job BOTH materialize the blocks and produce n, where the eager
+    // pin paid a separate materialization job first. Per round: 2 jobs
+    // -> 1, and the fixed job-scheduling latency is what dominates
+    // these node-sized rounds (r13 OptProbe). Safe ONLY because the
+    // count computes every partition (lineage truncates at that job's
+    // end) BEFORE the previous round's blocks are released below. The
+    // reliable-checkpoint path keeps eager semantics (checkpoint files
+    // must exist before the next round builds on them).
+    def pinLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(false)
     // unpin only the LOCAL variant's blocks: reliable checkpoint files
     // stay until the checkpoint dir is cleaned. Pins.release, not
     // unpersist — localCheckpoint blocks bypass the cache manager, so
@@ -239,8 +261,22 @@ object Graph {
     // peel round for the session's lifetime
     def unpin(df: DataFrame): Unit =
       if (checkpointDir.isEmpty) graft.util.Pins.release(df)
+    // The symmetrized edge list is PRE-PARTITIONED on the degree-count
+    // key (r14, guide §2.4 — the components() discipline): every
+    // round's groupBy(v) otherwise pays an edge-sized exchange, and the
+    // survivor semi joins are node-sized broadcasts that PRESERVE the
+    // cached partitioning — so paying the exchange ONCE here makes each
+    // peel round exchange-free (scan cached blocks + semi joins +
+    // map-side-combined count). nodes' distinct reuses the same
+    // partitioning (v renamed to id tracks the attribute).
+    val symP = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val BroadcastSurvivorCap = edges.sparkSession.conf
+      .get("spark.graft.kcore.broadcastCap", BroadcastSurvivorCapDefault.toString)
+      .toLong
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
+      .repartition(symP, col("v"))
       .persist()
     val nodes = sym.select(col("v").as("id")).distinct().persist()
     var alive = nodes
@@ -258,17 +294,29 @@ object Graph {
           // both semi joins reference the IDENTICAL `alive` subtree via
           // join conditions (r13: a renamed projection per side made the
           // canonical plans differ, so the node-set broadcast was built
-          // twice per round; with matching subtrees it is reused)
-          val next = pin(sym
-            .join(alive, col("v") === col("id"), "left_semi")
-            .join(alive, col("u") === col("id"), "left_semi")
+          // twice per round; with matching subtrees it is reused).
+          // The broadcast is EXPLICIT and size-gated (r14): after round
+          // 1 `alive` is a pinned LogicalRDD whose stats the static
+          // planner treats as unknown-huge, so without the hint every
+          // round fell back to sort-merge — two edge-sized exchanges —
+          // until AQE repaired it stage by stage. aliveN is exact
+          // (last round's count), so the gate is deterministic: under
+          // the cap the rounds are broadcast + exchange-free; a
+          // beyond-the-cap survivor set (the 100 TB worst case) keeps
+          // the shuffled plan that cannot OOM the driver.
+          val aliveRef =
+            if (aliveN <= BroadcastSurvivorCap) broadcast(alive) else alive
+          val next = pinLazy(sym
+            .join(aliveRef, col("v") === col("id"), "left_semi")
+            .join(aliveRef, col("u") === col("id"), "left_semi")
             .groupBy(col("v")).agg(count(lit(1)).as("d"))
             .where(col("d") >= k)
             .select(col("v").as("id")))
+          // this count MATERIALIZES the lazy pin (computes every
+          // partition), so the previous round's survivor blocks are
+          // dead weight now — drop them (nodes, the round-0 "alive",
+          // is still needed for the final join)
           val n = next.count()
-          // pin() materialized `next` eagerly, so the previous round's
-          // survivor blocks are dead weight now — drop them (nodes, the
-          // round-0 "alive", is still needed for the final join)
           if (alive ne nodes) unpin(alive)
           // survivors only shrink: equal counts == fixpoint
           converged = n == aliveN
