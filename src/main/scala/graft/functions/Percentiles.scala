@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * pairs — the same shuffle any sort-based group computation pays,
   * spilling gracefully where the value-buffering aggregate OOMs on a
   * giant group — then an output-sized aggregate over only the bracketing
-  * rows. Callers needing a group with zero non-null values keep using
-  * the built-in (such groups vanish here; `percentile` reports null).
+  * rows. Groups whose values are ALL null are kept with NULL percentiles
+  * (r14) — same as the built-in and the DuckDB oracle.
   */
 object Percentiles {
 
@@ -42,16 +42,25 @@ object Percentiles {
     * columns are); null values are ignored like the built-in's. */
   def exactBy(df: DataFrame, groupCol: String, valCol: Column,
       ps: Seq[(String, Double)]): DataFrame = {
+    // NULL values ride through the window ordered LAST instead of being
+    // pre-filtered (r14, ADVICE): non-null rows keep the identical
+    // row_number (nulls sort after them) and n__ counts only non-null
+    // values, so every group with data is BITWISE unchanged — but a
+    // group whose values are ALL null now keeps a representative row
+    // (rn__ = 1, n__ = 0, picked by the `needed` clause below) and
+    // emits NULL percentiles, matching the built-in percentile() and
+    // the DuckDB quantile_cont oracle, where the old pre-filter dropped
+    // the group entirely. No extra pass: the only cost is the (rare)
+    // null rows crossing the one existing exchange.
     val base = df.select(col(groupCol).as("g__"), valCol.as("x__"))
-      .where(col("x__").isNotNull)
     val ranked = base
       .withColumn("rn__", row_number().over(
-        Window.partitionBy("g__").orderBy("x__")))
-      .withColumn("n__", count(lit(1)).over(Window.partitionBy("g__")))
+        Window.partitionBy("g__").orderBy(col("x__").asc_nulls_last)))
+      .withColumn("n__", count(col("x__")).over(Window.partitionBy("g__")))
     def posOf(p: Double): Column = (col("n__") - 1).cast("double") * lit(p)
     val needed = ps.map { case (_, p) =>
       col("rn__") === floor(posOf(p)) + 1 || col("rn__") === ceil(posOf(p)) + 1
-    }.reduce(_ || _)
+    }.reduce(_ || _) || (col("n__") === 0 && col("rn__") === 1)
     val aggs = ps.flatMap { case (name, p) =>
       Seq(min(when(col("rn__") === floor(posOf(p)) + 1, col("x__")))
           .as(s"lo_$name"),

@@ -55,16 +55,35 @@ object Dedup {
     * knob track data volume instead of requiring the caller to have
     * read STRESS.md. */
   def autoShufflePartitions(docs: DataFrame, textCol: String): Int = {
-    // Catalyst's size estimate (file bytes for a scan) is free — no job.
-    // Widening only ENGAGES past ~24M shingle rows at the harness's 32
-    // session partitions (750k/partition × 32) ≈ 144 MB of raw text;
-    // even at a pathological 20× parquet text-compression ratio that is
-    // ≥ 7 MB on disk, so any corpus under 4 MB of source bytes cannot
-    // cross the threshold and the exact token-count pre-pass would be a
-    // wasted full scan (r13 optimization, guide §1.2 — measure the
-    // cheap proxy first, pay the exact pass only where it can matter).
-    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(4L * 1024 * 1024))
+    // LEAF-FILE bytes gate the exact pre-pass — free (driver metadata,
+    // no job). Widening only ENGAGES past ~24M shingle rows at the
+    // harness's 32 session partitions (750k/partition × 32) ≈ 144 MB of
+    // raw text; even at a pathological 20× parquet text-compression
+    // ratio that is ≥ 7 MB on disk, so any corpus under 4 MB of SOURCE
+    // FILE bytes cannot cross the threshold and the exact token-count
+    // pre-pass would be a wasted full scan (r13 optimization, guide
+    // §1.2 — measure the cheap proxy first, pay the exact pass only
+    // where it could matter). r14 (ADVICE): the proxy is the scan's
+    // FileIndex size — NOT optimizedPlan.stats.sizeInBytes, which
+    // Catalyst scales by projected-column default widths and filter
+    // selectivity, so a projected/filtered frame over a wide table
+    // could estimate under 4 MB while holding far more text and
+    // silently skip the widening the ×100 stress path exists for. Any
+    // leaf that is not a file scan or in-memory literal rows makes the
+    // gate fall through to the exact pass (conservative).
+    val leafBytes = docs.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some(BigInt(fs.location.sizeInBytes))
+          case _ => None
+        }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(loc.stats.sizeInBytes) // exact: literal in-memory rows
+      case _ => None
+    }
+    if (leafBytes.nonEmpty && leafBytes.forall(_.isDefined) &&
+        leafBytes.flatten.sum < BigInt(4L * 1024 * 1024))
       return sessionShufflePartitions(docs)
     val rows = docs.agg(
       coalesce(sum(size(split(col(textCol), " ")).cast(LongType)), lit(0L)))

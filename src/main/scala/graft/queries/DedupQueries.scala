@@ -212,7 +212,17 @@ object DedupQueries {
     * within-cell greedy pruning (Similarity.semDeDup; Abbas et al.
     * 2023). Cell assignment is kmeans-derived → not SQL-expressible;
     * the oracle gate emits two SQL-derivable counts plus three TRUE
-    * flags the Spark side proves with EXACT cosines:
+    * flags the Spark side proves with EXACT cosines.
+    *
+    * PIN CONTRACT: the returned plan reads through ONE localCheckpoint
+    * pin (the corpus-sized labeling) that this method never releases —
+    * a caller outside the Bench/Verify harness (which sweeps all pins
+    * between queries) must free it with `graft.util.Pins.release(df)`
+    * on the RETURNED frame once done, or each call leaks one
+    * materialized labeling for the session's lifetime (plain
+    * `unpersist()` is a silent no-op on localCheckpoint blocks).
+    *
+    * The flags:
     *  - `witness_ok`: every dropped doc's witness is kept, shares its
     *    cell, and really is within the threshold;
     *  - `independent_ok`: no two kept docs of one cell are within the

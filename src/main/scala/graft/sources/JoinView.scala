@@ -71,12 +71,24 @@ class JoinView(val spark: SparkSession, val path: String,
     newRows.write.mode("overwrite").format("parquet")
       .partitionBy("delta").option("partitionOverwriteMode", "dynamic")
       .save(dir("view"))
-    dl.write.mode("overwrite").format("parquet")
-      .partitionBy("delta").option("partitionOverwriteMode", "dynamic")
-      .save(dir("left"))
-    dr.write.mode("overwrite").format("parquet")
-      .partitionBy("delta").option("partitionOverwriteMode", "dynamic")
-      .save(dir("right"))
+    // the two accumulation writes are independent of each other (only
+    // the view write is the commit point above), so they run as
+    // concurrent jobs (guide §2.6 — the second job's tasks back-fill
+    // the first one's tail). Crash story unchanged: replay excludes the
+    // current tag from BOTH accumulations and dynamic-overwrites each
+    // store, so any prefix of {left, right} landing before a crash is
+    // recomputed identically.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = Seq(dl -> "left", dr -> "right").map { case (df, store) =>
+      Future {
+        df.write.mode("overwrite").format("parquet")
+          .partitionBy("delta").option("partitionOverwriteMode", "dynamic")
+          .save(dir(store))
+      }
+    }
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** The maintained view (all accumulated delta partitions). */

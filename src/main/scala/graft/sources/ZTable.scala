@@ -672,6 +672,12 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
           if (!Files.exists(tmp.resolve("_SUCCESS")))
             Files.createFile(tmp.resolve("_SUCCESS"))
           swapIn(dir, tmp)
+          // a decision partition whose rows were all zero-row debris
+          // stages nothing (only _SUCCESS): mirror stagedRewrite and
+          // drop the emptied dir, or a data-file-less partition would
+          // linger and break root schema inference if it were the
+          // table's only partition (r14, ADVICE)
+          dropIfEmptied(dir)
         }
       } finally if (Files.exists(stage)) rmTree(stage)
       decisions.size

@@ -37,26 +37,40 @@ class AggSpec extends SparkSpec {
     // bracketing keys) whose algebraic blend differs in the last ulp.
     import spark.implicits._
     val rnd = new scala.util.Random(20260817)
-    val rows = (1 to 4000).map { i =>
+    val rows: Seq[(String, java.lang.Double)] = (1 to 4000).map { i =>
       val g = s"g${i % 7}"
       // heavy ties (quantized) + irrational-ish tails + singleton group
-      val v = if (i % 3 == 0) (rnd.nextInt(40) / 4.0)
-              else rnd.nextDouble() * 1e6 / 3.0
+      // + scattered nulls (r14: nulls ride the window instead of a
+      // pre-filter — non-null order statistics must be unaffected)
+      val v: java.lang.Double =
+        if (i % 11 == 0) null
+        else if (i % 3 == 0) (rnd.nextInt(40) / 4.0)
+        else rnd.nextDouble() * 1e6 / 3.0
       (if (i == 1) "solo" else g, v)
-    }
+    } ++ Seq(("allnull", null: java.lang.Double),
+      ("allnull", null: java.lang.Double)) // r14 ADVICE: the degenerate
+      // all-null group must SURVIVE with null percentiles, like the
+      // built-in and the DuckDB quantile_cont oracle
     val df = rows.toDF("g", "v")
     val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
+    def bits(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None
+      else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
     val ours = graft.functions.Percentiles.exactBy(df, "g", col("v"), ps)
       .collect().map(r => r.getString(0) ->
-        ps.indices.map(i => r.getDouble(i + 1))).toMap
+        ps.indices.map(i => bits(r, i + 1))).toMap
     val ref = df.groupBy("g")
       .agg(expr(s"percentile(v, array(${ps.map(_._2).mkString("D,")}D))").as("a"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map { r =>
+        val arr = if (r.isNullAt(1)) ps.map(_ => None)
+          else r.getSeq[java.lang.Double](1).map(v =>
+            Option(v).map(x => java.lang.Double.doubleToRawLongBits(x)))
+        r.getString(0) -> arr
+      }.toMap
     assert(ours.keySet == ref.keySet)
+    assert(ours.contains("allnull"))
     for ((g, vs) <- ours; i <- ps.indices)
-      assert(java.lang.Double.doubleToRawLongBits(vs(i)) ==
-        java.lang.Double.doubleToRawLongBits(ref(g)(i)),
-        s"group $g ${ps(i)._1}: ${vs(i)} != ${ref(g)(i)}")
+      assert(vs(i) == ref(g)(i), s"group $g ${ps(i)._1}: ${vs(i)} != ${ref(g)(i)}")
   }
 
   test("a14 rollup: merged day sketches equal the single-pass sketch (sf0.001)") {
