@@ -473,8 +473,19 @@ object PipelineQueries {
     * for their nll (bounded driver state for real), and the bucketing
     * adds zero shuffles to the scoring pass. */
   def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    // PIN the per-doc score table (r14, guide §5): the calibration
+    // collect below materializes the full bigram-LM scoring pass, and
+    // the returned plan previously RECOMPUTED it — token explode, two
+    // count joins, the lot — under the caller's action. The nll frame
+    // is doc-count-sized (id + double — the score table a production
+    // run would persist to disk anyway), so one localCheckpoint makes
+    // both reads hit the same blocks. PIN CONTRACT (the d10
+    // discipline): callers outside the Bench/Verify harness (which
+    // sweeps pins between queries) free it with Pins.release on the
+    // returned frame.
     val nll = SearchQueries.bigramPpl(spark, dir)
       .select(col("doc_id"), col("nll"))
+      .localCheckpoint()
     val calIds = Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(concat(lit("cal:"), col("doc_id").cast("string"))).as("ch"))
