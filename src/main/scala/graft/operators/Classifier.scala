@@ -67,13 +67,19 @@ object Classifier {
 
   /** Mean binary cross-entropy of σ(w·x) against a 0/1 label column —
     * one scan, clamped away from log(0). */
-  def logLoss(df: DataFrame, featCol: String, labelCol: String,
-      w: Array[Double]): Double = {
-    val p = least(greatest(score(col(featCol), w), lit(1e-12)), lit(1.0 - 1e-12))
-    df.select(avg(
-      -(col(labelCol) * log(p) + (lit(1.0) - col(labelCol)) * log(lit(1.0) - p))))
-      .head.getDouble(0)
+  /** Mean log-loss as a COLUMN aggregate — so callers computing several
+    * statistics of one frame fold them into a single pass (guide §5:
+    * the ml1/ml2 evaluation jobs were serial full scans per statistic). */
+  def logLossExpr(featCol: Column, labelCol: Column,
+      w: Array[Double]): Column = {
+    val p = least(greatest(score(featCol, w), lit(1e-12)), lit(1.0 - 1e-12))
+    avg(-(labelCol * log(p) + (lit(1.0) - labelCol) * log(lit(1.0) - p)))
   }
+
+  def logLoss(df: DataFrame, featCol: String, labelCol: String,
+      w: Array[Double]): Double =
+    df.select(logLossExpr(col(featCol), col(labelCol), w))
+      .head.getDouble(0)
 
   /** Full-batch gradient descent from w = 0. `featCol` is an
     * Array[Float] feature vector (append a 1.0f for bias upstream);

@@ -564,14 +564,19 @@ object SimilarityQueries {
       .persist()
     val iters = 4
     val w = graft.operators.Classifier.trainLogRegNewton(emb, "x", "y", iters)
-    val acc = emb.select(avg(
-        ((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
-          === col("y")).cast("int")))
-      .head.getDouble(0)
-    val lossT = graft.operators.Classifier.logLoss(emb, "x", "y", w)
-    val loss0 = graft.operators.Classifier.logLoss(emb, "x", "y",
-      new Array[Double](w.length))
-    val n = emb.count()
+    // ONE evaluation pass (r14 — the ml2 discipline from r13): accuracy,
+    // both losses and the count are aggregates of the same cached frame
+    // with fixed weights; identical expressions, one job instead of four.
+    val st = emb.agg(
+        count(lit(1)).as("n"),
+        avg(((graft.operators.Classifier.score(col("x"), w) >= 0.5).cast("int")
+          === col("y")).cast("int")).as("acc"),
+        graft.operators.Classifier.logLossExpr(col("x"), col("y"), w).as("loss_t"),
+        graft.operators.Classifier.logLossExpr(col("x"), col("y"),
+          new Array[Double](w.length)).as("loss_0"))
+      .head
+    val (n, acc, lossT, loss0) =
+      (st.getLong(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
     emb.unpersist()
     Seq((n, lossT <= loss0 * 0.7, acc >= LogRegAccBound))
       .toDF("n_rows", "loss_ok", "acc_ok")
