@@ -521,11 +521,22 @@ object Dedup {
     val words = split(lower(col(textCol)), " ")
     // band strings emitted by ONE expression evaluation per row —
     // element_at-per-band would let CollapseProject re-evaluate the
-    // signature bands×rows times (see MinHashBands scaladoc)
+    // signature bands×rows times (see MinHashBands scaladoc).
+    // PINNED (r14, guide §1.2 pass count): the signature expression is
+    // the MAP-SIDE heavy kernel here (bands×rowsPerBand xxhash64 evals
+    // per shingle), and the plan below references `sig` from FOUR
+    // subtrees — the bucket fan-out's two self-join sides plus the
+    // mega-bucket pre-pass — each of which would re-evaluate it (no
+    // exchange below it, so nothing is reused). The pin is doc-count-
+    // sized (id + bands longs), safe at any corpus scale — it is the
+    // signature table a production pipeline materializes anyway.
+    // PIN CONTRACT: the returned plan reads through it; callers outside
+    // the Bench/Verify harness release with Pins.release on the result.
     val sig = docs.select(col(idCol).as("id"),
         graft.plans.TextOps.minhashBands(words, shingleN, bands, rowsPerBand)
           .as("bsig"))
       .where(col("bsig").isNotNull)
+      .localCheckpoint()
     // `maxDocFreq` prunes stop-shingles from the VERIFY sets — the same
     // guard and the same pruned-Jaccard THRESHOLD SEMANTICS as
     // [[jaccardPairs]]: every pair d2 emits satisfies exactly d4's

@@ -347,8 +347,18 @@ object Similarity {
     // fine, but the JVM ran the stage in its BYTECODE interpreter,
     // measured 2× slower than even Spark's expression-interpreted
     // fallback (11×79/sf0.1: 38 s chain-form vs 6 s fused).
+    // PINNED (r14, guide §1.2 pass count): the probe and build sides of
+    // the bucket self-join both read `packed`, and the signing kernel
+    // (L·H dim-sized dot products per vector) is map-side — without the
+    // pin each side re-evaluates it from the scan. The pin is
+    // corpus-ROW-sized but signature-narrow (id + L+⌈L·H/60⌉ longs per
+    // vector — the signature table a production LSH pipeline
+    // materializes anyway, ~30× narrower than the vectors at dim 64).
+    // PIN CONTRACT: callers outside the Bench/Verify harness release
+    // with Pins.release on the returned frame.
     val packed = signed.select(col("id"), col("bks"),
       VectorOps.packLanes(col("bks"), numPlanes, numTables).as("pks"))
+      .localCheckpoint()
     val bucketed = packed
       .select(col("id"), col("pks"),
         posexplode(col("bks")).as(Seq("tbl", "bucket")))

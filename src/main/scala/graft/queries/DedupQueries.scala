@@ -176,7 +176,14 @@ object DedupQueries {
     * path is the one that scales.) */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = Dedup.simhash(docs, "doc_id", "text")
+    // PINNED (r14, guide §1.2 pass count): `sig` is referenced from FIVE
+    // subtrees below (the parity check, both banded self-join sides,
+    // both brute self-join sides) and the SimHash64 expression — a full
+    // tokenize+hash pass over the text — is map-side, so nothing is
+    // reused without the pin. Doc-count-sized (id + one long). PIN
+    // CONTRACT: callers outside the Bench/Verify harness release with
+    // Pins.release on the returned frame.
+    val sig = Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
     val sigOk = sig
       .join(Dedup.simhashViaAgg(docs, "doc_id", "text")
         .withColumnRenamed("simhash", "simhash_ref"), Seq("id"))

@@ -568,8 +568,10 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
       // ROOT schema, not parts.head's: a fully-emptied partition (all
       // rows deleted) may hold no data files, and a single-dir read of
       // it cannot infer a schema; the root read succeeds while any
-      // partition has data
-      val schema = spark.read.parquet(path).schema
+      // partition has data. The recorded meta schema answers without
+      // any file listing/footer inference when stamped (r14 — it is
+      // normalized to exactly what a parquet read presents).
+      val schema = recordedSchema.getOrElse(spark.read.parquet(path).schema)
       keys.map { k =>
         k -> (schema(k).dataType match {
           case _: NumericType => Some(col(k).cast("double"))
@@ -647,18 +649,46 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
             base.repartition(col(partCol))
               .sortWithinPartitions(col(partCol), col(spec.tsCol))
           else {
+            // Per-partition Morton bounds arrive via ONE broadcast-
+            // joined bounds table (r14, guide §1.2): the fold-built
+            // when-chains this replaces made Catalyst analysis +
+            // codegen time scale linearly in directory count —
+            // measured ~3 s of DRIVER time at 31 dirs, more than the
+            // write's own jobs — where a broadcast hash lookup is
+            // constant plan size and O(1) per row. Values are
+            // identical: the same lo/hi doubles reach the same
+            // scaleCol arithmetic, just joined in instead of chained.
+            // The join key is partKeyStr, which is coalesced non-null,
+            // and every filtered row's partition is in `decisions`, so
+            // the inner join drops nothing.
+            val linKeys = keys.filter(k => linearCol(k).isDefined)
+            val bSchema = StructType(
+              org.apache.spark.sql.types.StructField("pb__",
+                org.apache.spark.sql.types.StringType) +:
+              linKeys.flatMap(k => Seq(
+                org.apache.spark.sql.types.StructField(s"lo__$k",
+                  org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField(s"hi__$k",
+                  org.apache.spark.sql.types.DoubleType))))
+            val bRows = decisions.map { case (_, pv, _) =>
+              Row.fromSeq(pv +: linKeys.flatMap(k => Seq(
+                statsByPart(pv).getAs[Double](s"lo_$k"),
+                statsByPart(pv).getAs[Double](s"hi_$k"))))
+            }
+            import scala.jdk.CollectionConverters._
+            val bounds = spark.createDataFrame(
+              new java.util.ArrayList[Row](bRows.asJava), bSchema)
             val scaled = keys.map { k =>
               linearCol(k) match {
                 case Some(c) =>
-                  def bound(pre: String) = decisions.foldLeft(lit(Double.NaN)) {
-                    case (e, (_, pv, _)) => when(partKeyStr === pv,
-                      lit(statsByPart(pv).getAs[Double](s"${pre}_$k"))).otherwise(e)
-                  }
-                  ZOrder.scaleCol(c, bound("lo"), bound("hi"))
+                  ZOrder.scaleCol(c, col(s"lo__$k"), col(s"hi__$k"))
                 case None => ZOrder.bucket(col(k))
               }
             }
-            base.withColumn("z__", ZOrder.interleave(scaled))
+            val dataCols = base.columns.toSeq
+            base.join(broadcast(bounds), partKeyStr === col("pb__"))
+              .withColumn("z__", ZOrder.interleave(scaled))
+              .select(dataCols.map(col) :+ col("z__"): _*)
               .repartition(col(partCol))
               .sortWithinPartitions(col(partCol), col("z__"))
               .drop("z__")
@@ -666,18 +696,22 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         laid.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
         decisions.foreach { case (dir, pv, _) =>
           val staged = stage.resolve(partValueToDirName(pv))
+          val stagedMissing = !Files.exists(staged)
           val tmp = dir.resolveSibling(dir.getFileName.toString + ".compacting")
-          if (Files.exists(staged)) Files.move(staged, tmp)
-          else Files.createDirectories(tmp)
+          if (stagedMissing) Files.createDirectories(tmp)
+          else Files.move(staged, tmp)
           if (!Files.exists(tmp.resolve("_SUCCESS")))
             Files.createFile(tmp.resolve("_SUCCESS"))
           swapIn(dir, tmp)
           // a decision partition whose rows were all zero-row debris
-          // stages nothing (only _SUCCESS): mirror stagedRewrite and
-          // drop the emptied dir, or a data-file-less partition would
-          // linger and break root schema inference if it were the
-          // table's only partition (r14, ADVICE)
-          dropIfEmptied(dir)
+          // stages NOTHING (a dynamic partitionBy write creates a dir
+          // only for keys with rows): mirror stagedRewrite and drop the
+          // emptied dir, or a data-file-less partition would linger and
+          // break root schema inference if it were the table's only
+          // partition (r14, ADVICE). Gated on the staged dir's absence
+          // so the steady-state swap never pays a per-partition footer
+          // read — staged-present implies >= 1 row.
+          if (stagedMissing) dropIfEmptied(dir)
         }
       } finally if (Files.exists(stage)) rmTree(stage)
       decisions.size
@@ -784,16 +818,21 @@ class ZTable(val spark: SparkSession, val path: String, val spec: ZTableSpec) {
         .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
       affected.foreach { dir =>
         val staged = stage.resolve(partValueToDirName(dirToPartValue(dir)))
+        val stagedMissing = !Files.exists(staged)
         val tmp = dir.resolveSibling(dir.getFileName.toString + ".deleting")
-        if (Files.exists(staged)) Files.move(staged, tmp)
-        else Files.createDirectories(tmp) // fully-drained partition
+        if (stagedMissing) Files.createDirectories(tmp) // fully drained
+        else Files.move(staged, tmp)
         // the staged write committed before any swap began — mark the
         // moved half complete so recovery rolls a mid-swap crash
         // forward (the retired per-dir jobs got this from their commit)
         if (!Files.exists(tmp.resolve("_SUCCESS")))
           Files.createFile(tmp.resolve("_SUCCESS"))
         swapIn(dir, tmp)
-        dropIfEmptied(dir)
+        // gated on the staged dir's absence (r14): a dynamic
+        // partitionBy write creates a dir only for keys with rows, so
+        // staged-present implies survivors and the per-partition
+        // footer-read row-count check is skipped on the steady path
+        if (stagedMissing) dropIfEmptied(dir)
       }
     } finally if (Files.exists(stage)) rmTree(stage)
   }
